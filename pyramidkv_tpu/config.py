@@ -1,0 +1,316 @@
+"""Typed configuration for the TPU-native KV-compression inference engine.
+
+This replaces the reference's three-tier ad-hoc config (argparse flags ->
+per-layer ``self_attn.config`` attribute injection -> ``hasattr``-guarded
+defaults in ``init_*``; see /root/reference/run_longbench.py:253-261 and
+/root/reference/pyramidkv/pyramidkv_utils.py:880-1086) with one validated,
+hashable config object that is resolved *before* compilation so that every
+budget and shape is static under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Method registry
+# ---------------------------------------------------------------------------
+
+#: All compression methods accepted by the engine.  Mirrors the reference's
+#: dispatch strings (/root/reference/pyramidkv/monkeypatch.py:21-84).
+METHODS = (
+    "fullkv",
+    "snapkv",
+    "pyramidkv",
+    "h2o",
+    "streamingllm",
+    "l2norm",
+    "cam",
+    "adakv",
+    "headkv",
+    "think",
+    "random",
+)
+
+#: Methods that use the SnapKV-style observation window score.
+WINDOW_SCORE_METHODS = ("snapkv", "pyramidkv", "adakv", "headkv", "think", "cam")
+
+
+# ---------------------------------------------------------------------------
+# Model architecture
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Decoder-only transformer architecture description (Llama / Mistral).
+
+    Field names follow HF ``config.json`` so that :func:`ModelSpec.from_hf`
+    is a direct mapping.
+    """
+
+    name: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    sliding_window: Optional[int] = None  # Mistral-v0.1 style sliding window
+    attention_bias: bool = False
+    # Llama-3.1+ rope scaling ("llama3" frequency scaling); None = plain RoPE.
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+    @property
+    def num_query_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @staticmethod
+    def from_hf(config: dict, name: str = "model") -> "ModelSpec":
+        """Build a spec from a HF ``config.json`` dict (Llama or Mistral)."""
+        rope_scaling = config.get("rope_scaling") or {}
+        head_dim = config.get("head_dim") or (
+            config["hidden_size"] // config["num_attention_heads"]
+        )
+        return ModelSpec(
+            name=name,
+            vocab_size=config["vocab_size"],
+            hidden_size=config["hidden_size"],
+            intermediate_size=config["intermediate_size"],
+            num_hidden_layers=config["num_hidden_layers"],
+            num_attention_heads=config["num_attention_heads"],
+            num_key_value_heads=config.get(
+                "num_key_value_heads", config["num_attention_heads"]
+            ),
+            head_dim=head_dim,
+            rms_norm_eps=config.get("rms_norm_eps", 1e-5),
+            rope_theta=config.get("rope_theta", 10000.0),
+            max_position_embeddings=config.get("max_position_embeddings", 8192),
+            tie_word_embeddings=config.get("tie_word_embeddings", False),
+            sliding_window=config.get("sliding_window"),
+            attention_bias=config.get("attention_bias", False),
+            rope_scaling_type=rope_scaling.get("rope_type") or rope_scaling.get("type"),
+            rope_scaling_factor=rope_scaling.get("factor", 1.0),
+            rope_low_freq_factor=rope_scaling.get("low_freq_factor", 1.0),
+            rope_high_freq_factor=rope_scaling.get("high_freq_factor", 4.0),
+            rope_original_max_position=rope_scaling.get(
+                "original_max_position_embeddings", 8192
+            ),
+        )
+
+    @staticmethod
+    def tiny(**overrides) -> "ModelSpec":
+        """A small spec for unit tests."""
+        base = dict(
+            name="tiny",
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            rope_theta=10000.0,
+            max_position_embeddings=2048,
+        )
+        base.update(overrides)
+        return ModelSpec(**base)
+
+
+# ---------------------------------------------------------------------------
+# Compression policy configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CompressionSpec:
+    """Hyper-parameters of the KV-cache compression policy.
+
+    Defaults follow the LongBench runner's injected values (window 8,
+    kernel 7, maxpool — /root/reference/run_longbench.py:219-261), not the
+    lazy ``init_*`` fallbacks.
+    """
+
+    method: str = "fullkv"
+    #: Per-layer KV budget at the end of prefill (``max_capacity_prompt``).
+    max_capacity_prompt: int = 2048
+    #: Observation window (last ``window_size`` queries score the keys).
+    window_size: int = 8
+    #: 1-D pooling kernel over the raw score vector.
+    kernel_size: int = 7
+    pooling: str = "maxpool"  # "avgpool" | "maxpool"
+    #: PyramidKV budget-slope hyper-parameter (pyramidkv_utils.py:174).
+    beta: int = 20
+    #: L2Norm: layers whose cache is never compressed (pyramidkv_utils.py:962).
+    skip_layers: Tuple[int, ...] = (0, 1)
+    #: LOOK-M merging of evicted KVs: None | "pivot".
+    merge: Optional[str] = None
+    #: AdaKV floor ratio (guaranteed fraction of the base budget per head).
+    floor_ratio: float = 0.2
+    #: AdaKV score-mass normalisation toggle (pyramidkv_utils.py:709-711).
+    normalize: bool = True
+    #: Static bound on any single head's budget as a multiple of the base
+    #: budget (AdaKV).  The reference's ragged cache has no bound; a static
+    #: TPU cache needs one.  Overflow above the bound is redistributed.
+    adakv_head_capacity_mult: float = 2.0
+    #: HeadKV static per-head capacities, shape [layers, heads] (nested
+    #: tuples so the spec stays hashable); computed from heads_score priors
+    #: (run_longbench.py:225-234).
+    head_capacity: Optional[Tuple[Tuple[int, ...], ...]] = None
+    #: ThinK key-channel pruning ratio + protected recent size
+    #: (pyramidkv_utils.py:13-26; run_longbench.py:353-354).
+    pruning_ratio: float = 0.4
+    recent_size: int = 32
+    #: CAM start-budget ratio (pyramidkv_utils.py:432).
+    start_budget_ratio: float = 0.1
+    #: Aggregate selection over GQA groups and store num_kv_heads entries
+    #: instead of the reference's per-query-head selection after repeat_kv
+    #: (llama_model.py:158-159).  Saves group_size x cache memory at a small
+    #: accuracy delta; off by default for parity.
+    gqa_aggregate: bool = False
+
+    # --- KV quantization (KIVI / KVQuant; run_longbench.py:277-288) -------
+    quant_method: Optional[str] = None  # None | "kivi" | "kvquant"
+    nbits: int = 8  # 8 | 4 | 2
+    q_group_size: int = 64
+    residual_length: int = 128
+    outlier_threshold: float = 6.0  # KVQuant outlier extraction (quantcache.py:13)
+
+    def __post_init__(self):
+        if self.method not in METHODS:
+            raise ValueError(f"unknown method {self.method!r}; expected one of {METHODS}")
+        if self.pooling not in ("avgpool", "maxpool"):
+            raise ValueError(f"pooling must be avgpool|maxpool, got {self.pooling!r}")
+        if self.method != "fullkv" and self.method != "l2norm":
+            if self.max_capacity_prompt - self.window_size <= 0:
+                raise ValueError(
+                    "max_capacity_prompt must exceed window_size "
+                    f"({self.max_capacity_prompt} vs {self.window_size})"
+                )
+        if self.quant_method not in (None, "kivi", "kvquant"):
+            raise ValueError(f"quant_method must be None|kivi|kvquant, got {self.quant_method!r}")
+        if self.quant_method is not None and self.nbits not in (1, 2, 3, 4, 8):
+            raise ValueError(f"nbits must be in (1,2,3,4,8), got {self.nbits}")
+        if self.merge not in (None, "pivot"):
+            raise ValueError(f"merge must be None|'pivot', got {self.merge!r}")
+
+    @property
+    def uses_window_scores(self) -> bool:
+        return self.method in WINDOW_SCORE_METHODS
+
+    def streaming_window(self) -> int:
+        """StreamingLLM uses capacity-4 as its recency window
+        (run_longbench.py:222-223)."""
+        return self.max_capacity_prompt - 4
+
+
+# ---------------------------------------------------------------------------
+# Budget schedules (all resolved ahead of compilation)
+# ---------------------------------------------------------------------------
+
+
+def pyramid_layer_budgets(
+    spec: CompressionSpec, num_layers: int, q_len: int
+) -> Tuple[int, ...]:
+    """Exact PyramidKV per-layer past-token budgets (before adding the window).
+
+    Reproduces the arithmetic of PyramidKVCluster.update_kv
+    (/root/reference/pyramidkv/pyramidkv_utils.py:205-215): lower layers keep
+    more, the slope set by ``beta``; clamped when the prompt is short.
+
+    Returns the number of *past* (non-window) tokens layer ``l`` keeps when
+    ``q_len >= 2*(cap - w)``.  Callers handle the two short-prompt regimes
+    (no compression / uniform budget) separately, as the reference does at
+    pyramidkv_utils.py:218-251.
+    """
+    cap, w = spec.max_capacity_prompt, spec.window_size
+    min_num = (cap - w) // spec.beta
+    max_num = (cap - w) * 2 - min_num
+    if max_num >= q_len - w:
+        max_num = q_len - w
+        min_num = (cap - w) * 2 - max_num
+    steps = (max_num - min_num) // max(num_layers - 1, 1)
+    return tuple(max_num - l * steps for l in range(num_layers))
+
+
+def headkv_capacity_from_scores(
+    head_scores: "list[float]",
+    num_layers: int,
+    num_heads: int,
+    max_capacity_prompt: int,
+    head_beta: float = 1.01,
+) -> Tuple[Tuple[int, ...], ...]:
+    """HeadKV per-(layer, head) budgets from retrieval-head importance scores.
+
+    Reproduces run_longbench.py:225-234: normalise the flat score list, scale
+    by the total pool capacity, add the uniform floor, round.
+    """
+    total = float(sum(head_scores))
+    norm = [s / total for s in head_scores]
+    pool = (max_capacity_prompt // head_beta) * num_layers * num_heads
+    min_num = max_capacity_prompt - max_capacity_prompt // head_beta
+    caps = []
+    it = iter(norm)
+    for _ in range(num_layers):
+        row = []
+        for _ in range(num_heads):
+            row.append(int(round(next(it) * pool + min_num)))
+        caps.append(tuple(row))
+    return tuple(caps)
+
+
+def load_headkv_scores(path: str) -> "list[float]":
+    """Load a heads_score JSON (mean over each head's score list), matching
+    run_longbench.py:226-229."""
+    with open(path) as f:
+        head_list = json.loads(f.readline())
+    return [float(sum(v[1]) / len(v[1])) for v in head_list.items()]
+
+
+# ---------------------------------------------------------------------------
+# Engine configuration
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class EngineSpec:
+    """Runtime configuration: batching, buckets, dtype, sharding axes."""
+
+    batch_size: int = 1
+    max_new_tokens: int = 512
+    #: Prompts are left-padded up to the smallest bucket that fits; each
+    #: bucket compiles once.
+    prefill_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192)
+    dtype: str = "bfloat16"
+    #: Mesh axis sizes: data-parallel x model(head)-parallel.
+    mesh_shape: Tuple[int, int] = (1, 1)
+    mesh_axis_names: Tuple[str, str] = ("data", "model")
+    #: Use the fused Pallas prefill/decode kernels when on TPU.
+    use_pallas: bool = True
+    #: Chunk size for blockwise prefill attention / H2O score accumulation.
+    prefill_block: int = 512
+    greedy: bool = True
+    temperature: float = 1.0
+
+    def bucket_for(self, length: int) -> int:
+        for b in self.prefill_buckets:
+            if length <= b:
+                return b
+        return _round_up(length, self.prefill_buckets[-1])
