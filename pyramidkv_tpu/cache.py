@@ -1,0 +1,121 @@
+"""Static-shape compressed KV cache.
+
+Replaces the reference's dynamically-sized caches — HF ``DynamicCache``
+(torch ``cat`` per decode step) and the ragged ``DynamicCacheSplitHeadFlatten``
+whose CUDA ``update_flatten_view`` kernel re-materialises the WHOLE cache on
+every appended token (/root/reference/csrc/csrc/cuda_api.cu:11-53, an
+O(cache) copy per token).  Here every layer owns a fixed
+``[B, H, S, D]`` slot buffer laid out as::
+
+    [ selected past (width) | recency window (W) | decode slots (max_new) ]
+
+with a boolean validity mask.  Per-layer pyramid budgets and per-head
+AdaKV/HeadKV budgets are expressed through the mask, not through ragged
+shapes, so the decode append is one O(1) ``dynamic_update_slice`` — the
+TPU-native equivalent of the reference's native cache layer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class KVCache(NamedTuple):
+    """Layer-stacked compressed KV cache (a scan-friendly pytree)."""
+
+    k: jax.Array          #: [L, B, H, S, D]
+    v: jax.Array          #: [L, B, H, S, D]
+    mask: jax.Array       #: [L, B, H, S] bool — slot holds a real token
+    positions: jax.Array  #: [L, B, H, S] int32 — original token position (-1 invalid)
+    #: [B] int32 — true prompt length (the reference's per-module
+    #: ``kv_seq_len`` bookkeeping, llama_model.py:139-145, collapses to this
+    #: plus the step counter).
+    true_len: jax.Array
+    #: int32 scalar — decode steps taken so far.
+    step: jax.Array
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[3]
+
+    def current_position(self) -> jax.Array:
+        """[B] position id for the NEXT token to be generated."""
+        return self.true_len.astype(jnp.int32) + self.step
+
+
+def empty_cache(
+    num_layers: int,
+    batch: int,
+    heads: int,
+    slots: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    return KVCache(
+        k=jnp.zeros((num_layers, batch, heads, slots, head_dim), dtype=dtype),
+        v=jnp.zeros((num_layers, batch, heads, slots, head_dim), dtype=dtype),
+        mask=jnp.zeros((num_layers, batch, heads, slots), dtype=bool),
+        positions=jnp.full((num_layers, batch, heads, slots), -1, dtype=jnp.int32),
+        true_len=jnp.zeros((batch,), dtype=jnp.int32),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+class LayerCacheView(NamedTuple):
+    """One layer's slice, as threaded through the decode layer-scan."""
+
+    k: jax.Array          #: [B, H, S, D]
+    v: jax.Array          #: [B, H, S, D]
+    mask: jax.Array       #: [B, H, S]
+    positions: jax.Array  #: [B, H, S]
+
+
+def append_token(
+    layer: LayerCacheView,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    *,
+    slot: jax.Array,
+    position: jax.Array,
+) -> LayerCacheView:
+    """O(1) in-place append of one decoded token into its decode slot.
+
+    Args:
+      k_new, v_new: [B, H, D] post-RoPE projections of the new token.
+      slot: int32 scalar — decode-region slot index (prefill_slots + step).
+      position: [B] int32 — the token's true sequence position.
+    """
+    b, h, s, d = layer.k.shape
+    k = jax.lax.dynamic_update_slice(
+        layer.k, k_new[:, :, None, :].astype(layer.k.dtype), (0, 0, slot, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        layer.v, v_new[:, :, None, :].astype(layer.v.dtype), (0, 0, slot, 0)
+    )
+    mask = jax.lax.dynamic_update_slice(
+        layer.mask, jnp.ones((b, h, 1), dtype=bool), (0, 0, slot)
+    )
+    positions = jax.lax.dynamic_update_slice(
+        layer.positions,
+        jnp.broadcast_to(position[:, None, None], (b, h, 1)).astype(jnp.int32),
+        (0, 0, slot),
+    )
+    return LayerCacheView(k=k, v=v, mask=mask, positions=positions)
+
+
+def cache_memory_bytes(cache: KVCache) -> int:
+    """HBM footprint of the KV buffers (the reference never measures this)."""
+    return cache.k.size * cache.k.dtype.itemsize + cache.v.size * cache.v.dtype.itemsize
+
+
+def used_kv_tokens(cache: KVCache) -> jax.Array:
+    """Total number of live KV entries (sum over layers/heads of per-head
+    lengths) — the compression-diagnostics metric."""
+    return cache.mask.sum()

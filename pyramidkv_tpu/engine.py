@@ -1,0 +1,192 @@
+"""Generation engine: bucketed jitted prefill + compressed-cache decode.
+
+Replaces the reference's HF ``model.generate`` loop (greedy,
+``max_new_tokens``, per-method compressed cache —
+/root/reference/run_longbench.py:266-275) with an owned engine:
+
+- prompts are left-padded to a static bucket; one compile per
+  (bucket, method) pair, cached;
+- decode runs as a single jitted ``lax.while_loop`` with on-device greedy
+  sampling and EOS early exit — no per-token host round-trip;
+- everything is functional: the cache is passed through, never mutated.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import KVCache, cache_memory_bytes
+from .config import CompressionSpec, EngineSpec, ModelSpec
+from .models import llama
+from .policy import PolicyPlan, make_plan
+
+
+@dataclass
+class GenerationOutput:
+    #: [B] list of generated token-id lists (EOS excluded).
+    tokens: "list[list[int]]"
+    prefill_seconds: float
+    decode_seconds: float
+    decode_steps: int
+    kv_cache_bytes: int
+
+
+class Engine:
+    """Single-model generation engine with first-class KV compression."""
+
+    def __init__(
+        self,
+        model_spec: ModelSpec,
+        comp_spec: CompressionSpec,
+        engine_spec: EngineSpec,
+        params: dict,
+    ):
+        self.model_spec = model_spec
+        self.comp_spec = comp_spec
+        self.engine_spec = engine_spec
+        self.params = params
+        self._prefill_fns: dict = {}
+        self._decode_fns: dict = {}
+
+    # -- compilation ------------------------------------------------------
+
+    def plan_for(self, bucket: int) -> PolicyPlan:
+        return make_plan(
+            self.comp_spec,
+            self.model_spec.num_hidden_layers,
+            bucket,
+            self.engine_spec.max_new_tokens,
+        )
+
+    def _get_prefill(self, bucket: int):
+        fn = self._prefill_fns.get(bucket)
+        if fn is None:
+            plan = self.plan_for(bucket)
+            block = self.engine_spec.prefill_block
+
+            @jax.jit
+            def prefill_fn(params, tokens, true_len, rng):
+                return llama.prefill(
+                    params, self.model_spec, plan, tokens, true_len,
+                    rng=rng, prefill_block=block,
+                )
+
+            fn = self._prefill_fns[bucket] = prefill_fn
+        return fn
+
+    def _get_decode(self, bucket: int):
+        """Jitted whole-decode loop: greedy sampling + EOS early exit on
+        device."""
+        fn = self._decode_fns.get(bucket)
+        if fn is None:
+            plan = self.plan_for(bucket)
+            spec = self.model_spec
+            max_new = self.engine_spec.max_new_tokens
+
+            @jax.jit
+            def decode_fn(params, cache: KVCache, first_token, eos_ids):
+                b = first_token.shape[0]
+                out = jnp.zeros((b, max_new), dtype=jnp.int32)
+                done0 = jnp.zeros((b,), dtype=bool)
+
+                def cond(state):
+                    _, _, _, step, done = state
+                    return (step < max_new) & ~jnp.all(done)
+
+                def body(state):
+                    cache, token, out, step, done = state
+                    logits, cache = llama.decode_step(params, spec, plan, cache, token)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    is_eos = jnp.any(nxt[:, None] == eos_ids[None, :], axis=-1)
+                    # after EOS keep feeding EOS; mark slot invalid via done
+                    nxt = jnp.where(done, token, nxt)
+                    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+                    out = jnp.where(
+                        done[:, None]
+                        & (jnp.arange(max_new)[None, :] == step),
+                        -1,
+                        out,
+                    )
+                    done = done | is_eos
+                    return cache, nxt, out, step + 1, done
+
+                cache, _, out, steps, done = jax.lax.while_loop(
+                    cond, body, (cache, first_token, out, jnp.int32(0), done0)
+                )
+                return out, steps
+
+            fn = self._decode_fns[bucket] = decode_fn
+        return fn
+
+    # -- generation -------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_ids: Sequence[Sequence[int]],
+        *,
+        max_new_tokens: Optional[int] = None,
+        eos_token_ids: Sequence[int] = (),
+        rng_seed: int = 0,
+    ) -> GenerationOutput:
+        """Greedy generation for a batch of prompts (token ids).
+
+        ``max_new_tokens`` must be <= ``engine_spec.max_new_tokens`` (the
+        decode-slot allocation); smaller values just stop earlier.
+        """
+        es = self.engine_spec
+        max_new = max_new_tokens or es.max_new_tokens
+        assert max_new <= es.max_new_tokens
+        b = len(prompt_ids)
+        lens = [len(p) for p in prompt_ids]
+        bucket = es.bucket_for(max(lens))
+        tokens = np.zeros((b, bucket), dtype=np.int32)
+        for i, p in enumerate(prompt_ids):
+            tokens[i, bucket - len(p):] = np.asarray(p, dtype=np.int32)
+        true_len = jnp.asarray(lens, dtype=jnp.int32)
+        tokens = jnp.asarray(tokens)
+        rng = jax.random.PRNGKey(rng_seed)
+
+        prefill_fn = self._get_prefill(bucket)
+        t0 = time.perf_counter()
+        logits, cache = prefill_fn(self.params, tokens, true_len, rng)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        first.block_until_ready()
+        t1 = time.perf_counter()
+
+        eos = jnp.asarray(
+            list(eos_token_ids) or [-1], dtype=jnp.int32
+        )
+        decode_fn = self._get_decode(bucket)
+        out, steps = decode_fn(self.params, cache, first, eos)
+        out = np.asarray(out)
+        steps = int(steps)
+        t2 = time.perf_counter()
+
+        first_np = np.asarray(first)
+        results = []
+        eos_set = set(int(e) for e in eos_token_ids)
+        for i in range(b):
+            seq = [int(first_np[i])]
+            if seq[0] in eos_set:
+                seq = []
+            else:
+                for t in out[i, : max_new - 1]:
+                    t = int(t)
+                    if t < 0 or t in eos_set:
+                        break
+                    seq.append(t)
+            results.append(seq[:max_new])
+        return GenerationOutput(
+            tokens=results,
+            prefill_seconds=t1 - t0,
+            decode_seconds=t2 - t1,
+            decode_steps=steps,
+            kv_cache_bytes=cache_memory_bytes(cache),
+        )

@@ -1,0 +1,291 @@
+"""Pure-functional JAX decoder for the Llama-2/3 and Mistral families.
+
+The reference monkeypatches HF ``transformers`` attention forwards
+(/root/reference/pyramidkv/llama_model.py, mistral_model.py — ~40 patched
+(method x backend) variants).  Here the model is owned code: ONE attention
+implementation whose prefill ends with a first-class compression step
+(``policy.compress_layer``), covering every method without patching.
+
+Architecture (GQA + RoPE + RMSNorm + SwiGLU) matches HF ``LlamaModel`` /
+``MistralModel`` numerics; Mistral differs only by ``sliding_window``
+(handled as an attention-mask term, replacing the reference's past-KV
+slicing at mistral_model.py:~2100-2120).
+
+Layout decisions (TPU-first):
+- Layer weights are STACKED along a leading ``[L, ...]`` axis and the layer
+  loop is one ``lax.scan`` — single compiled layer body, fast compile,
+  scan-carried activations stay in HBM-friendly shapes.
+- Prefill buffers are left-padded to a static bucket length; real tokens
+  occupy the trailing ``true_len`` columns.
+- The KV cache is the static slot buffer of ``pyramidkv_tpu.cache``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cache import KVCache, LayerCacheView, append_token, empty_cache
+from ..config import ModelSpec
+from ..ops.attention import causal_prefill_attention, decode_attention
+from ..policy import LayerContext, PolicyPlan, compress_layer, layer_contexts
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random-normal initialised parameter pytree (tests / benchmarks)."""
+    ks = jax.random.split(key, 12)
+    L, Dm, I = spec.num_hidden_layers, spec.hidden_size, spec.intermediate_size
+    H, KV, Dh, V = (
+        spec.num_attention_heads,
+        spec.num_key_value_heads,
+        spec.head_dim,
+        spec.vocab_size,
+    )
+
+    def w(k, shape, scale=None):
+        scale = scale or 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed": w(ks[0], (V, Dm), scale=0.02),
+        "final_norm": jnp.ones((Dm,), dtype=dtype),
+        "layers": {
+            "wq": w(ks[1], (L, Dm, H * Dh)),
+            "wk": w(ks[2], (L, Dm, KV * Dh)),
+            "wv": w(ks[3], (L, Dm, KV * Dh)),
+            "wo": w(ks[4], (L, H * Dh, Dm)),
+            "w_gate": w(ks[5], (L, Dm, I)),
+            "w_up": w(ks[6], (L, Dm, I)),
+            "w_down": w(ks[7], (L, I, Dm)),
+            "attn_norm": jnp.ones((L, Dm), dtype=dtype),
+            "mlp_norm": jnp.ones((L, Dm), dtype=dtype),
+        },
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = w(ks[8], (Dm, V), scale=0.02)
+    return params
+
+
+def param_count(params: dict) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# RoPE / norms (HF-numerics-compatible)
+# ---------------------------------------------------------------------------
+
+
+def rope_inv_freq(spec: ModelSpec) -> jax.Array:
+    """Inverse frequencies, including Llama-3.1 'llama3' frequency scaling
+    (matches HF ``_compute_llama3_parameters``)."""
+    d = spec.head_dim
+    inv = 1.0 / (
+        spec.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    if spec.rope_scaling_type == "llama3":
+        factor = spec.rope_scaling_factor
+        low = spec.rope_low_freq_factor
+        high = spec.rope_high_freq_factor
+        orig = spec.rope_original_max_position
+        low_wl = orig / low
+        high_wl = orig / high
+        wl = 2 * math.pi / inv
+        smooth = (orig / wl - low) / (high - low)
+        smoothed = (1 - smooth) * inv / factor + smooth * inv
+        inv = jnp.where(wl < high_wl, inv, jnp.where(wl > low_wl, inv / factor, smoothed))
+    elif spec.rope_scaling_type in ("linear",):
+        inv = inv / spec.rope_scaling_factor
+    return inv
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """HF rotate-half RoPE.
+
+    x: [B, H, T, D]; positions: [B, T] (negative positions are clamped to 0 —
+    they only occur at padding rows whose outputs are masked anyway).
+    """
+    pos = jnp.maximum(positions, 0).astype(jnp.float32)  # [B, T]
+    ang = pos[:, :, None] * inv_freq[None, None, :]  # [B, T, D/2]
+    cos = jnp.cos(ang)[:, None, :, :]  # [B, 1, T, D/2]
+    sin = jnp.sin(ang)[:, None, :, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _repeat_kv(x: jax.Array, groups: int) -> jax.Array:
+    """[B, KV, T, D] -> [B, KV*groups, T, D] (HF repeat_kv order)."""
+    if groups == 1:
+        return x
+    b, kv, t, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, kv, groups, t, d)).reshape(
+        b, kv * groups, t, d
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections shared by prefill and decode
+# ---------------------------------------------------------------------------
+
+
+def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """x: [B, T, Dm] -> q [B, H, T, Dh], k/v [B, KV, T, Dh]."""
+    b, t, _ = x.shape
+    H, KV, Dh = spec.num_attention_heads, spec.num_key_value_heads, spec.head_dim
+    q = (x @ wts["wq"]).reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
+    k = (x @ wts["wk"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    v = (x @ wts["wv"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _mlp(x: jax.Array, wts: dict) -> jax.Array:
+    return (jax.nn.silu((x @ wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+            * (x @ wts["w_up"])) @ wts["w_down"]
+
+
+def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
+    h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps)
+    if spec.tie_word_embeddings:
+        return (h.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32))
+    return h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    tokens: jax.Array,
+    true_len: jax.Array,
+    *,
+    rng: Optional[jax.Array] = None,
+    prefill_block: int = 512,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prompt through the model, compressing each layer's KV.
+
+    Args:
+      tokens: [B, N] left-padded token ids (padding id irrelevant; those
+        columns are masked).
+      true_len: [B] number of real tokens.
+
+    Returns:
+      (logits [B, vocab] for the LAST position, compressed KVCache).
+    """
+    b, n = tokens.shape
+    assert n == plan.bucket_len, (n, plan.bucket_len)
+    groups = spec.num_query_groups
+    inv_freq = rope_inv_freq(spec)
+    pad = (n - true_len).astype(jnp.int32)
+    positions = jnp.arange(n, dtype=jnp.int32)[None, :] - pad[:, None]  # [B, N]
+
+    ctxs = layer_contexts(plan, true_len, spec.num_attention_heads, rng)
+    hidden0 = jnp.take(params["embed"], tokens, axis=0)  # [B, N, Dm]
+
+    def layer_fn(hidden, xs):
+        wts, ctx = xs
+        x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+        q, k, v = _qkv(x, wts, spec)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        k_rep = _repeat_kv(k, groups)
+        v_rep = _repeat_kv(v, groups)
+        attn = causal_prefill_attention(
+            q, k_rep, v_rep, true_len=true_len,
+            block=prefill_block, sliding_window=spec.sliding_window,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
+        hidden = hidden + attn @ wts["wo"]
+        x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+        hidden = hidden + _mlp(x2, wts)
+        ckv = compress_layer(plan, ctx, q, k_rep, v_rep, true_len=true_len)
+        return hidden, ckv
+
+    hidden, ckvs = jax.lax.scan(layer_fn, hidden0, (params["layers"], ctxs))
+    logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
+    cache = KVCache(
+        k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
+        true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
+    )
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def decode_step(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    cache: KVCache,
+    token: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """One greedy-decode forward step against the compressed cache.
+
+    Args:
+      token: [B] int32 — the token generated at the previous step.
+
+    Returns:
+      (logits [B, vocab], cache with the new token appended).  The append is
+      an O(1) slot write (vs the reference's O(cache) CUDA re-materialising
+      append, csrc/csrc/cuda_api.cu:11-53).
+    """
+    b = token.shape[0]
+    groups = spec.num_query_groups
+    inv_freq = rope_inv_freq(spec)
+    pos = cache.current_position()  # [B]
+    slot = plan.prefill_slots + cache.step  # scalar
+    hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
+
+    def layer_fn(hidden, xs):
+        wts, layer = xs
+        layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
+        x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
+        q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
+        q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
+        k = apply_rope(k, pos[:, None], inv_freq)
+        k_rep = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
+        v_rep = _repeat_kv(v, groups)[:, :, 0, :]
+        layer = append_token(layer, k_rep, v_rep, slot=slot, position=pos)
+        visible = layer.mask
+        if spec.sliding_window is not None:
+            visible = visible & (
+                layer.positions > (pos[:, None, None] - spec.sliding_window)
+            )
+        attn = decode_attention(q, layer.k, layer.v, visible)  # [B, H, Dh]
+        hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
+        x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+        hidden = hidden + _mlp(x2, wts)
+        return hidden, layer
+
+    layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
+    hidden, layers_out = jax.lax.scan(layer_fn, hidden0, (params["layers"], layers_in))
+    logits = _logits(hidden, params, spec)
+    new_cache = KVCache(
+        k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
+        positions=layers_out.positions, true_len=cache.true_len,
+        step=cache.step + 1,
+    )
+    return logits, new_cache

@@ -1,0 +1,110 @@
+"""Attention primitives: blockwise causal prefill + masked decode.
+
+The reference runs prefill attention through flash-attn 2 / SDPA / eager
+matmul (/root/reference/pyramidkv/llama_model.py:174-183, :306-313,
+:443-445).  On TPU the XLA path below is a chunked online-softmax scan
+(O(N * block) memory, MXU-shaped matmuls); the Pallas fused kernel in
+``pyramidkv_tpu.kernels`` replaces it on the hot path and additionally emits
+the observation-window score vector in the same pass.
+
+Decode attention replaces ``flash_attn_varlen_func`` over the ragged
+per-head cache (llama_model.py:2386-2388): our cache is a static
+``[B, H, S, D]`` slot buffer with a validity mask, so per-head variable
+lengths are just masked columns — one batched matmul, no raggedness.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def causal_prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    true_len: jax.Array,
+    block: int = 512,
+    sliding_window: int | None = None,
+) -> jax.Array:
+    """Blockwise causal self-attention over a left-padded buffer.
+
+    Args:
+      q, k, v: [B, H, N, D] (k/v already repeated to H query heads).
+      true_len: [B] int32 — real tokens occupy columns [N - true_len, N).
+      block: query-block size of the online-softmax scan.
+      sliding_window: Mistral-style window — key j visible to query i only
+        when i - j < sliding_window (mistral_model.py sliding-window slicing).
+
+    Returns:
+      [B, H, N, D] attention outputs (garbage at padding rows; callers mask).
+    """
+    b, h, n, d = q.shape
+    if n % block != 0:
+        block = math.gcd(n, block) or n
+    nblocks = n // block
+    scale = 1.0 / math.sqrt(d)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    pad = (n - true_len).astype(jnp.int32)  # [B]
+    col = jnp.arange(n, dtype=jnp.int32)
+    colv = col[None, :] >= pad[:, None]  # [B, N]
+
+    q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
+
+    def body(_, inputs):
+        bi, qb = inputs
+        logits = jnp.einsum(
+            "bhqd,bhnd->bhqn", qb.astype(jnp.float32), kf,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        rows = bi * block + jnp.arange(block, dtype=jnp.int32)  # [block]
+        causal = col[None, :] <= rows[:, None]  # [block, N]
+        if sliding_window is not None:
+            causal &= (rows[:, None] - col[None, :]) < sliding_window
+        mask = causal[None] & colv[:, None, :]  # [B, block, N]
+        logits = jnp.where(mask[:, None], logits, _NEG_INF)
+        out = jnp.einsum(
+            "bhqn,bhnd->bhqd", jax.nn.softmax(logits, axis=-1), vf,
+            preferred_element_type=jnp.float32,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks))
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+    return out.astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Single-token attention against the compacted static cache.
+
+    Args:
+      q: [B, H, D] — the new token's query.
+      k_cache, v_cache: [B, H, S, D] slot buffers.
+      mask: [B, H, S] bool — slot holds a real token.
+
+    Returns: [B, H, D]
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhd,bhsd->bhs", q.astype(jnp.float32), k_cache.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(d)
+    logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhs,bhsd->bhd", probs, v_cache.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

@@ -1,0 +1,354 @@
+"""Per-layer KV-compression policy: scoring -> selection -> compaction.
+
+This is the engine-level equivalent of the reference's ``kv_cluster.update_kv``
+dispatch (/root/reference/pyramidkv/pyramidkv_utils.py:173-1086 and
+monkeypatch.py:19-145), but as one pure function evaluated inside the jitted
+prefill, with all shapes static.  Method dispatch happens at trace time (the
+method string is static config); the reference's data-dependent Python
+branches (``q_len < cap`` early exits, pyramid regimes) become traced
+keep-counts computed in ``ops.selection``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import CompressionSpec
+from .ops import (
+    CompactedKV,
+    Selection,
+    adakv_allocate,
+    compact_kv,
+    gather_channels,
+    h2o_scores,
+    headkv_allocate,
+    l2norm_keep_counts,
+    l2norm_scores,
+    pivot_merge,
+    position_scores,
+    pyramid_keep_counts,
+    random_scores,
+    selection_from_allocation,
+    selection_window,
+    static_selection_width,
+    think_channel_selection,
+    topk_select,
+    uniform_keep_counts,
+    window_scores,
+)
+from .ops.selection import HeadAllocation
+
+
+@dataclass(frozen=True)
+class PolicyPlan:
+    """Static (trace-time) layout decisions for one (spec, bucket) pair."""
+
+    spec: CompressionSpec
+    num_layers: int
+    bucket_len: int
+    decode_slots: int
+    width: int   #: static top-k width (selected-past slots per layer/head)
+    window: int  #: recency slots kept verbatim
+
+    @property
+    def prefill_slots(self) -> int:
+        return self.width + self.window
+
+    @property
+    def total_slots(self) -> int:
+        return self.width + self.window + self.decode_slots
+
+
+def make_plan(
+    spec: CompressionSpec,
+    num_layers: int,
+    bucket_len: int,
+    decode_slots: int,
+) -> PolicyPlan:
+    window = min(selection_window(spec), bucket_len)
+    width = static_selection_width(spec, num_layers, bucket_len)
+    if spec.method == "fullkv":
+        window = 0
+        width = bucket_len
+    # Note: the reference's no-compression early exit (q_len < cap keeps all,
+    # pyramidkv_utils.py:314-315) always fits: q_len < cap implies
+    # q_len - window < width for every method's static width.
+    width = min(width, bucket_len)
+    return PolicyPlan(
+        spec=spec,
+        num_layers=num_layers,
+        bucket_len=bucket_len,
+        decode_slots=decode_slots,
+        width=width,
+        window=window,
+    )
+
+
+class LayerContext(NamedTuple):
+    """Per-layer traced inputs threaded through the prefill layer scan."""
+
+    #: [B] past-token keep count for this layer (single-budget + pyramid +
+    #: l2norm methods); unused by adakv/headkv/fullkv.
+    keep_counts: jax.Array
+    #: [H] static per-head capacities for this layer (headkv), else zeros.
+    head_capacity: jax.Array
+    #: per-layer PRNG key (random eviction, CAM bernoulli draws).
+    rng: jax.Array
+
+
+def layer_contexts(
+    plan: PolicyPlan,
+    true_len: jax.Array,
+    num_heads: int,
+    rng: Optional[jax.Array] = None,
+) -> LayerContext:
+    """Build the stacked [L, ...] LayerContext consumed by the layer scan."""
+    spec = plan.spec
+    L = plan.num_layers
+    b = true_len.shape[0]
+    if spec.method == "pyramidkv":
+        counts = pyramid_keep_counts(spec, L, true_len)
+    elif spec.method == "l2norm":
+        counts = l2norm_keep_counts(spec, L, true_len)
+    elif spec.method in ("snapkv", "h2o", "cam", "streamingllm", "random", "think"):
+        counts = jnp.broadcast_to(
+            uniform_keep_counts(
+                spec,
+                true_len,
+                plan.window if spec.method == "streamingllm" else spec.window_size,
+            )[None],
+            (L, b),
+        )
+    else:  # fullkv / adakv / headkv manage their own counts
+        counts = jnp.broadcast_to(true_len[None].astype(jnp.int32), (L, b))
+    if spec.method == "headkv":
+        assert spec.head_capacity is not None
+        head_caps = jnp.asarray(spec.head_capacity, dtype=jnp.int32)
+        assert head_caps.shape == (L, num_heads), head_caps.shape
+    else:
+        head_caps = jnp.zeros((L, num_heads), dtype=jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, L)
+    return LayerContext(keep_counts=counts, head_capacity=head_caps, rng=rngs)
+
+
+def _fullkv_selection(n: int, true_len: jax.Array, heads: int) -> Selection:
+    b = true_len.shape[0]
+    col = jnp.arange(n, dtype=jnp.int32)
+    valid = col[None, :] >= (n - true_len).astype(jnp.int32)[:, None]
+    return Selection(
+        indices=jnp.broadcast_to(col[None, None, :], (b, heads, n)).astype(jnp.int32),
+        valid=jnp.broadcast_to(valid[:, None, :], (b, heads, n)),
+    )
+
+
+def _cam_merge_values(
+    v: jax.Array,
+    win_probs: jax.Array,
+    *,
+    rng: jax.Array,
+    start_budget: jax.Array,
+    recent_budget: int,
+    true_len: jax.Array,
+) -> jax.Array:
+    """CAM's sequential stochastic value merging (pyramidkv_utils.py:488-502).
+
+    ``win_probs``: [B, H, W, N] observation-window softmax (padding columns
+    already ~0).  The reference's ``attn_score`` = mean over the first
+    ``min(t, W)`` window rows of column j; for every loop iteration
+    ``t >= start + recent >= W`` so it equals the mean over ALL W rows — a
+    constant we hoist out of the scan.  The merge itself is a sequential
+    V-carry scan (each merged row feeds later draws), exactly like the
+    reference's Python loop.  The reference reads batch row 0 for the merge
+    probability (:496, a bsz==1 artifact); we use each batch's own row.
+    """
+    b, h, w, n = win_probs.shape
+    colmean = win_probs.mean(axis=2)  # [B, H, N]
+    pad = (n - true_len).astype(jnp.int32)  # [B]
+    col = jnp.arange(n, dtype=jnp.int32)
+    unif = jax.random.uniform(rng, (b, h, n))
+    start_buf = pad + start_budget.astype(jnp.int32)  # buffer col where sinks end
+
+    def body(vbuf, t):
+        src = t - recent_budget
+        in_sink = (col[None, :] >= pad[:, None]) & (col[None, :] < start_buf[:, None])
+        in_recent = (col[None, :] >= src) & (col[None, :] < t)
+        pool = in_sink | in_recent  # [B, N]
+        mean_attn = jnp.max(
+            jnp.where(pool[:, None, :], colmean, -jnp.inf), axis=-1
+        )  # [B, H]
+        p = colmean[:, :, src] / mean_attn
+        p = jnp.nan_to_num(p, nan=0.0, posinf=1.0, neginf=0.0)
+        p = jnp.clip(p, 0.0, 1.0)
+        active = (t >= (start_buf + recent_budget)) & (src >= pad)  # [B]
+        draw = (unif[:, :, src] < p) & active[:, None]
+        add = vbuf[:, :, src, :] * draw[..., None].astype(vbuf.dtype) / recent_budget
+        tgt = (col > src) & (col <= src + recent_budget)  # [N]
+        vbuf = vbuf + add[:, :, None, :] * tgt[None, None, :, None].astype(vbuf.dtype)
+        return vbuf, None
+
+    ts = jnp.arange(recent_budget, n, dtype=jnp.int32)
+    vout, _ = jax.lax.scan(body, v.astype(jnp.float32), ts)
+    return vout.astype(v.dtype)
+
+
+def _think_zero_channels(
+    ckv: CompactedKV,
+    q: jax.Array,
+    k: jax.Array,
+    sel: Selection,
+    plan: PolicyPlan,
+    true_len: jax.Array,
+    keep_counts: jax.Array,
+) -> CompactedKV:
+    """ThinK: zero the dropped key channels of all but the last
+    ``recent_size`` rows of the compressed cache.
+
+    Zeroing channels of K is numerically identical to the reference's
+    channel-gathered ``q_pruned @ k_pruned^T`` partial logits
+    (llama_model_think.py:175-181): dropped channels contribute exactly 0 to
+    the dot product.  The channel score is computed on the *compressed* keys,
+    as ``update_think`` does (pyramidkv_utils.py:390 calls the pruner on the
+    already-compacted cache).
+    """
+    spec = plan.spec
+    b, h, s, d = ckv.k.shape
+    w, width = plan.window, plan.width
+    # Compressed keys in reference row order: [selected (desc score) | window].
+    comp_k = ckv.k[:, :, : width + w, :]
+    prune = think_channel_selection(
+        comp_k, q, ratio=spec.pruning_ratio, true_len=true_len
+    )
+    # "Recent" rows = last recent_size rows of the compressed sequence =
+    # window rows + the (recent_size - W) lowest-score selected rows.
+    n_valid = keep_counts[:, None] + 0  # [B,1] selected-past count
+    rank = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    recent_sel = jnp.maximum(spec.recent_size - w, 0)
+    is_recent_past = rank >= (n_valid[:, :, None] - recent_sel)  # [B,1,width]
+    keep_ch = prune.channel_mask[:, :, None, :]  # [B,H,1,D]
+    pruned_region = (~is_recent_past)[..., None] & (~keep_ch)
+    new_past_k = jnp.where(pruned_region, 0.0, ckv.k[:, :, :width, :].astype(jnp.float32))
+    k_out = jnp.concatenate(
+        [new_past_k.astype(ckv.k.dtype), ckv.k[:, :, width:, :]], axis=2
+    )
+    return CompactedKV(k=k_out, v=ckv.v, mask=ckv.mask, positions=ckv.positions)
+
+
+def compress_layer(
+    plan: PolicyPlan,
+    ctx: LayerContext,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    true_len: jax.Array,
+) -> CompactedKV:
+    """Compress one layer's prefill KV into the static slot layout.
+
+    Args:
+      q, k, v: [B, H, N, D] post-RoPE, left-padded; k/v already repeated to
+        the H query heads (the reference compresses AFTER repeat_kv,
+        llama_model.py:158-159, so GQA groups may keep different tokens).
+    """
+    spec = plan.spec
+    b, h, n, d = k.shape
+    w = plan.window
+    m = spec.method
+
+    if m == "fullkv":
+        sel = _fullkv_selection(n, true_len, h)
+        return compact_kv(k, v, sel, window_size=0,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m == "l2norm":
+        scores = l2norm_scores(k, true_len=true_len)
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        return compact_kv(k, v, sel, window_size=0,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m == "streamingllm":
+        scores = position_scores(k, window_size=w, true_len=true_len)
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        return compact_kv(k, v, sel, window_size=w,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m == "random":
+        scores = random_scores(ctx.rng, k, window_size=w, true_len=true_len)
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        return compact_kv(k, v, sel, window_size=w,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m == "h2o":
+        scores = h2o_scores(q, k, window_size=w, true_len=true_len)
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        return compact_kv(k, v, sel, window_size=w,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m in ("snapkv", "pyramidkv", "think"):
+        scores = window_scores(
+            q, k, window_size=w, true_len=true_len,
+            kernel_size=spec.kernel_size, pooling=spec.pooling,
+        )
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        if spec.merge == "pivot":
+            k, v = pivot_merge(k, v, sel, window_size=w, true_len=true_len)
+        ckv = compact_kv(k, v, sel, window_size=w,
+                         decode_slots=plan.decode_slots, true_len=true_len)
+        if m == "think":
+            ckv = _think_zero_channels(ckv, q, k, sel, plan, true_len, ctx.keep_counts)
+        return ckv
+
+    if m == "cam":
+        # Selection uses the UNpooled window score (the reference comments the
+        # pooling out, pyramidkv_utils.py:473-480); the merge consumes the
+        # window softmax itself.
+        from .ops.scoring import _column_valid, _window_causal_bias
+
+        qw = q[:, :, n - w :, :].astype(jnp.float32)
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, k.astype(jnp.float32)) / math.sqrt(d)
+        logits = logits + _window_causal_bias(w, n)[None, None]
+        colv = _column_valid(n, true_len)
+        logits = jnp.where(colv[:, None, None, :], logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        scores = probs[..., : n - w].sum(axis=2)
+        scores = jnp.where(colv[:, None, : n - w], scores, -jnp.inf)
+        start_budget = jnp.ceil(
+            spec.start_budget_ratio * true_len.astype(jnp.float32)
+        ).astype(jnp.int32)
+        v = _cam_merge_values(
+            v, probs, rng=ctx.rng, start_budget=start_budget,
+            recent_budget=w, true_len=true_len,
+        )
+        sel = topk_select(scores, plan.width, ctx.keep_counts)
+        return compact_kv(k, v, sel, window_size=w,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    if m in ("adakv", "headkv"):
+        scores = window_scores(
+            q, k, window_size=w, true_len=true_len,
+            kernel_size=spec.kernel_size, pooling=spec.pooling,
+            aggregation="mean",
+        )
+        base = spec.max_capacity_prompt - spec.window_size
+        if m == "adakv":
+            alloc = adakv_allocate(
+                scores, base_capacity=base, floor_ratio=spec.floor_ratio,
+                normalize=spec.normalize, true_len=true_len,
+                window_size=w, max_head_capacity=plan.width,
+            )
+        else:
+            alloc = headkv_allocate(
+                scores, head_capacity=ctx.head_capacity, base_capacity=base,
+                true_len=true_len, window_size=w, max_head_capacity=plan.width,
+            )
+        sel = selection_from_allocation(alloc, plan.width)
+        return compact_kv(k, v, sel, window_size=w,
+                          decode_slots=plan.decode_slots, true_len=true_len)
+
+    raise ValueError(f"unknown method {m!r}")
