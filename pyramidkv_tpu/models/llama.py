@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..cache import KVCache, LayerCacheView, append_token, empty_cache
 from ..config import ModelSpec
 from ..ops.attention import causal_prefill_attention, decode_attention
-from ..policy import LayerContext, PolicyPlan, compress_layer, layer_contexts
+from ..policy import (LayerContext, PolicyPlan, compress_layer,
+                      layer_contexts, stores_kv_heads)
 
 # ---------------------------------------------------------------------------
 # Parameters
@@ -218,7 +219,9 @@ def prefill(
         hidden = hidden + attn @ wts["wo"]
         x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
         hidden = hidden + _mlp(x2, wts)
-        ckv = compress_layer(plan, ctx, q, k_rep, v_rep, true_len=true_len)
+        ckv = compress_layer(
+            plan, ctx, q, k_rep, v_rep, true_len=true_len, k_kv=k, v_kv=v
+        )
         return hidden, ckv
 
     hidden, ckvs = jax.lax.scan(layer_fn, hidden0, (params["layers"], ctxs))
@@ -259,6 +262,8 @@ def decode_step(
     slot = plan.prefill_slots + cache.step  # scalar
     hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
 
+    store_kv = stores_kv_heads(plan.spec)
+
     def layer_fn(hidden, xs):
         wts, layer = xs
         layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
@@ -266,9 +271,12 @@ def decode_step(
         q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
         q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
         k = apply_rope(k, pos[:, None], inv_freq)
-        k_rep = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
-        v_rep = _repeat_kv(v, groups)[:, :, 0, :]
-        layer = append_token(layer, k_rep, v_rep, slot=slot, position=pos)
+        if store_kv:
+            k_new, v_new = k[:, :, 0, :], v[:, :, 0, :]  # [B, KV, Dh]
+        else:
+            k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
+            v_new = _repeat_kv(v, groups)[:, :, 0, :]
+        layer = append_token(layer, k_new, v_new, slot=slot, position=pos)
         visible = layer.mask
         if spec.sliding_window is not None:
             visible = visible & (

@@ -91,20 +91,38 @@ def decode_attention(
 
     Args:
       q: [B, H, D] — the new token's query.
-      k_cache, v_cache: [B, H, S, D] slot buffers.
-      mask: [B, H, S] bool — slot holds a real token.
+      k_cache, v_cache: [B, Hk, S, D] slot buffers.  Hk == H when the cache
+        stores per-query-head selections (reference parity,
+        llama_model.py:158-159); Hk == num_kv_heads for true-GQA storage
+        (fullkv / ``gqa_aggregate``), in which case each group of H/Hk
+        queries shares its KV head.
+      mask: [B, Hk, S] bool — slot holds a real token.
 
     Returns: [B, H, D]
     """
-    d = q.shape[-1]
+    b, h, d = q.shape
+    hk = k_cache.shape[1]
+    qf = q.astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    if hk == h:
+        logits = jnp.einsum(
+            "bhd,bhsd->bhs", qf, kf, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
+        logits = jnp.where(mask, logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhs,bhsd->bhd", probs, vf, preferred_element_type=jnp.float32
+        )
+        return out.astype(q.dtype)
+    g = h // hk
+    qg = qf.reshape(b, hk, g, d)
     logits = jnp.einsum(
-        "bhd,bhsd->bhs", q.astype(jnp.float32), k_cache.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bkgd,bksd->bkgs", qg, kf, preferred_element_type=jnp.float32
     ) / math.sqrt(d)
-    logits = jnp.where(mask, logits, _NEG_INF)
+    logits = jnp.where(mask[:, :, None, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhs,bhsd->bhd", probs, v_cache.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "bkgs,bksd->bkgd", probs, vf, preferred_element_type=jnp.float32
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, h, d).astype(q.dtype)

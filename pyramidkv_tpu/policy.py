@@ -240,6 +240,12 @@ def _think_zero_channels(
     return CompactedKV(k=k_out, v=ckv.v, mask=ckv.mask, positions=ckv.positions)
 
 
+def stores_kv_heads(spec: CompressionSpec) -> bool:
+    """True when the cache stores ``num_kv_heads`` entries (true GQA) instead
+    of the reference's per-query-head post-``repeat_kv`` layout."""
+    return spec.method == "fullkv" or spec.gqa_aggregate
+
+
 def compress_layer(
     plan: PolicyPlan,
     ctx: LayerContext,
@@ -248,6 +254,8 @@ def compress_layer(
     v: jax.Array,
     *,
     true_len: jax.Array,
+    k_kv: jax.Array | None = None,
+    v_kv: jax.Array | None = None,
 ) -> CompactedKV:
     """Compress one layer's prefill KV into the static slot layout.
 
@@ -255,16 +263,52 @@ def compress_layer(
       q, k, v: [B, H, N, D] post-RoPE, left-padded; k/v already repeated to
         the H query heads (the reference compresses AFTER repeat_kv,
         llama_model.py:158-159, so GQA groups may keep different tokens).
+      k_kv, v_kv: [B, KV, N, D] unrepeated projections; used when
+        :func:`stores_kv_heads` — fullkv always, and ``gqa_aggregate`` mode
+        where per-query-head scores are group-averaged and the cache stays at
+        ``num_kv_heads`` (group_size x less HBM than the reference layout).
     """
     spec = plan.spec
     b, h, n, d = k.shape
     w = plan.window
     m = spec.method
 
+    if spec.gqa_aggregate:
+        if m in ("cam", "think", "headkv"):
+            raise NotImplementedError(f"gqa_aggregate unsupported for {m}")
+        assert k_kv is not None and v_kv is not None
+        hk = k_kv.shape[1]
+        groups = h // hk
+
+        def _group_mean(scores: jax.Array) -> jax.Array:
+            return scores.reshape(b, hk, groups, scores.shape[-1]).mean(axis=2)
+
+        k_score = k  # repeated heads, used for q @ k scoring
+        k, v = k_kv, v_kv  # storage tensors
+    else:
+        groups = 1
+        _group_mean = lambda s: s  # noqa: E731
+        k_score = k
+        if m == "fullkv" and k_kv is not None:
+            k, v = k_kv, v_kv
+    hs = k.shape[1]  # stored head count
+
     if m == "fullkv":
-        sel = _fullkv_selection(n, true_len, h)
-        return compact_kv(k, v, sel, window_size=0,
-                          decode_slots=plan.decode_slots, true_len=true_len)
+        # Fast path: the buffer IS the compacted layout — no gather.
+        col = jnp.arange(n, dtype=jnp.int32)
+        pad = (n - true_len).astype(jnp.int32)[:, None, None]
+        colv = jnp.broadcast_to(col[None, None, :] >= pad, (b, hs, n))
+        pos = jnp.where(colv, col[None, None, :] - pad, -1)
+        ds = plan.decode_slots
+        zkv = jnp.zeros((b, hs, ds, d), dtype=k.dtype)
+        return CompactedKV(
+            k=jnp.concatenate([jnp.where(colv[..., None], k, 0), zkv], axis=2),
+            v=jnp.concatenate([jnp.where(colv[..., None], v, 0), zkv], axis=2),
+            mask=jnp.concatenate([colv, jnp.zeros((b, hs, ds), bool)], axis=2),
+            positions=jnp.concatenate(
+                [pos, jnp.zeros((b, hs, ds), jnp.int32)], axis=2
+            ),
+        )
 
     if m == "l2norm":
         scores = l2norm_scores(k, true_len=true_len)
@@ -285,16 +329,16 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "h2o":
-        scores = h2o_scores(q, k, window_size=w, true_len=true_len)
+        scores = _group_mean(h2o_scores(q, k_score, window_size=w, true_len=true_len))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         return compact_kv(k, v, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m in ("snapkv", "pyramidkv", "think"):
-        scores = window_scores(
-            q, k, window_size=w, true_len=true_len,
+        scores = _group_mean(window_scores(
+            q, k_score, window_size=w, true_len=true_len,
             kernel_size=spec.kernel_size, pooling=spec.pooling,
-        )
+        ))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         if spec.merge == "pivot":
             k, v = pivot_merge(k, v, sel, window_size=w, true_len=true_len)
@@ -330,11 +374,11 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m in ("adakv", "headkv"):
-        scores = window_scores(
-            q, k, window_size=w, true_len=true_len,
+        scores = _group_mean(window_scores(
+            q, k_score, window_size=w, true_len=true_len,
             kernel_size=spec.kernel_size, pooling=spec.pooling,
             aggregation="mean",
-        )
+        ))
         base = spec.max_capacity_prompt - spec.window_size
         if m == "adakv":
             alloc = adakv_allocate(

@@ -1,0 +1,128 @@
+"""Shared CLI plumbing for the eval runners.
+
+Mirrors the reference runners' flag surface (/root/reference/
+run_longbench.py:321-367: --method, --model_path, --max_capacity_prompts,
+--attn_implementation, --quant_method/--nbits, --merge, --floor,
+--head_path/--head_beta, --pruning_ratio/--recent_size) but builds our
+owned engine instead of monkeypatching transformers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from ..config import (
+    CompressionSpec,
+    EngineSpec,
+    ModelSpec,
+    headkv_capacity_from_scores,
+    load_headkv_scores,
+)
+from ..engine import Engine
+from ..evalsuite.tasks import model_family_max_len
+
+
+def add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model_path", type=str, required=True,
+                   help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--method", type=str, default="fullkv")
+    p.add_argument("--max_capacity_prompts", type=int, default=512)
+    p.add_argument("--max_capacity_prompts_ratio", type=float, default=-1)
+    p.add_argument("--window_size", type=int, default=8)
+    p.add_argument("--kernel_size", type=int, default=7)
+    p.add_argument("--pooling", type=str, default="maxpool")
+    p.add_argument("--merge", type=str, default=None, choices=[None, "pivot"])
+    p.add_argument("--floor", type=float, default=0.2, help="AdaKV floor ratio")
+    p.add_argument("--normalize", action="store_true", default=True)
+    p.add_argument("--head_path", type=str, default=None,
+                   help="HeadKV heads_score JSON")
+    p.add_argument("--head_beta", type=float, default=1.005)
+    p.add_argument("--pruning_ratio", type=float, default=0.4, help="ThinK")
+    p.add_argument("--recent_size", type=int, default=32, help="ThinK")
+    p.add_argument("--quant_method", type=str, default=None,
+                   choices=[None, "kivi", "kvquant"])
+    p.add_argument("--nbits", type=int, default=8)
+    p.add_argument("--gqa_aggregate", action="store_true",
+                   help="store num_kv_heads cache entries (group-mean scores)")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_num_examples", type=int, default=None)
+    p.add_argument("--sample_method", type=str, default="topk")
+    p.add_argument("--use_pallas", action="store_true", default=None)
+
+
+def set_seed(seed: int) -> None:
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def build_compression_spec(args, model_spec: ModelSpec) -> CompressionSpec:
+    method = args.method.lower()
+    window = args.window_size
+    kw = dict(
+        method=method,
+        max_capacity_prompt=args.max_capacity_prompts,
+        window_size=window,
+        kernel_size=args.kernel_size,
+        pooling=args.pooling,
+        merge=args.merge,
+        floor_ratio=args.floor,
+        normalize=args.normalize,
+        pruning_ratio=args.pruning_ratio,
+        recent_size=args.recent_size,
+        quant_method=args.quant_method,
+        nbits=args.nbits,
+        gqa_aggregate=args.gqa_aggregate,
+    )
+    if method == "headkv":
+        if not args.head_path:
+            raise SystemExit("--head_path required for headkv")
+        scores = load_headkv_scores(args.head_path)
+        kw["head_capacity"] = headkv_capacity_from_scores(
+            scores,
+            model_spec.num_hidden_layers,
+            model_spec.num_attention_heads,
+            args.max_capacity_prompts,
+            head_beta=args.head_beta,
+        )
+    return CompressionSpec(**kw)
+
+
+def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
+    """Returns (engine, tokenizer, model_name, model_max_len)."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from ..models.loader import load_params_from_hf, spec_from_hf_dir
+
+    model_name = args.model_name or os.path.basename(args.model_path.rstrip("/"))
+    spec = spec_from_hf_dir(args.model_path)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "float16": jnp.float16}[args.dtype]
+    params = load_params_from_hf(args.model_path, spec, dtype=dtype)
+    comp = build_compression_spec(args, spec)
+    # buckets: powers-of-two style ladder up to the model cap
+    buckets = tuple(
+        b for b in (1024, 2048, 4096, 8192, 16384, 32768)
+        if b <= model_max_len * 2
+    ) or (model_max_len,)
+    eng = Engine(
+        spec, comp,
+        EngineSpec(max_new_tokens=max_new_tokens, prefill_buckets=buckets),
+        params,
+    )
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="left")
+    if tokenizer.pad_token is None and tokenizer.eos_token is not None:
+        tokenizer.pad_token = tokenizer.eos_token
+    return eng, tokenizer, model_name, model_max_len
+
+
+def resolve_model_max_len(args) -> int:
+    name = args.model_name or os.path.basename(args.model_path.rstrip("/"))
+    return model_family_max_len(name)

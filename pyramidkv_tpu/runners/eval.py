@@ -1,0 +1,60 @@
+"""Score aggregator CLI.
+
+Mirrors /root/reference/eval.py (LongBench) and eval_ruler.py:
+
+  python -m pyramidkv_tpu.runners.eval --results_dir results_long_bench/<model>_<cap>
+  python -m pyramidkv_tpu.runners.eval --results_dir results_ruler/<model>_<cap> --suite ruler
+
+Writes per-dataset ``metrics.json`` and an aggregate ``results.csv`` with
+one row per method (missing predictions score -1 — eval.py:175-179).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..evalsuite.report import (
+    REPORT_METHODS,
+    score_prediction_file,
+    score_ruler_file,
+    write_results_csv,
+)
+from ..evalsuite.tasks import LONGBENCH_EN_TASKS, RULER_TASKS
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--results_dir", type=str, required=True)
+    p.add_argument("--suite", type=str, default="longbench",
+                   choices=["longbench", "ruler"])
+    p.add_argument("--longbench_e", action="store_true")
+    p.add_argument("--methods", type=str, nargs="*", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    methods = args.methods or list(REPORT_METHODS)
+    if args.suite == "ruler":
+        datasets = [
+            d for d in RULER_TASKS
+            if os.path.isdir(os.path.join(args.results_dir, d))
+        ] or list(RULER_TASKS)
+        rows = write_results_csv(
+            args.results_dir, datasets, methods, scorer=score_ruler_file
+        )
+    else:
+        datasets = [
+            d for d in LONGBENCH_EN_TASKS
+            if os.path.isdir(os.path.join(args.results_dir, d))
+        ] or list(LONGBENCH_EN_TASKS)
+        rows = write_results_csv(
+            args.results_dir, datasets, methods, scorer=score_prediction_file
+        )
+    for row in rows:
+        print(",".join(str(x) for x in row))
+
+
+if __name__ == "__main__":
+    main()
