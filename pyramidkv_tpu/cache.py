@@ -22,6 +22,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .ops.quant import QuantizedKVRegion
+
 
 class KVCache(NamedTuple):
     """Layer-stacked compressed KV cache (a scan-friendly pytree)."""
@@ -36,6 +38,12 @@ class KVCache(NamedTuple):
     true_len: jax.Array
     #: int32 scalar — decode steps taken so far.
     step: jax.Array
+    #: When the engine runs a quantized cache (KIVI/KVQuant), the prefill
+    #: region lives here (leaves stacked [L, ...]) and ``k``/``v`` hold ONLY
+    #: the bf16 decode slots — the static-shape analogue of the reference's
+    #: fp16 residual buffer (quantcache.py:79-82), except ours never needs
+    #: re-quantisation because compacted prefill slots are immutable.
+    quant: Optional[QuantizedKVRegion] = None
 
     @property
     def num_layers(self) -> int:
@@ -84,15 +92,21 @@ def append_token(
     *,
     slot: jax.Array,
     position: jax.Array,
+    mask_slot: Optional[jax.Array] = None,
 ) -> LayerCacheView:
     """O(1) in-place append of one decoded token into its decode slot.
 
     Args:
       k_new, v_new: [B, H, D] post-RoPE projections of the new token.
-      slot: int32 scalar — decode-region slot index (prefill_slots + step).
+      slot: int32 scalar — index into the k/v buffers.  With a quantized
+        prefill region the fp buffers hold only decode slots, so ``slot`` is
+        relative to the decode region while ``mask_slot`` (full-cache index)
+        addresses the full-length mask/positions arrays.
       position: [B] int32 — the token's true sequence position.
     """
     b, h, s, d = layer.k.shape
+    if mask_slot is None:
+        mask_slot = slot
     k = jax.lax.dynamic_update_slice(
         layer.k, k_new[:, :, None, :].astype(layer.k.dtype), (0, 0, slot, 0)
     )
@@ -100,19 +114,25 @@ def append_token(
         layer.v, v_new[:, :, None, :].astype(layer.v.dtype), (0, 0, slot, 0)
     )
     mask = jax.lax.dynamic_update_slice(
-        layer.mask, jnp.ones((b, h, 1), dtype=bool), (0, 0, slot)
+        layer.mask, jnp.ones((b, h, 1), dtype=bool), (0, 0, mask_slot)
     )
     positions = jax.lax.dynamic_update_slice(
         layer.positions,
         jnp.broadcast_to(position[:, None, None], (b, h, 1)).astype(jnp.int32),
-        (0, 0, slot),
+        (0, 0, mask_slot),
     )
     return LayerCacheView(k=k, v=v, mask=mask, positions=positions)
 
 
 def cache_memory_bytes(cache: KVCache) -> int:
     """HBM footprint of the KV buffers (the reference never measures this)."""
-    return cache.k.size * cache.k.dtype.itemsize + cache.v.size * cache.v.dtype.itemsize
+    total = cache.k.size * cache.k.dtype.itemsize + cache.v.size * cache.v.dtype.itemsize
+    if cache.quant is not None:
+        total += sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(cache.quant)
+        )
+    return total
 
 
 def used_kv_tokens(cache: KVCache) -> jax.Array:

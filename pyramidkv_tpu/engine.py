@@ -70,12 +70,15 @@ class Engine:
         if fn is None:
             plan = self.plan_for(bucket)
             block = self.engine_spec.prefill_block
+            impl = "xla"
+            if self.engine_spec.use_pallas and jax.devices()[0].platform == "tpu":
+                impl = "pallas"
 
             @jax.jit
             def prefill_fn(params, tokens, true_len, rng):
                 return llama.prefill(
                     params, self.model_spec, plan, tokens, true_len,
-                    rng=rng, prefill_block=block,
+                    rng=rng, prefill_block=block, attention_impl=impl,
                 )
 
             fn = self._prefill_fns[bucket] = prefill_fn

@@ -182,6 +182,7 @@ def prefill(
     *,
     rng: Optional[jax.Array] = None,
     prefill_block: int = 512,
+    attention_impl: str = "xla",
 ) -> Tuple[jax.Array, KVCache]:
     """Run the prompt through the model, compressing each layer's KV.
 
@@ -189,6 +190,9 @@ def prefill(
       tokens: [B, N] left-padded token ids (padding id irrelevant; those
         columns are masked).
       true_len: [B] number of real tokens.
+      attention_impl: "xla" (chunked-scan fallback), "pallas" (fused flash
+        kernel, TPU), or "pallas_interpret" (kernel under the interpreter,
+        for CPU tests).
 
     Returns:
       (logits [B, vocab] for the LAST position, compressed KVCache).
@@ -211,10 +215,20 @@ def prefill(
         k = apply_rope(k, positions, inv_freq)
         k_rep = _repeat_kv(k, groups)
         v_rep = _repeat_kv(v, groups)
-        attn = causal_prefill_attention(
-            q, k_rep, v_rep, true_len=true_len,
-            block=prefill_block, sliding_window=spec.sliding_window,
-        )
+        if attention_impl in ("pallas", "pallas_interpret"):
+            from ..kernels import flash_causal_attention
+
+            attn = flash_causal_attention(
+                q, k_rep, v_rep, true_len,
+                block_q=min(prefill_block, n), block_k=min(prefill_block, n),
+                sliding_window=spec.sliding_window,
+                interpret=attention_impl == "pallas_interpret",
+            )
+        else:
+            attn = causal_prefill_attention(
+                q, k_rep, v_rep, true_len=true_len,
+                block=prefill_block, sliding_window=spec.sliding_window,
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
         hidden = hidden + attn @ wts["wo"]
         x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
@@ -226,6 +240,33 @@ def prefill(
 
     hidden, ckvs = jax.lax.scan(layer_fn, hidden0, (params["layers"], ctxs))
     logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
+    cs = plan.spec
+    if cs.quant_method is not None:
+        # Quantize the (immutable) compacted prefill region; decode slots
+        # stay bf16 — the static analogue of the reference's fp16 residual
+        # buffer (quantcache.py:79-82).
+        from ..ops.quant import quantize_kv_region
+
+        L, B, Hs, S, Dh = ckvs.k.shape
+        sp = plan.prefill_slots
+        kp = ckvs.k[:, :, :, :sp, :].reshape(L * B, Hs, sp, Dh)
+        vp = ckvs.v[:, :, :, :sp, :].reshape(L * B, Hs, sp, Dh)
+        reg = quantize_kv_region(
+            kp, vp, nbits=cs.nbits, group_size=cs.q_group_size,
+            outlier_threshold=(
+                cs.outlier_threshold if cs.quant_method == "kvquant" else None
+            ),
+        )
+        reg = jax.tree_util.tree_map(
+            lambda x: x.reshape((L, B) + x.shape[1:]), reg
+        )
+        cache = KVCache(
+            k=ckvs.k[:, :, :, sp:, :], v=ckvs.v[:, :, :, sp:, :],
+            mask=ckvs.mask, positions=ckvs.positions,
+            true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
+            quant=reg,
+        )
+        return logits, cache
     cache = KVCache(
         k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
@@ -259,13 +300,16 @@ def decode_step(
     groups = spec.num_query_groups
     inv_freq = rope_inv_freq(spec)
     pos = cache.current_position()  # [B]
-    slot = plan.prefill_slots + cache.step  # scalar
+    quantized = cache.quant is not None
+    full_slot = plan.prefill_slots + cache.step  # index into mask/positions
+    kv_slot = cache.step if quantized else full_slot  # index into k/v buffers
     hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
 
     store_kv = stores_kv_heads(plan.spec)
+    cs = plan.spec
 
     def layer_fn(hidden, xs):
-        wts, layer = xs
+        wts, layer, qreg = xs
         layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
         x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
         q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
@@ -276,24 +320,40 @@ def decode_step(
         else:
             k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
             v_new = _repeat_kv(v, groups)[:, :, 0, :]
-        layer = append_token(layer, k_new, v_new, slot=slot, position=pos)
+        layer = append_token(
+            layer, k_new, v_new, slot=kv_slot, position=pos, mask_slot=full_slot
+        )
+        if quantized:
+            from ..ops.quant import dequantize_kv_region
+
+            k_pre, v_pre = dequantize_kv_region(
+                qreg, num_slots=plan.prefill_slots, head_dim=spec.head_dim,
+                nbits=cs.nbits, group_size=cs.q_group_size,
+                dtype=layer.k.dtype,
+            )
+            k_all = jnp.concatenate([k_pre, layer.k], axis=2)
+            v_all = jnp.concatenate([v_pre, layer.v], axis=2)
+        else:
+            k_all, v_all = layer.k, layer.v
         visible = layer.mask
         if spec.sliding_window is not None:
             visible = visible & (
                 layer.positions > (pos[:, None, None] - spec.sliding_window)
             )
-        attn = decode_attention(q, layer.k, layer.v, visible)  # [B, H, Dh]
+        attn = decode_attention(q, k_all, v_all, visible)  # [B, H, Dh]
         hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
         x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
         hidden = hidden + _mlp(x2, wts)
         return hidden, layer
 
     layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
-    hidden, layers_out = jax.lax.scan(layer_fn, hidden0, (params["layers"], layers_in))
+    hidden, layers_out = jax.lax.scan(
+        layer_fn, hidden0, (params["layers"], layers_in, cache.quant)
+    )
     logits = _logits(hidden, params, spec)
     new_cache = KVCache(
         k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
         positions=layers_out.positions, true_len=cache.true_len,
-        step=cache.step + 1,
+        step=cache.step + 1, quant=cache.quant,
     )
     return logits, new_cache

@@ -104,3 +104,113 @@ def dequantize(qt: QuantizedTensor, *, nbits: int, group_size: int = 64,
     if qt.outliers is not None:
         x = jnp.where(qt.outliers != 0, qt.outliers.astype(jnp.float32), x)
     return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache quantization (KIVI / KVQuant layouts)
+# ---------------------------------------------------------------------------
+
+
+class QuantizedKVRegion(NamedTuple):
+    """One cache region (the post-compaction prefill slots) in quantized form.
+
+    KIVI layout (run_longbench.py:287 ``axis_key: 1``): KEYS are grouped
+    along the token/slot axis (per-channel scales — key channels have stable
+    per-channel magnitude), VALUES along the channel axis (per-token scales).
+
+    KVQuant (quantcache.py:51-58) additionally extracts |x| > threshold
+    outliers before quantization.  The reference keeps them as an unbounded
+    sparse COO sidecar; under static shapes we keep a fixed per-row budget
+    of (index, value) pairs — exact whenever a row has <= budget outliers
+    (threshold 6.0 makes them rare), strictly bounded memory.
+    """
+
+    k: QuantizedTensor         # grouped along slots (transposed layout)
+    v: QuantizedTensor         # grouped along channels
+    k_out_idx: jax.Array | None  # [B,H,S,budget] int32 channel ids (-1 = none)
+    k_out_val: jax.Array | None  # [B,H,S,budget] bf16
+    v_out_idx: jax.Array | None
+    v_out_val: jax.Array | None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _extract_outliers(x: jax.Array, threshold: float, budget: int):
+    """Zero |x| > threshold and return (x_clean, idx [...,budget], val)."""
+    mag = jnp.abs(x)
+    is_out = mag > threshold
+    vals, idx = jax.lax.top_k(jnp.where(is_out, mag, -1.0), budget)
+    take = jnp.take_along_axis(x, idx, axis=-1)
+    valid = vals > 0
+    out_idx = jnp.where(valid, idx, -1).astype(jnp.int32)
+    out_val = jnp.where(valid, take, 0.0).astype(jnp.bfloat16)
+    x_clean = jnp.where(is_out, 0.0, x)
+    return x_clean, out_idx, out_val
+
+
+def _inject_outliers(x: jax.Array, idx: jax.Array, val: jax.Array) -> jax.Array:
+    """Scatter the (index, value) sidecar back into the last axis."""
+    *lead, d = x.shape
+    budget = idx.shape[-1]
+    xf = x.reshape(-1, d)
+    idxf = idx.reshape(-1, budget)
+    valf = val.reshape(-1, budget)
+    rows = jnp.arange(xf.shape[0])[:, None]
+    safe = jnp.maximum(idxf, 0)
+    cur = jnp.take_along_axis(xf, safe, axis=-1)
+    new = jnp.where(idxf >= 0, valf.astype(x.dtype), cur)
+    xf = xf.at[rows, safe].set(new)
+    return xf.reshape(*lead, d)
+
+
+def quantize_kv_region(
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    nbits: int,
+    group_size: int = 64,
+    outlier_threshold: float | None = None,
+    outlier_budget: int = 8,
+) -> QuantizedKVRegion:
+    """Quantize a compacted [B, H, S, D] prefill region (slots never change
+    after compaction, so this is a one-shot — no rolling re-quantization like
+    quantcache.py:83-92 needs)."""
+    b, h, s, d = k.shape
+    k_oi = k_ov = v_oi = v_ov = None
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if outlier_threshold is not None:
+        kf, k_oi, k_ov = _extract_outliers(kf, outlier_threshold, outlier_budget)
+        vf, v_oi, v_ov = _extract_outliers(vf, outlier_threshold, outlier_budget)
+    # keys: group along slots -> transpose to [B,H,D,S_pad]
+    s_pad = _round_up(s, group_size)
+    kt = jnp.swapaxes(kf, 2, 3)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+    kq = quantize(kt, nbits=nbits, group_size=group_size)
+    # values: group along channels (d is a multiple of 64 for all our models)
+    d_pad = _round_up(d, group_size)
+    vp = jnp.pad(vf, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+    vq = quantize(vp, nbits=nbits, group_size=group_size)
+    return QuantizedKVRegion(
+        k=kq, v=vq, k_out_idx=k_oi, k_out_val=k_ov,
+        v_out_idx=v_oi, v_out_val=v_ov,
+    )
+
+
+def dequantize_kv_region(
+    reg: QuantizedKVRegion, *, num_slots: int, head_dim: int, nbits: int,
+    group_size: int = 64, dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (k [B,H,num_slots,head_dim], v likewise); the static sizes undo the
+    group padding applied at quantization time."""
+    kt = dequantize(reg.k, nbits=nbits, group_size=group_size, dtype=jnp.float32)
+    k = jnp.swapaxes(kt, 2, 3)[:, :, :num_slots, :]
+    v = dequantize(reg.v, nbits=nbits, group_size=group_size, dtype=jnp.float32)
+    v = v[:, :, :, :head_dim]
+    if reg.k_out_idx is not None:
+        k = _inject_outliers(k, reg.k_out_idx, reg.k_out_val)
+    if reg.v_out_idx is not None:
+        v = _inject_outliers(v, reg.v_out_idx, reg.v_out_val)
+    return k.astype(dtype), v.astype(dtype)

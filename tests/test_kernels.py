@@ -1,0 +1,86 @@
+"""Pallas kernel numerics vs the XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.kernels import flash_causal_attention
+from pyramidkv_tpu.ops.attention import causal_prefill_attention
+
+B, H, D = 2, 3, 64
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, H, n, D)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("true_len", [128, 100, 17])
+def test_flash_matches_xla(true_len):
+    n = 128
+    q, k, v = _rand(n)
+    tl = jnp.asarray([true_len, max(true_len - 9, 1)], jnp.int32)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=32)
+    got = flash_causal_attention(q, k, v, tl, block_q=32, block_k=32,
+                                 interpret=True)
+    # compare only real rows
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_flash_sliding_window():
+    n = 64
+    q, k, v = _rand(n, seed=3)
+    tl = jnp.asarray([n, n - 5], jnp.int32)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=16,
+                                    sliding_window=24)
+    got = flash_causal_attention(q, k, v, tl, block_q=16, block_k=16,
+                                 sliding_window=24, interpret=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_flash_uneven_blocks():
+    n = 96
+    q, k, v = _rand(n, seed=5)
+    tl = jnp.asarray([96, 50], jnp.int32)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=32)
+    got = flash_causal_attention(q, k, v, tl, block_q=32, block_k=48,
+                                 interpret=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_prefill_with_pallas_interpret_matches_xla():
+    from pyramidkv_tpu.config import CompressionSpec, ModelSpec
+    from pyramidkv_tpu.models import llama as jl
+    from pyramidkv_tpu.policy import make_plan
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    plan = make_plan(CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                                     window_size=4), spec.num_hidden_layers, 64, 4)
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, size=(1, 64)), jnp.int32
+    )
+    tl = jnp.asarray([50], jnp.int32)
+    lx, cx = jl.prefill(params, spec, plan, toks, tl, attention_impl="xla",
+                        prefill_block=32)
+    lp, cp = jl.prefill(params, spec, plan, toks, tl,
+                        attention_impl="pallas_interpret", prefill_block=32)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), rtol=2e-4, atol=2e-4)
+    assert bool(jnp.all(cx.mask == cp.mask))
