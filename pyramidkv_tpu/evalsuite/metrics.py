@@ -122,9 +122,9 @@ def levenshtein_ratio(a: str, b: str) -> float:
     if not a and not b:
         return 1.0
     la, lb = len(a), len(b)
-    prev = list(range(0, 2 * lb + 1, 2))
+    prev = list(range(lb + 1))  # insert cost 1
     for i in range(1, la + 1):
-        cur = [2 * i] + [0] * lb
+        cur = [i] + [0] * lb    # delete cost 1
         ai = a[i - 1]
         for j in range(1, lb + 1):
             sub = prev[j - 1] + (0 if ai == b[j - 1] else 2)
@@ -136,12 +136,18 @@ def levenshtein_ratio(a: str, b: str) -> float:
 
 def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
     """First non-comment line of the prediction, fuzzy-matched
-    (metrics.py:79-88)."""
+    (metrics.py:79-88).  Uses the C++ kernel (csrc/) when built."""
     line = ""
     for cand in prediction.lstrip("\n").split("\n"):
         if "`" not in cand and "#" not in cand and "//" not in cand:
             line = cand
             break
+    from ..native import _load
+
+    lib = _load()
+    if lib is not None:
+        ab, bb = line.encode(), ground_truth.encode()
+        return lib.pkv_levenshtein_ratio(ab, len(ab), bb, len(bb))
     return levenshtein_ratio(line, ground_truth)
 
 

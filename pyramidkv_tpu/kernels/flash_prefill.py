@@ -62,11 +62,13 @@ def _kernel(
     # causal: this key block participates iff its first row <= q block's last
     @pl.when(ki * block_k <= qi * block_q + block_q - 1)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # keep operands in their storage dtype (bf16) so the MXU runs at
+        # full rate; accumulate in fp32 via preferred_element_type
+        q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
+            q, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk] f32
 
         rows = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
@@ -92,7 +94,7 @@ def _kernel(
 
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
