@@ -34,6 +34,7 @@ METHODS = (
     "headkv",
     "think",
     "random",
+    "minference",
 )
 
 #: Methods that use the SnapKV-style observation window score.
@@ -176,6 +177,11 @@ class CompressionSpec:
     recent_size: int = 32
     #: CAM start-budget ratio (pyramidkv_utils.py:432).
     start_budget_ratio: float = 0.1
+    #: MInference vertical_and_slash pattern sizes (minference.py:9-12 loads
+    #: per-model configs; these are the engine-level knobs).
+    minference_vertical_size: int = 1000
+    minference_slash_size: int = 200
+    minference_last_q: int = 64
     #: Aggregate selection over GQA groups and store num_kv_heads entries
     #: instead of the reference's per-query-head selection after repeat_kv
     #: (llama_model.py:158-159).  Saves group_size x cache memory at a small
@@ -194,7 +200,7 @@ class CompressionSpec:
             raise ValueError(f"unknown method {self.method!r}; expected one of {METHODS}")
         if self.pooling not in ("avgpool", "maxpool"):
             raise ValueError(f"pooling must be avgpool|maxpool, got {self.pooling!r}")
-        if self.method != "fullkv" and self.method != "l2norm":
+        if self.method not in ("fullkv", "l2norm", "minference"):
             if self.max_capacity_prompt - self.window_size <= 0:
                 raise ValueError(
                     "max_capacity_prompt must exceed window_size "

@@ -215,7 +215,23 @@ def prefill(
         k = apply_rope(k, positions, inv_freq)
         k_rep = _repeat_kv(k, groups)
         v_rep = _repeat_kv(v, groups)
-        if attention_impl in ("pallas", "pallas_interpret"):
+        if plan.spec.method == "minference":
+            from ..ops.sparse_prefill import (
+                estimate_vertical_slash,
+                sparse_prefill_attention,
+            )
+
+            pattern = estimate_vertical_slash(
+                q, k_rep, true_len=true_len,
+                vertical_size=plan.spec.minference_vertical_size,
+                slash_size=plan.spec.minference_slash_size,
+                last_q=plan.spec.minference_last_q,
+            )
+            attn = sparse_prefill_attention(
+                q, k_rep, v_rep, pattern, true_len=true_len,
+                block=prefill_block,
+            )
+        elif attention_impl in ("pallas", "pallas_interpret"):
             from ..kernels import flash_causal_attention
 
             attn = flash_causal_attention(

@@ -72,7 +72,7 @@ def make_plan(
 ) -> PolicyPlan:
     window = min(selection_window(spec), bucket_len)
     width = static_selection_width(spec, num_layers, bucket_len)
-    if spec.method == "fullkv":
+    if spec.method in ("fullkv", "minference"):
         window = 0
         width = bucket_len
     # Note: the reference's no-compression early exit (q_len < cap keeps all,
@@ -243,7 +243,7 @@ def _think_zero_channels(
 def stores_kv_heads(spec: CompressionSpec) -> bool:
     """True when the cache stores ``num_kv_heads`` entries (true GQA) instead
     of the reference's per-query-head post-``repeat_kv`` layout."""
-    return spec.method == "fullkv" or spec.gqa_aggregate
+    return spec.method in ("fullkv", "minference") or spec.gqa_aggregate
 
 
 def compress_layer(
@@ -289,12 +289,14 @@ def compress_layer(
         groups = 1
         _group_mean = lambda s: s  # noqa: E731
         k_score = k
-        if m == "fullkv" and k_kv is not None:
+        if m in ("fullkv", "minference") and k_kv is not None:
             k, v = k_kv, v_kv
     hs = k.shape[1]  # stored head count
 
-    if m == "fullkv":
+    if m in ("fullkv", "minference"):
         # Fast path: the buffer IS the compacted layout — no gather.
+        # (minference compresses nothing — it sparsifies PREFILL attention
+        # only, minference.py:49-59; decode runs dense on the full cache.)
         col = jnp.arange(n, dtype=jnp.int32)
         pad = (n - true_len).astype(jnp.int32)[:, None, None]
         colv = jnp.broadcast_to(col[None, None, :] >= pad, (b, hs, n))

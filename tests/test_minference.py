@@ -1,0 +1,88 @@
+"""MInference-style vertical+slash sparse prefill."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models import llama as jl
+from pyramidkv_tpu.ops.attention import causal_prefill_attention
+from pyramidkv_tpu.ops.sparse_prefill import (
+    VerticalSlashPattern,
+    estimate_vertical_slash,
+    sparse_prefill_attention,
+)
+
+
+def test_dense_pattern_recovers_full_attention():
+    """With every column + every diagonal kept, sparse == dense."""
+    b, h, n, d = 1, 2, 64, 16
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    tl = jnp.asarray([50], jnp.int32)
+    pattern = VerticalSlashPattern(
+        vert=jnp.ones((b, h, n), bool), slash=jnp.ones((b, h, n), bool)
+    )
+    got = sparse_prefill_attention(q, k, v, pattern, true_len=tl, block=16)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=16)
+    pad = n - 50
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, pad:], np.asarray(want)[:, :, pad:],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_estimate_keeps_sinks_and_local_band():
+    b, h, n, d = 1, 2, 64, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    tl = jnp.asarray([60], jnp.int32)
+    pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=8,
+                                  slash_size=8, last_q=16)
+    pad = n - 60
+    # sinks: first 4 real columns always vertical
+    assert bool(pat.vert[0, :, pad:pad + 4].all())
+    # local band: diagonal offsets 0..last_q always present
+    assert bool(pat.slash[0, :, :17].all())
+
+
+def test_minference_engine_e2e():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    ids = [int(x) for x in np.random.default_rng(3).integers(0, 256, size=48)]
+    eng = Engine(
+        spec,
+        CompressionSpec(method="minference", minference_vertical_size=16,
+                        minference_slash_size=16, minference_last_q=8),
+        EngineSpec(max_new_tokens=4, prefill_buckets=(64,)),
+        params,
+    )
+    out = eng.generate([ids])
+    assert len(out.tokens[0]) == 4
+    # cache is full (fullkv semantics: KV heads, all slots live)
+    _, cache = eng._get_prefill(64)(
+        params, jnp.asarray([([0] * 16) + ids], jnp.int32),
+        jnp.asarray([48], jnp.int32), jax.random.PRNGKey(0),
+    )
+    assert cache.k.shape[2] == spec.num_key_value_heads
+    assert int(cache.mask[0, 0, 0].sum()) == 48
+
+
+def test_minference_close_to_dense_when_pattern_large():
+    """With pattern sizes >= N the sparse prefill must reproduce dense
+    generation exactly."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(4), dtype=jnp.float32)
+    ids = [int(x) for x in np.random.default_rng(5).integers(0, 256, size=40)]
+    outs = []
+    for method, kw in (("fullkv", {}),
+                       ("minference", dict(minference_vertical_size=64,
+                                           minference_slash_size=64))):
+        eng = Engine(spec, CompressionSpec(method=method, **kw),
+                     EngineSpec(max_new_tokens=6, prefill_buckets=(64,)), params)
+        outs.append(eng.generate([ids]).tokens[0])
+    assert outs[0] == outs[1]
