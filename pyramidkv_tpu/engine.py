@@ -38,6 +38,36 @@ class GenerationOutput:
     kv_cache_bytes: int
 
 
+@dataclass
+class EngineStats:
+    """Cumulative engine observability (the reference logs only per-needle
+    wall time, run_needle_in_haystack.py:294-296; here tokens/s and
+    KV-bytes/token are first-class)."""
+
+    requests: int = 0
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_seconds: float = 0.0
+    decode_seconds: float = 0.0
+    kv_cache_bytes_last: int = 0
+
+    def decode_tokens_per_second(self) -> float:
+        return self.generated_tokens / self.decode_seconds if self.decode_seconds else 0.0
+
+    def prefill_tokens_per_second(self) -> float:
+        return self.prompt_tokens / self.prefill_seconds if self.prefill_seconds else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "requests": self.requests,
+            "prompt_tokens": self.prompt_tokens,
+            "generated_tokens": self.generated_tokens,
+            "prefill_tokens_per_s": round(self.prefill_tokens_per_second(), 2),
+            "decode_tokens_per_s": round(self.decode_tokens_per_second(), 2),
+            "kv_cache_bytes_last": self.kv_cache_bytes_last,
+        }
+
+
 class Engine:
     """Single-model generation engine with first-class KV compression."""
 
@@ -54,6 +84,15 @@ class Engine:
         self.params = params
         self._prefill_fns: dict = {}
         self._decode_fns: dict = {}
+        self.stats = EngineStats()
+
+    def profile(self, log_dir: str):
+        """``with engine.profile("/tmp/trace"):`` — jax.profiler trace
+        (Perfetto/TensorBoard), the TPU-side replacement for the reference's
+        nvtx ranges (pyramidkv_utils.py:63-69)."""
+        import jax.profiler
+
+        return jax.profiler.trace(log_dir)
 
     # -- compilation ------------------------------------------------------
 
@@ -186,6 +225,12 @@ class Engine:
                         break
                     seq.append(t)
             results.append(seq[:max_new])
+        self.stats.requests += b
+        self.stats.prompt_tokens += sum(lens)
+        self.stats.generated_tokens += sum(len(r) for r in results)
+        self.stats.prefill_seconds += t1 - t0
+        self.stats.decode_seconds += t2 - t1
+        self.stats.kv_cache_bytes_last = cache_memory_bytes(cache)
         return GenerationOutput(
             tokens=results,
             prefill_seconds=t1 - t0,
