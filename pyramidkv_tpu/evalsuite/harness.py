@@ -83,10 +83,21 @@ class GenerationHarness:
         out_path: Optional[str] = None,
         chat_wrap: bool = True,
         max_examples: Optional[int] = None,
+        capacity_ratio: Optional[float] = None,
+        engine_factory=None,
     ) -> HarnessResult:
+        """Run a dataset through the engine.
+
+        ``capacity_ratio`` reproduces ``--max_capacity_prompts_ratio``
+        (run_longbench.py:215-216): per-example capacity = round(prompt_len
+        * ratio).  Under static shapes each distinct capacity is a compile,
+        so capacities are bucketed to multiples of 64 and engines built
+        on demand via ``engine_factory(capacity) -> Engine`` (cached).
+        """
         preds = []
         t0 = time.perf_counter()
         total_toks = 0
+        engines_by_cap: dict = {}
         fh = open(out_path, "w") if out_path else None
         try:
             for i, ex in enumerate(examples):
@@ -99,7 +110,14 @@ class GenerationHarness:
                     if self.tokenizer.eos_token_id is not None
                     else []
                 )
-                out = self.engine.generate(
+                engine = self.engine
+                if capacity_ratio is not None:
+                    assert engine_factory is not None
+                    cap = max(64, (round(len(ids) * capacity_ratio) // 64) * 64)
+                    engine = engines_by_cap.get(cap)
+                    if engine is None:
+                        engine = engines_by_cap[cap] = engine_factory(cap)
+                out = engine.generate(
                     [ids], max_new_tokens=max_new_tokens, eos_token_ids=eos
                 )
                 text = self.tokenizer.decode(out.tokens[0], skip_special_tokens=True)

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--datasets", type=str, nargs="*", default=None,
                    help="subset of LongBench tasks (default: the 16 EN tasks)")
     p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--longbench_e", action="store_true",
+                   help="use the length-bucketed LongBench-E splits (<task>_e.jsonl)")
     return p.parse_args()
 
 
@@ -49,9 +51,21 @@ def main():
     )
     harness = GenerationHarness(eng, tokenizer, model_name, model_max_len)
 
+    def engine_factory(cap):
+        import copy
+
+        from ..engine import Engine
+        from .common import build_compression_spec
+
+        a2 = copy.copy(args)
+        a2.max_capacity_prompts = cap
+        comp = build_compression_spec(a2, eng.model_spec)
+        return Engine(eng.model_spec, comp, eng.engine_spec, eng.params)
+
     for i, dataset in enumerate(datasets):
         task = LONGBENCH_TASKS[dataset]
-        data_file = os.path.join(args.data_dir, f"{dataset}.jsonl")
+        suffix = "_e" if args.longbench_e else ""
+        data_file = os.path.join(args.data_dir, f"{dataset}{suffix}.jsonl")
         if not os.path.exists(data_file):
             print(f"[longbench] SKIP {dataset}: {data_file} missing")
             continue
@@ -62,6 +76,7 @@ def main():
             args.save_dir, f"{model_name}_{args.max_capacity_prompts}", dataset
         )
         os.makedirs(out_dir, exist_ok=True)
+        ratio = args.max_capacity_prompts_ratio
         res = harness.run_examples(
             examples,
             template=task.prompt_template,
@@ -69,6 +84,8 @@ def main():
             out_path=os.path.join(out_dir, f"{args.method}.json"),
             chat_wrap=True,
             max_examples=args.max_num_examples,
+            capacity_ratio=None if ratio == -1 else ratio,
+            engine_factory=engine_factory,
         )
         print(
             f"[longbench] {dataset}: {len(res.predictions)} examples, "
