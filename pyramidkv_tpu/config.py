@@ -314,6 +314,9 @@ class EngineSpec:
     prefill_block: int = 512
     greedy: bool = True
     temperature: float = 1.0
+    #: top-k restriction for sampling (None = full softmax); ignored when
+    #: ``greedy`` (the reference decodes greedily everywhere).
+    sample_top_k: "int | None" = None
 
     def bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:

@@ -132,8 +132,26 @@ class Engine:
             spec = self.model_spec
             max_new = self.engine_spec.max_new_tokens
 
+            greedy = self.engine_spec.greedy
+            temperature = self.engine_spec.temperature
+            top_k = self.engine_spec.sample_top_k
+
+            def _pick(logits, key):
+                """Greedy argmax or temperature/top-k sampling (the reference
+                is greedy-only, run_longbench.py:271)."""
+                if greedy:
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                scaled = logits / max(temperature, 1e-6)
+                if top_k is not None:
+                    vals, idx = jax.lax.top_k(scaled, top_k)
+                    choice = jax.random.categorical(key, vals, axis=-1)
+                    return jnp.take_along_axis(
+                        idx, choice[:, None], axis=-1
+                    )[:, 0].astype(jnp.int32)
+                return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
             @jax.jit
-            def decode_fn(params, cache: KVCache, first_token, eos_ids):
+            def decode_fn(params, cache: KVCache, first_token, eos_ids, rng):
                 b = first_token.shape[0]
                 out = jnp.zeros((b, max_new), dtype=jnp.int32)
                 done0 = jnp.zeros((b,), dtype=bool)
@@ -145,7 +163,7 @@ class Engine:
                 def body(state):
                     cache, token, out, step, done = state
                     logits, cache = llama.decode_step(params, spec, plan, cache, token)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = _pick(logits, jax.random.fold_in(rng, step))
                     is_eos = jnp.any(nxt[:, None] == eos_ids[None, :], axis=-1)
                     # after EOS keep feeding EOS; mark slot invalid via done
                     nxt = jnp.where(done, token, nxt)
@@ -202,11 +220,17 @@ class Engine:
         first.block_until_ready()
         t1 = time.perf_counter()
 
+        if not self.engine_spec.greedy:
+            first = jax.random.categorical(
+                jax.random.fold_in(rng, 0xF1257),
+                logits / max(self.engine_spec.temperature, 1e-6),
+            ).astype(jnp.int32)
         eos = jnp.asarray(
             list(eos_token_ids) or [-1], dtype=jnp.int32
         )
         decode_fn = self._get_decode(bucket)
-        out, steps = decode_fn(self.params, cache, first, eos)
+        out, steps = decode_fn(self.params, cache, first, eos,
+                               jax.random.fold_in(rng, 1 << 20))
         out = np.asarray(out)
         steps = int(steps)
         t2 = time.perf_counter()
