@@ -50,8 +50,6 @@ def causal_prefill_attention(
         block = math.gcd(n, block) or n
     nblocks = n // block
     scale = 1.0 / math.sqrt(d)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
     pad = (n - true_len).astype(jnp.int32)  # [B]
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]  # [B, N]
@@ -60,9 +58,11 @@ def causal_prefill_attention(
 
     def body(_, inputs):
         bi, qb = inputs
+        # operands stay in storage dtype (bf16 on TPU -> full-rate MXU);
+        # accumulation is fp32 via preferred_element_type, softmax in fp32 —
+        # the reference's fp16-matmul + fp32-softmax recipe.
         logits = jnp.einsum(
-            "bhqd,bhnd->bhqn", qb.astype(jnp.float32), kf,
-            preferred_element_type=jnp.float32,
+            "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
         ) * scale
         rows = bi * block + jnp.arange(block, dtype=jnp.int32)  # [block]
         causal = col[None, :] <= rows[:, None]  # [block, N]
@@ -70,9 +70,9 @@ def causal_prefill_attention(
             causal &= (rows[:, None] - col[None, :]) < sliding_window
         mask = causal[None] & colv[:, None, :]  # [B, block, N]
         logits = jnp.where(mask[:, None], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum(
-            "bhqn,bhnd->bhqd", jax.nn.softmax(logits, axis=-1), vf,
-            preferred_element_type=jnp.float32,
+            "bhqn,bhnd->bhqd", probs, v, preferred_element_type=jnp.float32
         )
         return None, out
 

@@ -124,7 +124,6 @@ def h2o_scores(
         block = math.gcd(n, block) or n
     nblocks = n // block
     colv = _column_valid(n, true_len)  # [B, N]
-    kf = k.astype(jnp.float32)
     scale = 1.0 / math.sqrt(d)
 
     q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
@@ -133,7 +132,11 @@ def h2o_scores(
 
     def body(acc, inputs):
         bi, qb = inputs
-        logits = jnp.einsum("bhqd,bhnd->bhqn", qb.astype(jnp.float32), kf) * scale
+        # bf16 operands, fp32 accumulation (reference: fp16 matmul,
+        # fp32 softmax — pyramidkv_utils.py:544, :553)
+        logits = jnp.einsum(
+            "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
+        ) * scale
         r = bi * block + jnp.arange(block, dtype=jnp.int32)  # buffer row ids
         # Causal bias only where both row and col are inside the last W block.
         jcol = row[None, :]
