@@ -46,6 +46,9 @@ def causal_prefill_attention(
       [B, H, N, D] attention outputs (garbage at padding rows; callers mask).
     """
     b, h, n, d = q.shape
+    # cap the transient [B, H, block, N] fp32 logits at ~256 MB
+    budget = (1 << 26) // max(b * h * n, 1)
+    block = max(min(block, budget), 8)
     if n % block != 0:
         block = math.gcd(n, block) or n
     nblocks = n // block

@@ -120,6 +120,9 @@ def h2o_scores(
     """
     b, h, n, d = q.shape
     w = window_size
+    # cap the transient [B, H, block, N] fp32 logits at ~256 MB
+    budget = (1 << 26) // max(b * h * n, 1)
+    block = max(min(block, budget), 8)
     if n % block != 0:
         block = math.gcd(n, block) or n
     nblocks = n // block
