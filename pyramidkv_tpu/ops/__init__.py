@@ -22,5 +22,17 @@ from .selection import (
     compact_kv,
 )
 from .think import think_channel_selection, gather_channels, ChannelPrune
-from .quant import quantize, dequantize, QuantizedTensor
+from .quant import (
+    quantize,
+    dequantize,
+    QuantizedTensor,
+    QuantizedKVRegion,
+    quantize_kv_region,
+    dequantize_kv_region,
+)
+from .sparse_prefill import (
+    VerticalSlashPattern,
+    estimate_vertical_slash,
+    sparse_prefill_attention,
+)
 from .merge import pivot_merge, cam_value_merge

@@ -6,12 +6,12 @@ KVQuant, zeroes |x| > 6.0 outliers before quantization and re-injects them
 after dequantization from a sparse sidecar (quantcache.py:51-58).
 
 TPU-native differences:
-- Static shapes: the sparse outlier sidecar becomes a dense mask + values
-  buffer restricted to a per-group budget (outliers are rare at threshold 6).
-  Here we store an fp16-value *sidecar of the same shape* gated by a mask —
-  simple, exact, and XLA-fusable; a bit-packed Pallas variant can replace it.
-- int4/int2 values are bit-packed into int8 lanes for HBM residency; the
-  decode kernel dequantizes in registers.
+- Static shapes: the reference's unbounded sparse outlier sidecar becomes a
+  fixed per-row budget of (index, value) pairs — exact whenever a row has
+  <= budget outliers (threshold 6 makes them rare), strictly bounded memory.
+- int4/int2 codes are bit-packed into int8 lanes for HBM residency; dequant
+  runs on the fly inside the decode step (XLA-fused; a Pallas fused
+  dequant-attention kernel is the follow-on).
 """
 
 from __future__ import annotations

@@ -232,3 +232,25 @@ def test_needle_insertion_and_sweep(tmp_path):
 def test_depth_percents():
     lin = depth_percents(10, "linear")
     assert lin[0] == 0 and lin[-1] == 100 and len(lin) == 10
+
+
+def test_capacity_ratio_builds_bucketed_engines(tmp_path):
+    tok = WordTokenizer()
+    built = []
+
+    def factory(cap):
+        built.append(cap)
+        return EchoEngine(tok, "ans")
+
+    h = GenerationHarness(EchoEngine(tok, "ans"), tok, "m", model_max_len=4096)
+    examples = [
+        {"context": " ".join(["w"] * n), "input": "q", "answers": ["a"]}
+        for n in (100, 120, 400)
+    ]
+    res = h.run_examples(
+        examples, template="{context} {input}", max_new_tokens=4,
+        capacity_ratio=0.5, engine_factory=factory,
+    )
+    assert len(res.predictions) == 3
+    # 100->64, 120->64 (shared engine), 400->192: two distinct buckets
+    assert sorted(set(built)) == [64, 192]
