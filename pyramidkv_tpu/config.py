@@ -113,6 +113,44 @@ class ModelSpec:
         )
 
     @staticmethod
+    def preset(name: str, **overrides) -> "ModelSpec":
+        """Named architecture presets for the reference's model grid
+        (README.md:29: Llama-2/3, Llama-3-70B, Mistral-7B)."""
+        presets = {
+            "llama2-7b": dict(
+                name="llama2-7b", vocab_size=32000, hidden_size=4096,
+                intermediate_size=11008, num_hidden_layers=32,
+                num_attention_heads=32, num_key_value_heads=32, head_dim=128,
+                rope_theta=10000.0, max_position_embeddings=4096,
+                rms_norm_eps=1e-5,
+            ),
+            "llama3-8b": dict(
+                name="llama3-8b", vocab_size=128256, hidden_size=4096,
+                intermediate_size=14336, num_hidden_layers=32,
+                num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+                rope_theta=500000.0, max_position_embeddings=8192,
+                rms_norm_eps=1e-5,
+            ),
+            "llama3-70b": dict(
+                name="llama3-70b", vocab_size=128256, hidden_size=8192,
+                intermediate_size=28672, num_hidden_layers=80,
+                num_attention_heads=64, num_key_value_heads=8, head_dim=128,
+                rope_theta=500000.0, max_position_embeddings=8192,
+                rms_norm_eps=1e-5,
+            ),
+            "mistral-7b": dict(
+                name="mistral-7b", vocab_size=32000, hidden_size=4096,
+                intermediate_size=14336, num_hidden_layers=32,
+                num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+                rope_theta=10000.0, max_position_embeddings=32768,
+                sliding_window=4096, rms_norm_eps=1e-5,
+            ),
+        }
+        base = dict(presets[name])
+        base.update(overrides)
+        return ModelSpec(**base)
+
+    @staticmethod
     def tiny(**overrides) -> "ModelSpec":
         """A small spec for unit tests."""
         base = dict(

@@ -71,3 +71,17 @@ def test_sharded_prefill_decode_matches_single_device(mesh_shape):
 
     np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4, atol=2e-4)
+
+
+def test_70b_preset_divisible_on_8way_tp():
+    from pyramidkv_tpu.config import ModelSpec
+    from pyramidkv_tpu.parallel import make_mesh
+    from pyramidkv_tpu.parallel.mesh import validate_divisibility
+
+    spec = ModelSpec.preset("llama3-70b")
+    assert spec.num_hidden_layers == 80 and spec.num_attention_heads == 64
+    mesh = make_mesh((1, 8), ("data", "model"))
+    validate_divisibility(spec, mesh)
+    for name in ("llama2-7b", "llama3-8b", "mistral-7b"):
+        s = ModelSpec.preset(name)
+        assert s.hidden_size == 4096
