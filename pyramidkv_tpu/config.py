@@ -186,6 +186,11 @@ class CompressionSpec:
     method: str = "fullkv"
     #: Per-layer KV budget at the end of prefill (``max_capacity_prompt``).
     max_capacity_prompt: int = 2048
+    #: Optional explicit per-layer capacity schedule (the reference accepts
+    #: per-layer lists on each attention module's config,
+    #: run_longbench.py:242-252).  Overrides ``max_capacity_prompt`` for the
+    #: single-budget methods; length must equal num_hidden_layers.
+    layer_capacity: "Optional[Tuple[int, ...]]" = None
     #: Observation window (last ``window_size`` queries score the keys).
     window_size: int = 8
     #: 1-D pooling kernel over the raw score vector.

@@ -39,6 +39,19 @@ def uniform_keep_counts(
     return jnp.where(true_len < cap, avail, jnp.minimum(cap - window_size, avail))
 
 
+def per_layer_keep_counts(
+    spec: CompressionSpec, num_layers: int, true_len: jax.Array, window_size: int
+) -> jax.Array:
+    """[L, B] keep counts from an explicit per-layer capacity schedule
+    (reference per-layer config lists, run_longbench.py:242-252)."""
+    caps = jnp.asarray(spec.layer_capacity, dtype=jnp.int32)[:, None]  # [L,1]
+    assert caps.shape[0] == num_layers, (caps.shape, num_layers)
+    avail = jnp.maximum(true_len - window_size, 0)[None, :]
+    return jnp.where(
+        true_len[None, :] < caps, avail, jnp.minimum(caps - window_size, avail)
+    )
+
+
 def pyramid_keep_counts(
     spec: CompressionSpec, num_layers: int, true_len: jax.Array
 ) -> jax.Array:
@@ -116,6 +129,8 @@ def static_selection_width(
         # per head, so the static width must cover it even if priors are small.
         return min(max(mx, cap - w), max(bucket_len - w, 1))
     # snapkv / h2o / cam / think / random
+    if spec.layer_capacity is not None:
+        cap = max(spec.layer_capacity)
     return min(cap - w, max(bucket_len - w, 1))
 
 

@@ -111,7 +111,16 @@ def layer_contexts(
     spec = plan.spec
     L = plan.num_layers
     b = true_len.shape[0]
-    if spec.method == "pyramidkv":
+    if spec.layer_capacity is not None and spec.method in (
+        "snapkv", "h2o", "cam", "streamingllm", "random", "think"
+    ):
+        from .ops.selection import per_layer_keep_counts
+
+        counts = per_layer_keep_counts(
+            spec, L, true_len,
+            plan.window if spec.method == "streamingllm" else spec.window_size,
+        )
+    elif spec.method == "pyramidkv":
         counts = pyramid_keep_counts(spec, L, true_len)
     elif spec.method == "l2norm":
         counts = l2norm_keep_counts(spec, L, true_len)

@@ -207,3 +207,18 @@ def test_quant_outliers_exact():
     xh = np.asarray(dequantize(qt, nbits=2, group_size=64, dtype=jnp.float32))
     assert xh[0, 0, 3, 7] == pytest.approx(42.0, rel=1e-2)
     assert xh[0, 1, 5, 100] == pytest.approx(-17.0, rel=1e-2)
+
+
+def test_per_layer_capacity_schedule():
+    import jax.numpy as jnp
+    from pyramidkv_tpu.config import CompressionSpec
+    from pyramidkv_tpu.ops.selection import per_layer_keep_counts
+
+    spec = CompressionSpec(method="snapkv", max_capacity_prompt=32,
+                           window_size=4, layer_capacity=(32, 16, 8))
+    tl = jnp.asarray([64, 12], jnp.int32)
+    n = per_layer_keep_counts(spec, 3, tl, 4)
+    # batch 0 (len 64): budgets cap_l - 4
+    assert list(n[:, 0]) == [28, 12, 4]
+    # batch 1 (len 12): layer budgets below 12 compress, others keep all 8
+    assert list(n[:, 1]) == [8, 8, 4]
