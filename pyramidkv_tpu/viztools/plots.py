@@ -88,19 +88,40 @@ def plot_attention_heatmaps(
                              save_path=path)
 
 
+_DEFAULT_EXPECTED = "eat a sandwich and sit in Dolores Park on a sunny day."
+
+
+def word_overlap_score(model_response: str, expected_answer: str = _DEFAULT_EXPECTED) -> float:
+    """|response-words ∩ expected-words| / |expected-words| — the score the
+    reference's heatmap script recomputes from saved responses
+    (scripts/scripts_needle/visualize.py:42-45)."""
+    exp = set(expected_answer.lower().split())
+    got = set(model_response.lower().split())
+    return len(got & exp) / len(exp)
+
+
 def needle_heatmap(
     results_dir: str,
     model_version: str,
     save_path: Optional[str] = None,
+    score_mode: str = "stored",
+    expected_answer: str = _DEFAULT_EXPECTED,
 ):
     """Depth x context-length pivot heatmap of needle scores
-    (scripts/scripts_needle/visualize.py).  Returns (lengths, depths, grid)."""
+    (scripts/scripts_needle/visualize.py).  ``score_mode``: "stored" uses the
+    in-run ROUGE-1x10 score; "overlap" recomputes the word-overlap score
+    from each saved model_response like the reference's plot script.
+    Returns (lengths, depths, grid)."""
     pat = os.path.join(results_dir, "results", model_version, "*_results.json")
     rows = []
     for path in glob.glob(pat):
         with open(path) as f:
             r = json.load(f)
-        rows.append((r["context_length"], r["depth_percent"], r["score"]))
+        if score_mode == "overlap":
+            score = word_overlap_score(r.get("model_response", ""), expected_answer)
+        else:
+            score = r["score"]
+        rows.append((r["context_length"], r["depth_percent"], score))
     if not rows:
         raise FileNotFoundError(f"no needle results under {pat}")
     lengths = sorted({r[0] for r in rows})
@@ -115,7 +136,8 @@ def needle_heatmap(
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=(10, 5))
-        plt.imshow(grid, cmap="RdYlGn", vmin=0, vmax=10, aspect="auto")
+        vmax = 1.0 if score_mode == "overlap" else 10.0
+        plt.imshow(grid, cmap="RdYlGn", vmin=0, vmax=vmax, aspect="auto")
         plt.colorbar(label="score")
         plt.xticks(range(len(lengths)), lengths, rotation=45, fontsize=6)
         plt.yticks(range(len(depths)), [f"{d:.0f}%" for d in depths], fontsize=6)

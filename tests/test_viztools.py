@@ -63,3 +63,13 @@ def test_needle_heatmap(tmp_path):
     assert lengths == [1000, 2000] and depths == [0.0, 50.0]
     assert grid[0, 0] == 10.0 and np.isnan(grid[1, 1])
     assert (tmp_path / "n.png").exists()
+
+
+def test_word_overlap_score():
+    from pyramidkv_tpu.viztools.plots import word_overlap_score
+
+    assert word_overlap_score(
+        "The best thing is to eat a sandwich and sit in dolores park on a sunny day."
+    ) == 1.0
+    assert word_overlap_score("nothing relevant") == 0.0
+    assert 0 < word_overlap_score("eat a sandwich") < 1.0
