@@ -4,13 +4,24 @@ Replaces the reference's flash-attn-2 CUDA dependency
 (/root/reference/pyramidkv/llama_model.py:18-19, :443-445) on the prefill
 path.  Online-softmax tiling keeps the [block_q, block_k] logit tile in
 VMEM — the XLA fallback (`ops.attention.causal_prefill_attention`) spills
-O(block_q x N) fp32 logits to HBM per step, which measured ~15x off the
-HBM roofline at 4k context.
+O(block_q x N) fp32 logits to HBM per step.
 
-Layout: grid (B*H, num_q_blocks, num_k_blocks); the output block plus the
-running max/denominator live in VMEM scratch accumulated across the
-innermost (key) grid dimension.  Causal + left-padding masks are applied
-per tile; fully-masked tiles short-circuit via ``pl.when``.
+Grid layout: the (q-block, k-block) pairs are enumerated TRIANGULARLY at
+trace time (causally-dead tiles — and, with a sliding window, tiles fully
+below the window — are never visited or DMA'd), flattened into one grid
+dimension driven by scalar-prefetched index arrays.  The output block plus
+the running max/denominator live in VMEM scratch, accumulated across the
+consecutive k-tiles of each q-block.
+
+Matmul operands stay in the storage dtype (bf16 -> full-rate MXU) with fp32
+accumulation; softmax statistics are fp32.
+
+Note on score fusion: SURVEY.md §7 suggested emitting the SnapKV
+observation-window scores from this kernel.  The window rows are only
+W<=32 of N rows — their standalone scoring matmul (`ops.scoring.
+window_scores`) is <1% of prefill attention FLOPs and re-reads K once
+(~N*D*2 bytes/head), so fusion buys nothing measurable; we keep scoring
+separate and simple.
 """
 
 from __future__ import annotations
@@ -20,6 +31,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -29,6 +41,10 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _kernel(
     # scalar prefetch
     pad_ref,            # [B] int32 — left-pad length per batch row
+    qidx_ref,           # [T] int32 — q-block index per grid step
+    kidx_ref,           # [T] int32 — k-block index per grid step
+    first_ref,          # [T] int32 — 1 iff first k-tile of this q-block
+    last_ref,           # [T] int32 — 1 iff last k-tile of this q-block
     # inputs
     q_ref,              # [1, block_q, D]
     k_ref,              # [1, block_k, D]
@@ -42,68 +58,96 @@ def _kernel(
     *,
     block_q: int,
     block_k: int,
-    num_k_blocks: int,
     scale: float,
     batch: int,
     sliding_window: int | None,
 ):
     bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
+    t = pl.program_id(1)
+    qi = qidx_ref[t]
+    ki = kidx_ref[t]
     b = bh // (pl.num_programs(0) // batch)
     pad = pad_ref[b]
 
-    @pl.when(ki == 0)
+    @pl.when(first_ref[t] == 1)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # causal: this key block participates iff its first row <= q block's last
-    @pl.when(ki * block_k <= qi * block_q + block_q - 1)
-    def _compute():
-        # keep operands in their storage dtype (bf16) so the MXU runs at
-        # full rate; accumulate in fp32 via preferred_element_type
-        q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        s = jax.lax.dot_general(
-            q, k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, bk] f32
+    # keep operands in their storage dtype (bf16) so the MXU runs at full
+    # rate; accumulate in fp32 via preferred_element_type
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, bk] f32
 
-        rows = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        cols = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = (cols <= rows) & (cols >= pad)
-        if sliding_window is not None:
-            mask &= (rows - cols) < sliding_window
-        s = jnp.where(mask, s, _NEG_INF)
+    rows = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = (cols <= rows) & (cols >= pad)
+    if sliding_window is not None:
+        mask &= (rows - cols) < sliding_window
+    s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_ref[:, :1]                      # [bq, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        # guard fully-masked rows (padding rows): keep exp argument finite
-        p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(
-            jnp.minimum(m_prev - m_new, 0.0)
-        )  # [bq, 1]; m_prev=-inf -> alpha=0 via exp(-inf)... clamp below
-        alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+    m_prev = m_ref[:, :1]                      # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
+    p = jnp.where(mask, p, 0.0)
+    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
 
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    @pl.when(ki == num_k_blocks - 1)
+    @pl.when(last_ref[t] == 1)
     def _finalize():
         l = l_ref[:, :1]
         o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
+                      sliding_window: int | None):
+    """Static (q-tile, k-tile) visit order: causal upper-triangle only, and
+    (with a sliding window) only tiles intersecting the band."""
+    qidx, kidx, first, last = [], [], [], []
+    for qi in range(nq):
+        row_max = qi * block_q + block_q - 1
+        row_min = qi * block_q
+        ks = []
+        for ki in range(nk):
+            col_min = ki * block_k
+            col_max = ki * block_k + block_k - 1
+            if col_min > row_max:
+                continue  # fully above the causal diagonal
+            # fully below the band iff even the smallest in-tile distance
+            # (row_min - col_max) exceeds the window
+            if sliding_window is not None and row_min - col_max >= sliding_window:
+                continue
+            ks.append(ki)
+        assert ks, (qi, nq, nk)
+        for j, ki in enumerate(ks):
+            qidx.append(qi)
+            kidx.append(ki)
+            first.append(1 if j == 0 else 0)
+            last.append(1 if j == len(ks) - 1 else 0)
+    return (
+        np.asarray(qidx, np.int32),
+        np.asarray(kidx, np.int32),
+        np.asarray(first, np.int32),
+        np.asarray(last, np.int32),
+    )
 
 
 @functools.partial(
@@ -134,19 +178,28 @@ def flash_causal_attention(
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
 
+    qidx, kidx, first, last = _triangular_pairs(
+        nq, nk, block_q, block_k, sliding_window
+    )
+    T = len(qidx)
+
     qr = q.reshape(b * h, n, d)
     kr = k.reshape(b * h, n, d)
     vr = v.reshape(b * h, n, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b * h, nq, nk),
+        num_scalar_prefetch=5,
+        grid=(b * h, T),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, pad: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, pad: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, pad: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, t, pad, qx, kx, fs, ls: (bh, kx[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, t, pad, qx, kx, fs, ls: (bh, kx[t], 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, pad: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -158,7 +211,6 @@ def flash_causal_attention(
             _kernel,
             block_q=block_q,
             block_k=block_k,
-            num_k_blocks=nk,
             scale=scale,
             batch=b,
             sliding_window=sliding_window,
@@ -166,5 +218,6 @@ def flash_causal_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         interpret=interpret,
-    )(pad, qr, kr, vr)
+    )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
+      jnp.asarray(last), qr, kr, vr)
     return out.reshape(b, h, n, d)
