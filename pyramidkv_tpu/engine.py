@@ -151,14 +151,16 @@ class Engine:
                 return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
             @jax.jit
-            def decode_fn(params, cache: KVCache, first_token, eos_ids, rng):
+            def decode_fn(params, cache: KVCache, first_token, eos_ids, rng,
+                          max_steps):
                 b = first_token.shape[0]
                 out = jnp.zeros((b, max_new), dtype=jnp.int32)
                 done0 = jnp.zeros((b,), dtype=bool)
+                limit = jnp.minimum(max_steps, max_new)
 
                 def cond(state):
                     _, _, _, step, done = state
-                    return (step < max_new) & ~jnp.all(done)
+                    return (step < limit) & ~jnp.all(done)
 
                 def body(state):
                     cache, token, out, step, done = state
@@ -230,7 +232,8 @@ class Engine:
         )
         decode_fn = self._get_decode(bucket)
         out, steps = decode_fn(self.params, cache, first, eos,
-                               jax.random.fold_in(rng, 1 << 20))
+                               jax.random.fold_in(rng, 1 << 20),
+                               jnp.int32(max_new - 1))
         out = np.asarray(out)
         steps = int(steps)
         t2 = time.perf_counter()
