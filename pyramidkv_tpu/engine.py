@@ -218,6 +218,12 @@ class Engine:
         prefill_fn = self._get_prefill(bucket)
         t0 = time.perf_counter()
         logits, cache = prefill_fn(self.params, tokens, true_len, rng)
+        if eos_token_ids:
+            # min_length = context + 1 semantics: EOS is suppressed for the
+            # first generated token (run_longbench.py:269 via HF
+            # MinLengthLogitsProcessor) -> at least one real token.
+            eos_cols = jnp.asarray(list(eos_token_ids), jnp.int32)
+            logits = logits.at[:, eos_cols].set(-jnp.inf)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         first.block_until_ready()
         t1 = time.perf_counter()

@@ -41,10 +41,13 @@ def test_mixed_length_batch(eng):
 def test_eos_stops_early(eng):
     ids = [int(x) for x in np.random.default_rng(2).integers(0, 256, size=20)]
     free = eng.generate([ids]).tokens[0]
-    # pick the first generated token as "EOS" -> generation must stop at once
+    # min_length semantics (run_longbench.py:269): EOS is banned on the
+    # FIRST token, so declaring the greedy first choice as EOS forces a
+    # different (non-EOS) first token.
     out = eng.generate([ids], eos_token_ids=[free[0]])
-    assert out.tokens[0] == []
-    # second generated token as EOS -> exactly one token
+    assert len(out.tokens[0]) >= 1
+    assert out.tokens[0][0] != free[0]
+    # second greedy token as EOS -> exactly one token then stop
     out2 = eng.generate([ids], eos_token_ids=[free[1]])
     assert out2.tokens[0] == [free[0]]
 
