@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, LayerCacheView, append_token, empty_cache
+from ..cache import KVCache, LayerCacheView, append_token
 from ..config import ModelSpec
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (LayerContext, PolicyPlan, compress_layer,

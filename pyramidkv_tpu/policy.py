@@ -147,16 +147,6 @@ def layer_contexts(
     return LayerContext(keep_counts=counts, head_capacity=head_caps, rng=rngs)
 
 
-def _fullkv_selection(n: int, true_len: jax.Array, heads: int) -> Selection:
-    b = true_len.shape[0]
-    col = jnp.arange(n, dtype=jnp.int32)
-    valid = col[None, :] >= (n - true_len).astype(jnp.int32)[:, None]
-    return Selection(
-        indices=jnp.broadcast_to(col[None, None, :], (b, heads, n)).astype(jnp.int32),
-        valid=jnp.broadcast_to(valid[:, None, :], (b, heads, n)),
-    )
-
-
 def _cam_merge_values(
     v: jax.Array,
     win_probs: jax.Array,
