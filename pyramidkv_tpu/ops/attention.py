@@ -105,27 +105,24 @@ def decode_attention(
     """
     b, h, d = q.shape
     hk = k_cache.shape[1]
-    qf = q.astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
     if hk == h:
         logits = jnp.einsum(
-            "bhd,bhsd->bhs", qf, kf, preferred_element_type=jnp.float32
+            "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
         ) / math.sqrt(d)
         logits = jnp.where(mask, logits, _NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         out = jnp.einsum(
-            "bhs,bhsd->bhd", probs, vf, preferred_element_type=jnp.float32
+            "bhs,bhsd->bhd", probs, v_cache, preferred_element_type=jnp.float32
         )
         return out.astype(q.dtype)
     g = h // hk
-    qg = qf.reshape(b, hk, g, d)
+    qg = q.reshape(b, hk, g, d)
     logits = jnp.einsum(
-        "bkgd,bksd->bkgs", qg, kf, preferred_element_type=jnp.float32
+        "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
     ) / math.sqrt(d)
     logits = jnp.where(mask[:, :, None, :], logits, _NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
-        "bkgs,bksd->bkgd", probs, vf, preferred_element_type=jnp.float32
+        "bkgs,bksd->bkgd", probs, v_cache, preferred_element_type=jnp.float32
     )
     return out.reshape(b, h, d).astype(q.dtype)
