@@ -1,0 +1,302 @@
+"""Sequence-parallel prefill: shard the PROMPT over a mesh axis, compress,
+return a small replicated cache.
+
+The reference cannot scale sequence length mechanically at all (SURVEY §5);
+its long-context story is compression + truncation.  This module is the
+TPU-native extension that makes the two compose: a context too long for one
+chip's HBM is sharded over the `sp` axis, attention runs as a ppermute ring
+(`ring_attention.py`), the observation-window scores are computed with
+distributed softmax statistics (pmax/psum over shards), and the global
+top-k selection gathers only the WINNING rows — so the compressed cache
+(cap ~ 128-2048 tokens) comes out replicated and decode proceeds without
+any cross-chip traffic.
+
+Supported methods: the window-score family (snapkv, pyramidkv),
+streamingllm, l2norm, random.  H2O needs a second ring pass for its
+full-matrix column sums (ROADMAP item 7).
+
+All collectives are XLA primitives inside one `shard_map`; the layer loop
+stays a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..cache import KVCache
+from ..config import ModelSpec
+from ..models.llama import (
+    _logits,
+    _mlp,
+    _qkv,
+    _repeat_kv,
+    apply_rope,
+    rms_norm,
+    rope_inv_freq,
+)
+from ..policy import LayerContext, PolicyPlan, layer_contexts
+from .ring_attention import _ring_body
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _sp_window_scores(
+    qw: jax.Array,       # [B, H, W, D] — window queries (replicated)
+    k_local: jax.Array,  # [B, H, Nl, D] — this shard's keys
+    *,
+    axis: str,
+    n_global: int,
+    window: int,
+    true_len: jax.Array,
+    kernel_size: int,
+    pooling: str,
+    aggregation: str,
+) -> jax.Array:
+    """Scores for the LOCAL columns with globally-normalised softmax.
+
+    Returns [B, H, Nl] (window columns masked to -inf like the single-device
+    scorer's past-column slice; the caller handles the window region).
+    """
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, h, w, d = qw.shape
+    nl = k_local.shape[2]
+    pad = (n_global - true_len).astype(jnp.int32)  # [B]
+    cols = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global col ids
+
+    logits = jnp.einsum(
+        "bhwd,bhnd->bhwn", qw, k_local, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
+    # causal inside the trailing W x W block (global rows n-W..n-1)
+    row_g = n_global - w + jnp.arange(w, dtype=jnp.int32)  # [W]
+    tri_mask = cols[None, :] > row_g[:, None]  # key after query, only hits
+    in_window_cols = cols[None, :] >= (n_global - w)
+    bias = jnp.where(tri_mask & in_window_cols, _NEG_INF, 0.0)
+    logits = logits + bias[None, None]
+    colv = cols[None, :] >= pad[:, None]  # [B, Nl]
+    logits = jnp.where(colv[:, None, None, :], logits, _NEG_INF)
+
+    # distributed softmax over the global column axis
+    m_loc = jnp.max(logits, axis=-1)                       # [B,H,W]
+    m = jax.lax.pmax(m_loc, axis)
+    e = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
+    e = jnp.where(colv[:, None, None, :], e, 0.0)
+    z = jax.lax.psum(e.sum(-1), axis)                       # [B,H,W]
+    probs = e / jnp.maximum(z, 1e-30)[..., None]
+    if aggregation == "sum":
+        s = probs.sum(axis=2)
+    else:
+        s = probs.mean(axis=2)
+
+    # pooling crosses shard boundaries: halo-exchange kernel//2 columns
+    halo = kernel_size // 2
+    if halo > 0:
+        left_halo = s[..., -halo:]
+        right_halo = s[..., :halo]
+        perm_r = [(i, (i + 1) % p) for i in range(p)]
+        perm_l = [(i, (i - 1) % p) for i in range(p)]
+        from_left = jax.lax.ppermute(left_halo, axis, perm_r)
+        from_right = jax.lax.ppermute(right_halo, axis, perm_l)
+        from_left = jnp.where(me == 0, 0.0, from_left)
+        from_right = jnp.where(me == p - 1, 0.0, from_right)
+        s_ext = jnp.concatenate([from_left, s, from_right], axis=-1)
+    else:
+        s_ext = s
+    from ..ops.pooling import pool1d
+
+    s_pooled = pool1d(s_ext, kernel_size, pooling)
+    if halo > 0:
+        s_pooled = s_pooled[..., halo:-halo]
+    # valid past columns only (window columns excluded from selection)
+    past_valid = colv & (cols[None, :] < (n_global - w))
+    return jnp.where(past_valid[:, None, :], s_pooled, _NEG_INF)
+
+
+def sequence_parallel_prefill(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    tokens: jax.Array,
+    true_len: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill with the sequence dim sharded over ``mesh[axis]``.
+
+    Returns (last-token logits [B, V], replicated compressed KVCache) —
+    identical (up to fp reorder) to `models.llama.prefill` on one device.
+    """
+    m = plan.spec.method
+    assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random"), m
+    b, n = tokens.shape
+    p = mesh.shape[axis]
+    assert n % p == 0 and n == plan.bucket_len
+    nl = n // p
+    w = plan.window
+    width = plan.width
+    groups = spec.num_query_groups
+    inv_freq = rope_inv_freq(spec)
+    ctxs = layer_contexts(plan, true_len, spec.num_attention_heads)
+    agg = "sum"
+
+    def body(tokens_l, true_len_, ctxs_):
+        me = jax.lax.axis_index(axis)
+        pad = (n - true_len_).astype(jnp.int32)
+        cols = me * nl + jnp.arange(nl, dtype=jnp.int32)
+        positions = cols[None, :] - pad[:, None]  # [B, Nl]
+        hidden0 = jnp.take(params["embed"], tokens_l, axis=0)
+
+        def layer_fn(hidden, xs):
+            wts, ctx = xs
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+            q, k, v = _qkv(x, wts, spec)
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+            k_rep = _repeat_kv(k, groups)
+            v_rep = _repeat_kv(v, groups)
+            attn = _ring_body(q, k_rep, v_rep, true_len_, axis)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
+            hidden = hidden + attn @ wts["wo"]
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+            hidden = hidden + _mlp(x2, wts)
+
+            hh = k_rep.shape[1]
+            # ---- scoring (local columns, global normalisation) ----
+            if m in ("snapkv", "pyramidkv"):
+                # window queries live on the LAST shard; broadcast them
+                qw_local = q[:, :, nl - w:, :]
+                qw = jax.lax.psum(
+                    jnp.where(me == p - 1, qw_local, jnp.zeros_like(qw_local)),
+                    axis,
+                )
+                scores = _sp_window_scores(
+                    qw, k_rep, axis=axis, n_global=n, window=w,
+                    true_len=true_len_, kernel_size=plan.spec.kernel_size,
+                    pooling=plan.spec.pooling, aggregation=agg,
+                )
+            elif m == "streamingllm":
+                colv = cols[None, :] >= pad[:, None]
+                past = colv & (cols[None, :] < (n - w))
+                scores = jnp.where(
+                    past[:, None, :],
+                    -cols[None, None, :].astype(jnp.float32),
+                    _NEG_INF,
+                )
+                scores = jnp.broadcast_to(scores, (b, hh, nl))
+            elif m == "l2norm":
+                colv = cols[None, :] >= pad[:, None]
+                norms = jnp.sqrt(
+                    (k_rep.astype(jnp.float32) ** 2).sum(-1)
+                )
+                scores = jnp.where(colv[:, None, :], -norms, _NEG_INF)
+            else:  # random
+                u = jax.random.uniform(
+                    jax.random.fold_in(ctx.rng, me), (b, hh, nl)
+                )
+                colv = cols[None, :] >= pad[:, None]
+                past = colv & (cols[None, :] < (n - w))
+                scores = jnp.where(past[:, None, :], u, _NEG_INF)
+
+            # ---- local top-k candidates, then global merge ----
+            kw = min(width, nl)
+            lv, li = jax.lax.top_k(scores, kw)  # [B,H,kw] local cols
+            gcols = jnp.take_along_axis(
+                jnp.broadcast_to(cols[None, None, :], scores.shape), li, axis=-1
+            )
+            onehot = (
+                li[..., None] == jnp.arange(nl, dtype=jnp.int32)[None, None, None, :]
+            ).astype(k_rep.dtype)
+            cand_k = jnp.einsum("bhwn,bhnd->bhwd", onehot, k_rep,
+                                preferred_element_type=jnp.float32).astype(k_rep.dtype)
+            cand_v = jnp.einsum("bhwn,bhnd->bhwd", onehot, v_rep,
+                                preferred_element_type=jnp.float32).astype(v_rep.dtype)
+            # gather candidates from all shards: [B, H, P*kw, ...]
+            allv = jax.lax.all_gather(lv, axis, axis=2, tiled=True)
+            allc = jax.lax.all_gather(gcols, axis, axis=2, tiled=True)
+            allk = jax.lax.all_gather(cand_k, axis, axis=2, tiled=True)
+            av = jax.lax.all_gather(cand_v, axis, axis=2, tiled=True)
+            fv, fi = jax.lax.top_k(allv, width)  # global winners
+            sel_onehot = (
+                fi[..., None]
+                == jnp.arange(allv.shape[2], dtype=jnp.int32)[None, None, None, :]
+            ).astype(allk.dtype)
+            kept_k = jnp.einsum("bhwn,bhnd->bhwd", sel_onehot, allk,
+                                preferred_element_type=jnp.float32).astype(allk.dtype)
+            kept_v = jnp.einsum("bhwn,bhnd->bhwd", sel_onehot, av,
+                                preferred_element_type=jnp.float32).astype(av.dtype)
+            kept_cols = jnp.take_along_axis(allc, fi, axis=-1)
+            rank = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+            counts = ctx.keep_counts
+            if counts.ndim == 1:
+                counts = counts[:, None]
+            kept_valid = (rank < counts[:, :, None]) & jnp.isfinite(fv)
+
+            # ---- recency window rows (last shard) broadcast ----
+            if w > 0:
+                win_k_l = k_rep[:, :, nl - w:, :]
+                win_v_l = v_rep[:, :, nl - w:, :]
+                win_k = jax.lax.psum(
+                    jnp.where(me == p - 1, win_k_l, jnp.zeros_like(win_k_l)), axis
+                )
+                win_v = jax.lax.psum(
+                    jnp.where(me == p - 1, win_v_l, jnp.zeros_like(win_v_l)), axis
+                )
+                win_cols = jnp.arange(n - w, n, dtype=jnp.int32)[None, None, :]
+                win_valid = jnp.broadcast_to(
+                    win_cols >= pad[:, None, None], (b, hh, w)
+                )
+                ck = jnp.concatenate([kept_k, win_k], axis=2)
+                cv = jnp.concatenate([kept_v, win_v], axis=2)
+                cmask = jnp.concatenate([kept_valid, win_valid], axis=2)
+                cpos = jnp.concatenate(
+                    [kept_cols - pad[:, None, None],
+                     jnp.broadcast_to(win_cols - pad[:, None, None], (b, hh, w))],
+                    axis=2,
+                )
+            else:
+                ck, cv, cmask = kept_k, kept_v, kept_valid
+                cpos = kept_cols - pad[:, None, None]
+
+            ds = plan.decode_slots
+            zkv = jnp.zeros((b, hh, ds, ck.shape[-1]), ck.dtype)
+            ck = jnp.concatenate([ck, zkv], axis=2)
+            cv = jnp.concatenate([cv, zkv], axis=2)
+            cmask = jnp.concatenate([cmask, jnp.zeros((b, hh, ds), bool)], axis=2)
+            cpos = jnp.concatenate(
+                [cpos, jnp.zeros((b, hh, ds), jnp.int32)], axis=2
+            )
+            ck = jnp.where(cmask[..., None], ck, 0)
+            cv = jnp.where(cmask[..., None], cv, 0)
+            cpos = jnp.where(cmask, cpos, -1)
+            return hidden, (ck, cv, cmask, cpos)
+
+        hidden, (cks, cvs, cms, cps) = jax.lax.scan(
+            layer_fn, hidden0, (params["layers"], ctxs_)
+        )
+        # last real token's hidden state lives on the last shard's last col
+        last_local = hidden[:, -1, :]
+        last = jax.lax.psum(
+            jnp.where(me == p - 1, last_local, jnp.zeros_like(last_local)), axis
+        )
+        logits = _logits(last, params, spec)
+        return logits, cks, cvs, cms, cps
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    logits, ck, cv, cm, cp = fn(tokens, true_len, ctxs)
+    cache = KVCache(
+        k=ck, v=cv, mask=cm, positions=cp,
+        true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
+    )
+    return logits, cache

@@ -1,0 +1,79 @@
+"""Sequence-parallel prefill vs the single-device path on the CPU mesh.
+
+kernel_size=1 avoids maxpool plateaus (exact score ties would make top-k
+tie-breaking order-dependent between the sharded and single-device paths).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, ModelSpec
+from pyramidkv_tpu.models import llama as jl
+from pyramidkv_tpu.parallel import make_mesh
+from pyramidkv_tpu.parallel.sp_prefill import sequence_parallel_prefill
+from pyramidkv_tpu.policy import make_plan
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(1, 128)), jnp.int32
+    )
+    return spec, params, toks
+
+
+@pytest.mark.parametrize("method", ["snapkv", "pyramidkv", "streamingllm", "l2norm"])
+@pytest.mark.parametrize("sp", [4])
+def test_sp_prefill_matches_single_device(setup, method, sp):
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method=method, max_capacity_prompt=32,
+                           window_size=8, kernel_size=1)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, sp), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    # identical kept-token SET per layer/head (order may differ only on ties)
+    ref_pos = np.asarray(ref_cache.positions)
+    got_pos = np.asarray(got_cache.positions)
+    ref_mask = np.asarray(ref_cache.mask)
+    got_mask = np.asarray(got_cache.mask)
+    assert ref_mask.sum() == got_mask.sum()
+    L, B, H, S = ref_mask.shape
+    for l in range(L):
+        for h in range(H):
+            a = set(ref_pos[l, 0, h][ref_mask[l, 0, h]].tolist())
+            bset = set(got_pos[l, 0, h][got_mask[l, 0, h]].tolist())
+            assert a == bset, (method, l, h, sorted(a ^ bset))
+
+
+def test_sp_prefill_then_decode(setup):
+    """The replicated compressed cache decodes identically to the
+    single-device cache."""
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method="streamingllm", max_capacity_prompt=32,
+                           window_size=8)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    t0 = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    l_ref, _ = jl.decode_step(params, spec, plan, ref_cache, t0)
+    l_got, _ = jl.decode_step(params, spec, plan, got_cache, t0)
+    np.testing.assert_allclose(
+        np.asarray(l_got), np.asarray(l_ref), rtol=3e-4, atol=3e-4
+    )
