@@ -96,11 +96,15 @@ class Engine:
     # -- compilation ------------------------------------------------------
 
     def plan_for(self, bucket: int) -> PolicyPlan:
+        use_pallas = bool(
+            self.engine_spec.use_pallas and jax.devices()[0].platform == "tpu"
+        )
         return make_plan(
             self.comp_spec,
             self.model_spec.num_hidden_layers,
             bucket,
             self.engine_spec.max_new_tokens,
+            use_pallas=use_pallas,
         )
 
     def _get_prefill(self, bucket: int):

@@ -1,1 +1,2 @@
 from .flash_prefill import flash_causal_attention
+from .h2o_scores import h2o_scores_pallas

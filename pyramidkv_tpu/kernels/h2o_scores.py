@@ -1,0 +1,186 @@
+"""H2O heavy-hitter scoring as a two-pass Pallas kernel.
+
+H2O needs column sums of the FULL (q_len x q_len) softmax matrix
+(/root/reference/pyramidkv/pyramidkv_utils.py:544-561 — with the reference
+quirk that the causal mask touches only the trailing W x W block).  The XLA
+blockwise path (`ops.scoring.h2o_scores`) measured 11.8 ms/layer at 4k on
+v5e (~3% MXU); the logits never need to leave VMEM:
+
+pass 1: per-row softmax statistics (m_i, l_i) via online max/sum tiles;
+pass 2: column-block accumulation of exp(s_ij - m_i)/l_i over row tiles.
+
+Both passes stream [block_q, block_k] tiles; nothing O(N^2) is
+materialised.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _mask(rows, cols, pad, n, w):
+    """H2O visibility: padding columns hidden; causal ONLY inside the
+    trailing W x W block (reference quirk kept for parity)."""
+    in_blk = (rows >= n - w) & (cols >= n - w)
+    return (cols >= pad) & ~(in_blk & (cols > rows))
+
+
+def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
+                  block_q, block_k, num_k_blocks, scale, batch, n, w):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    b = bh // (pl.num_programs(0) // batch)
+    pad = pad_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
+        l_acc[:] = jnp.zeros_like(l_acc)
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    s = jnp.where(_mask(rows, cols, pad, n, w), s, _NEG_INF)
+
+    m_prev = m_acc[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
+    p = jnp.where(_mask(rows, cols, pad, n, w), p, 0.0)
+    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+    l_acc[:] = jnp.broadcast_to(
+        alpha * l_acc[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_acc.shape
+    )
+    m_acc[:] = jnp.broadcast_to(m_new, m_acc.shape)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _fin():
+        m_ref[0] = m_acc[:, 0]
+        l_ref[0] = l_acc[:, 0]
+
+
+def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
+                   block_q, block_k, num_q_blocks, scale, batch, n, w):
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    b = bh // (pl.num_programs(0) // batch)
+    pad = pad_ref[b]
+
+    @pl.when(qi == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    vis = _mask(rows, cols, pad, n, w)
+    m = m_ref[0][:, None]   # [bq, 1]
+    l = l_ref[0][:, None]
+    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2)) / jnp.maximum(l, 1e-30)
+    # zero masked entries and padding ROWS (row i < pad contributes nothing)
+    p = jnp.where(vis & (rows >= pad), p, 0.0)
+    acc[:] = acc[:] + jnp.broadcast_to(jnp.sum(p, axis=0, keepdims=True), acc.shape)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _fin():
+        out_ref[0] = acc[0, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_size", "block_q", "block_k", "interpret")
+)
+def h2o_scores_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    window_size: int,
+    true_len: jax.Array,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for ``ops.scoring.h2o_scores``:
+    [B, H, N, D] -> [B, H, N - W] fp32 scores, -inf at padding columns."""
+    b, h, n, d = q.shape
+    w = window_size
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    assert n % block_q == 0 and n % block_k == 0
+    nq, nk = n // block_q, n // block_k
+    scale = 1.0 / math.sqrt(d)
+    pad = (n - true_len).astype(jnp.int32)
+    qr = q.reshape(b * h, n, d)
+    kr = k.reshape(b * h, n, d)
+
+    stats = pl.pallas_call(
+        functools.partial(
+            _stats_kernel, block_q=block_q, block_k=block_k,
+            num_k_blocks=nk, scale=scale, batch=b, n=n, w=w,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, pad: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, pad: (bh, ki, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q), lambda bh, qi, ki, pad: (bh, qi)),
+                pl.BlockSpec((1, block_q), lambda bh, qi, ki, pad: (bh, qi)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pad, qr, kr)
+    m_rows, l_rows = stats
+
+    colsums = pl.pallas_call(
+        functools.partial(
+            _colsum_kernel, block_q=block_q, block_k=block_k,
+            num_q_blocks=nq, scale=scale, batch=b, n=n, w=w,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * h, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, ki, qi, pad: (bh, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, ki, qi, pad: (bh, ki, 0)),
+                pl.BlockSpec((1, block_q), lambda bh, ki, qi, pad: (bh, qi)),
+                pl.BlockSpec((1, block_q), lambda bh, ki, qi, pad: (bh, qi)),
+            ],
+            out_specs=pl.BlockSpec((1, block_k), lambda bh, ki, qi, pad: (bh, ki)),
+            scratch_shapes=[pltpu.VMEM((8, block_k), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n), jnp.float32),
+        interpret=interpret,
+    )(pad, qr, kr, m_rows, l_rows)
+
+    scores = colsums.reshape(b, h, n)[..., : n - w]
+    col = jnp.arange(n - w, dtype=jnp.int32)
+    valid = col[None, :] >= pad[:, None]
+    return jnp.where(valid[:, None, :], scores, -jnp.inf)

@@ -54,6 +54,8 @@ class PolicyPlan:
     decode_slots: int
     width: int   #: static top-k width (selected-past slots per layer/head)
     window: int  #: recency slots kept verbatim
+    #: use the Pallas scoring kernels (TPU hot path; set by the engine)
+    use_pallas: bool = False
 
     @property
     def prefill_slots(self) -> int:
@@ -69,6 +71,7 @@ def make_plan(
     num_layers: int,
     bucket_len: int,
     decode_slots: int,
+    use_pallas: bool = False,
 ) -> PolicyPlan:
     window = min(selection_window(spec), bucket_len)
     width = static_selection_width(spec, num_layers, bucket_len)
@@ -86,6 +89,7 @@ def make_plan(
         decode_slots=decode_slots,
         width=width,
         window=window,
+        use_pallas=use_pallas,
     )
 
 
@@ -330,7 +334,13 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "h2o":
-        scores = _group_mean(h2o_scores(q, k_score, window_size=w, true_len=true_len))
+        if plan.use_pallas:
+            from .kernels.h2o_scores import h2o_scores_pallas
+
+            raw = h2o_scores_pallas(q, k_score, window_size=w, true_len=true_len)
+        else:
+            raw = h2o_scores(q, k_score, window_size=w, true_len=true_len)
+        scores = _group_mean(raw)
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         return compact_kv(k, v, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)

@@ -84,3 +84,25 @@ def test_prefill_with_pallas_interpret_matches_xla():
                         attention_impl="pallas_interpret", prefill_block=32)
     np.testing.assert_allclose(np.asarray(lx), np.asarray(lp), rtol=2e-4, atol=2e-4)
     assert bool(jnp.all(cx.mask == cp.mask))
+
+
+@pytest.mark.parametrize("true_len", [128, 90])
+def test_h2o_pallas_matches_xla(true_len):
+    from pyramidkv_tpu.kernels.h2o_scores import h2o_scores_pallas
+    from pyramidkv_tpu.ops.scoring import h2o_scores
+
+    n, w = 128, 8
+    q, k, _ = _rand(n, seed=11)
+    tl = jnp.asarray([true_len, max(true_len - 13, 1)], jnp.int32)
+    want = np.asarray(h2o_scores(q, k, window_size=w, true_len=tl, block=32))
+    got = np.asarray(
+        h2o_scores_pallas(q, k, window_size=w, true_len=tl,
+                          block_q=32, block_k=32, interpret=True)
+    )
+    assert got.shape == want.shape
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        assert np.all(np.isneginf(got[bi, :, :pad]))
+        np.testing.assert_allclose(
+            got[bi, :, pad:], want[bi, :, pad:], rtol=3e-4, atol=3e-4
+        )
