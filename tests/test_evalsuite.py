@@ -254,3 +254,31 @@ def test_capacity_ratio_builds_bucketed_engines(tmp_path):
     assert len(res.predictions) == 3
     # 100->64, 120->64 (shared engine), 400->192: two distinct buckets
     assert sorted(set(built)) == [64, 192]
+
+
+def test_ruler_real_data_schema(tmp_path):
+    """Exercise the RULER normalization + scoring against a real RULER
+    jsonl from the reference snapshot (skipped when absent)."""
+    import pytest as _pytest
+
+    path = "/root/reference/data/RULER/4096/niah_multikey_3.jsonl"
+    if not os.path.exists(path):
+        _pytest.skip("reference RULER data absent")
+    from pyramidkv_tpu.evalsuite.harness import read_jsonl
+    from pyramidkv_tpu.evalsuite.report import score_ruler_file
+
+    examples = read_jsonl(path)[:3]
+    for ex in examples:
+        ex.setdefault("context", ex.get("input", ""))
+        ex.setdefault("answers", ex.get("outputs", []))
+    # echo the gold uuid back -> string_match_all must give 100
+    tok = WordTokenizer()
+    out_path = str(tmp_path / "preds.json")
+    import json as _json
+
+    with open(out_path, "w") as f:
+        for ex in examples:
+            rec = dict(ex)
+            rec["pred"] = "the answer is " + ex["answers"][0]
+            f.write(_json.dumps(rec) + "\n")
+    assert score_ruler_file(out_path) == 100.0
