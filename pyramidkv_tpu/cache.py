@@ -124,6 +124,31 @@ def append_token(
     return LayerCacheView(k=k, v=v, mask=mask, positions=positions)
 
 
+def append_token_per_lane(
+    layer: LayerCacheView,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    *,
+    slots: jax.Array,
+    positions: jax.Array,
+    mask_slots: jax.Array,
+) -> LayerCacheView:
+    """Per-lane append: each batch row writes its own slot (continuous
+    batching, where lanes join mid-flight and have different step counts).
+
+    slots / mask_slots: [B] int32 per-row indices; positions: [B] int32.
+    """
+    b, h, s, d = layer.k.shape
+    rows = jnp.arange(b)
+    k = layer.k.at[rows, :, slots].set(k_new.astype(layer.k.dtype))
+    v = layer.v.at[rows, :, slots].set(v_new.astype(layer.v.dtype))
+    mask = layer.mask.at[rows, :, mask_slots].set(True)
+    pos = layer.positions.at[rows, :, mask_slots].set(
+        jnp.broadcast_to(positions[:, None], (b, h)).astype(jnp.int32)
+    )
+    return LayerCacheView(k=k, v=v, mask=mask, positions=pos)
+
+
 def cache_memory_bytes(cache: KVCache) -> int:
     """HBM footprint of the KV buffers (the reference never measures this)."""
     total = cache.k.size * cache.k.dtype.itemsize + cache.v.size * cache.v.dtype.itemsize

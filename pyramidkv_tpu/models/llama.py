@@ -28,7 +28,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, LayerCacheView, append_token
+from ..cache import (KVCache, LayerCacheView, append_token,
+                     append_token_per_lane)
 from ..config import ModelSpec
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (LayerContext, PolicyPlan, compress_layer,
@@ -301,11 +302,16 @@ def decode_step(
     plan: PolicyPlan,
     cache: KVCache,
     token: jax.Array,
+    *,
+    lane_steps: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One greedy-decode forward step against the compressed cache.
 
     Args:
       token: [B] int32 — the token generated at the previous step.
+      lane_steps: optional [B] int32 per-lane step counts (continuous
+        batching: lanes join mid-flight).  When given, each row writes its
+        own decode slot; ``cache.step`` is ignored for slot arithmetic.
 
     Returns:
       (logits [B, vocab], cache with the new token appended).  The append is
@@ -315,10 +321,17 @@ def decode_step(
     b = token.shape[0]
     groups = spec.num_query_groups
     inv_freq = rope_inv_freq(spec)
-    pos = cache.current_position()  # [B]
     quantized = cache.quant is not None
-    full_slot = plan.prefill_slots + cache.step  # index into mask/positions
-    kv_slot = cache.step if quantized else full_slot  # index into k/v buffers
+    if lane_steps is None:
+        pos = cache.current_position()  # [B]
+        full_slot = plan.prefill_slots + cache.step  # into mask/positions
+        kv_slot = cache.step if quantized else full_slot  # into k/v buffers
+        full_slots = kv_slots = None
+    else:
+        pos = cache.true_len.astype(jnp.int32) + lane_steps
+        full_slots = plan.prefill_slots + lane_steps  # [B]
+        kv_slots = lane_steps if quantized else full_slots
+        full_slot = kv_slot = None
     hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
 
     store_kv = stores_kv_heads(plan.spec)
@@ -336,9 +349,16 @@ def decode_step(
         else:
             k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
             v_new = _repeat_kv(v, groups)[:, :, 0, :]
-        layer = append_token(
-            layer, k_new, v_new, slot=kv_slot, position=pos, mask_slot=full_slot
-        )
+        if lane_steps is None:
+            layer = append_token(
+                layer, k_new, v_new, slot=kv_slot, position=pos,
+                mask_slot=full_slot,
+            )
+        else:
+            layer = append_token_per_lane(
+                layer, k_new, v_new, slots=kv_slots, positions=pos,
+                mask_slots=full_slots,
+            )
         if quantized:
             from ..ops.quant import dequantize_kv_region
 

@@ -34,6 +34,203 @@ class CompletedRequest:
     decode_seconds: float
 
 
+class ContinuousBatcher:
+    """Continuous batching with lane recycling.
+
+    A fixed number of decode LANES share one batched cache.  When a lane
+    finishes (EOS or budget), the next queued request is prefilled (at its
+    own bucket) and its compressed cache is written into the free lane —
+    possible because every compression method's compacted cache has the
+    SAME static shape regardless of prompt bucket (width + window + decode
+    slots), unlike full-KV.  Decode runs in fixed quanta of ``quantum``
+    steps between refills; per-lane step counts drive per-row slot writes
+    (`models.llama.decode_step(lane_steps=...)`).
+    """
+
+    def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16):
+        import jax
+
+        self.engine = engine
+        self.lanes = lanes
+        self.quantum = quantum
+        es = engine.engine_spec
+        if engine.comp_spec.quant_method is not None:
+            raise ValueError("ContinuousBatcher does not support quantized "
+                             "caches yet (lane insertion of quant regions)")
+        # lane-uniform cache shapes require bucket-independent prefill slots
+        plans = [engine.plan_for(b) for b in es.prefill_buckets]
+        slots = {p.prefill_slots for p in plans}
+        if len(slots) != 1:
+            raise ValueError(
+                "ContinuousBatcher needs a compression method whose compacted "
+                f"cache is bucket-independent; got prefill_slots={slots}. "
+                "(fullkv/minference caches grow with the bucket — use "
+                "BatchScheduler for those.)"
+            )
+        self._plan = plans[0]
+        self._jax = jax
+        self._quantum_fn = None
+
+    def _build_quantum(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .models import llama
+
+        engine = self.engine
+        plan = self._plan
+        spec = engine.model_spec
+        q_steps = self.quantum
+
+        @jax.jit
+        def quantum_fn(params, cache, tokens, lane_steps, done, budget, eos_ids):
+            def step_fn(carry, _):
+                cache, tokens, lane_steps, done = carry
+                logits, cache = llama.decode_step(
+                    params, spec, plan, cache, tokens, lane_steps=lane_steps
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                is_eos = jnp.any(nxt[:, None] == eos_ids[None, :], axis=-1)
+                nxt = jnp.where(done, tokens, nxt)
+                emitted = jnp.where(done, -1, nxt)
+                lane_steps = jnp.where(done, lane_steps, lane_steps + 1)
+                done = done | is_eos | (lane_steps >= budget)
+                return (cache, nxt, lane_steps, done), emitted
+
+            (cache, tokens, lane_steps, done), outs = jax.lax.scan(
+                step_fn, (cache, tokens, lane_steps, done), None, length=q_steps
+            )
+            return cache, tokens, lane_steps, done, outs.T  # [B, Q]
+
+        return quantum_fn
+
+    def run(self, requests: "list[Request]") -> Dict[str, CompletedRequest]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .cache import KVCache
+
+        engine = self.engine
+        es = engine.engine_spec
+        plan = self._plan
+        queue = list(requests)
+        if not queue:
+            return {}
+        if self._quantum_fn is None:
+            self._quantum_fn = self._build_quantum()
+
+        spec = engine.model_spec
+        heads = (
+            spec.num_key_value_heads
+            if plan.spec.gqa_aggregate
+            else spec.num_attention_heads
+        )
+        L, B, S, D = (
+            spec.num_hidden_layers, self.lanes, plan.total_slots, spec.head_dim,
+        )
+        dtype = jnp.result_type(engine.params["embed"].dtype)
+        cache = KVCache(
+            k=jnp.zeros((L, B, heads, S, D), dtype),
+            v=jnp.zeros((L, B, heads, S, D), dtype),
+            mask=jnp.zeros((L, B, heads, S), bool),
+            positions=jnp.full((L, B, heads, S), -1, jnp.int32),
+            true_len=jnp.zeros((B,), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+        tokens = jnp.zeros((B,), jnp.int32)
+        lane_steps = jnp.zeros((B,), jnp.int32)
+        done = jnp.ones((B,), bool)  # all lanes start empty
+        budget = jnp.zeros((B,), jnp.int32)
+
+        lane_req: "list[Optional[Request]]" = [None] * B
+        lane_tokens: "list[list[int]]" = [[] for _ in range(B)]
+        results: Dict[str, CompletedRequest] = {}
+        eos_set: set = set()
+
+        @jax.jit
+        def insert_lane(cache, tokens, lane_steps, done, budget,
+                        new_cache, first_tok, lane, new_budget):
+            cache = KVCache(
+                k=cache.k.at[:, lane].set(new_cache.k[:, 0]),
+                v=cache.v.at[:, lane].set(new_cache.v[:, 0]),
+                mask=cache.mask.at[:, lane].set(new_cache.mask[:, 0]),
+                positions=cache.positions.at[:, lane].set(new_cache.positions[:, 0]),
+                true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
+                step=cache.step,
+            )
+            tokens = tokens.at[lane].set(first_tok[0])
+            lane_steps = lane_steps.at[lane].set(0)
+            done = done.at[lane].set(False)
+            budget = budget.at[lane].set(new_budget)
+            return cache, tokens, lane_steps, done, budget
+
+        def refill():
+            nonlocal cache, tokens, lane_steps, done, budget
+            done_np = np.asarray(done)
+            for lane in range(B):
+                if not done_np[lane]:
+                    continue
+                # retire the finished request
+                req = lane_req[lane]
+                if req is not None:
+                    toks = lane_tokens[lane]
+                    results[req.request_id] = CompletedRequest(
+                        request_id=req.request_id, tokens=toks,
+                        prefill_seconds=0.0, decode_seconds=0.0,
+                    )
+                    lane_req[lane] = None
+                    lane_tokens[lane] = []
+                if not queue:
+                    continue
+                req = queue.pop(0)
+                bucket = es.bucket_for(len(req.prompt_ids))
+                prefill_fn = engine._get_prefill(bucket)
+                toks = np.zeros((1, bucket), np.int32)
+                toks[0, bucket - len(req.prompt_ids):] = req.prompt_ids
+                logits, new_cache = prefill_fn(
+                    engine.params, jnp.asarray(toks),
+                    jnp.asarray([len(req.prompt_ids)], jnp.int32),
+                    jax.random.PRNGKey(0),
+                )
+                if req.eos_token_ids:
+                    cols = jnp.asarray(list(req.eos_token_ids), jnp.int32)
+                    logits = logits.at[:, cols].set(-jnp.inf)
+                    eos_set.update(int(e) for e in req.eos_token_ids)
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                max_new = min(req.max_new_tokens or es.max_new_tokens,
+                              es.max_new_tokens)
+                lane_req[lane] = req
+                lane_tokens[lane] = [int(first[0])]
+                cache, tokens, lane_steps, done, budget = insert_lane(
+                    cache, tokens, lane_steps, done, budget,
+                    new_cache, first, lane, max_new - 1,
+                )
+
+        eos_union = sorted(
+            set(e for r in queue for e in r.eos_token_ids)
+        ) or [-1]
+        eos_arr = jnp.asarray(eos_union, jnp.int32)
+
+        refill()
+        while any(r is not None for r in lane_req):
+            prev_done = np.asarray(done)
+            cache, tokens, lane_steps, done, emitted = self._quantum_fn(
+                engine.params, cache, tokens, lane_steps, done, budget, eos_arr
+            )
+            em = np.asarray(emitted)
+            for lane in range(B):
+                if lane_req[lane] is None or prev_done[lane]:
+                    continue
+                for t in em[lane]:
+                    t = int(t)
+                    if t < 0 or t in eos_set:
+                        break
+                    lane_tokens[lane].append(t)
+            refill()
+        return results
+
+
 class BatchScheduler:
     """Greedy bucket-and-pack scheduler.
 

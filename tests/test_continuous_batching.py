@@ -1,0 +1,69 @@
+"""Continuous batching: lane recycling produces the same tokens as
+independent generation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models import llama as jl
+from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+
+@pytest.fixture(scope="module")
+def eng():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=12, prefill_buckets=(32, 64)),
+        params,
+    )
+
+
+def test_more_requests_than_lanes_matches_individual(eng):
+    rng = np.random.default_rng(0)
+    reqs = [
+        Request(request_id=f"r{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=6)
+        for i, n in enumerate((10, 25, 30, 40, 50, 18, 22))
+    ]
+    cb = ContinuousBatcher(eng, lanes=2, quantum=4)
+    out = cb.run(list(reqs))
+    assert set(out) == {r.request_id for r in reqs}
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_eos_recycles_lane(eng):
+    rng = np.random.default_rng(1)
+    ids = [int(x) for x in rng.integers(0, 256, size=20)]
+    free = eng.generate([ids]).tokens[0]
+    eos = free[2]
+    reqs = [
+        Request("a", ids, max_new_tokens=10, eos_token_ids=(eos,)),
+        Request("b", [int(x) for x in rng.integers(0, 256, size=15)],
+                max_new_tokens=5),
+    ]
+    cb = ContinuousBatcher(eng, lanes=1, quantum=3)
+    out = cb.run(reqs)
+    want_a = eng.generate([ids], max_new_tokens=10,
+                          eos_token_ids=(eos,)).tokens[0]
+    assert out["a"].tokens == want_a
+    assert len(out["a"].tokens) < 10  # EOS actually cut it short
+    want_b = eng.generate([reqs[1].prompt_ids], max_new_tokens=5).tokens[0]
+    assert out["b"].tokens == want_b
+
+
+def test_fullkv_rejected(eng):
+    spec = eng.model_spec
+    full = Engine(spec, CompressionSpec(method="fullkv"),
+                  EngineSpec(max_new_tokens=4, prefill_buckets=(32, 64)),
+                  eng.params)
+    with pytest.raises(ValueError):
+        ContinuousBatcher(full, lanes=2)
