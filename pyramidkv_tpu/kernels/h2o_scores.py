@@ -35,6 +35,8 @@ def _mask(rows, cols, pad, n, w):
 
 def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
                   block_q, block_k, num_k_blocks, scale, batch, n, w):
+    # m_ref/l_ref blocks are [1, 8, block_q] — the stats are broadcast over
+    # 8 sublanes purely to satisfy TPU tiling (see wrapper).
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -68,8 +70,8 @@ def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
 
     @pl.when(ki == num_k_blocks - 1)
     def _fin():
-        m_ref[0] = m_acc[:, 0]
-        l_ref[0] = l_acc[:, 0]
+        m_ref[0] = jnp.broadcast_to(m_acc[:, 0][None, :], (8, block_q))
+        l_ref[0] = jnp.broadcast_to(l_acc[:, 0][None, :], (8, block_q))
 
 
 def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
@@ -92,8 +94,8 @@ def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     vis = _mask(rows, cols, pad, n, w)
-    m = m_ref[0][:, None]   # [bq, 1]
-    l = l_ref[0][:, None]
+    m = m_ref[0, 0][:, None]   # [bq, 1]
+    l = l_ref[0, 0][:, None]
     p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2)) / jnp.maximum(l, 1e-30)
     # zero masked entries and padding ROWS (row i < pad contributes nothing)
     p = jnp.where(vis & (rows >= pad), p, 0.0)
@@ -101,7 +103,7 @@ def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
 
     @pl.when(qi == num_q_blocks - 1)
     def _fin():
-        out_ref[0] = acc[0, :]
+        out_ref[0] = jnp.broadcast_to(acc[0, :][None, :], (8, block_k))
 
 
 @functools.partial(
@@ -143,8 +145,8 @@ def h2o_scores_pallas(
                 pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, pad: (bh, ki, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q), lambda bh, qi, ki, pad: (bh, qi)),
-                pl.BlockSpec((1, block_q), lambda bh, qi, ki, pad: (bh, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, qi, ki, pad: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, qi, ki, pad: (bh, 0, qi)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -152,8 +154,8 @@ def h2o_scores_pallas(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, n), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),
         ],
         interpret=interpret,
     )(pad, qr, kr)
@@ -170,17 +172,18 @@ def h2o_scores_pallas(
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, ki, qi, pad: (bh, qi, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, ki, qi, pad: (bh, ki, 0)),
-                pl.BlockSpec((1, block_q), lambda bh, ki, qi, pad: (bh, qi)),
-                pl.BlockSpec((1, block_q), lambda bh, ki, qi, pad: (bh, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi, pad: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi, pad: (bh, 0, qi)),
             ],
-            out_specs=pl.BlockSpec((1, block_k), lambda bh, ki, qi, pad: (bh, ki)),
+            out_specs=pl.BlockSpec((1, 8, block_k),
+                                   lambda bh, ki, qi, pad: (bh, 0, ki)),
             scratch_shapes=[pltpu.VMEM((8, block_k), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),
         interpret=interpret,
     )(pad, qr, kr, m_rows, l_rows)
 
-    scores = colsums.reshape(b, h, n)[..., : n - w]
+    scores = colsums[:, 0, :].reshape(b, h, n)[..., : n - w]
     col = jnp.arange(n - w, dtype=jnp.int32)
     valid = col[None, :] >= pad[:, None]
     return jnp.where(valid[:, None, :], scores, -jnp.inf)
