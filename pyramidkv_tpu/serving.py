@@ -54,9 +54,6 @@ class ContinuousBatcher:
         self.lanes = lanes
         self.quantum = quantum
         es = engine.engine_spec
-        if engine.comp_spec.quant_method is not None:
-            raise ValueError("ContinuousBatcher does not support quantized "
-                             "caches yet (lane insertion of quant regions)")
         # lane-uniform cache shapes require bucket-independent prefill slots
         plans = [engine.plan_for(b) for b in es.prefill_buckets]
         slots = {p.prefill_slots for p in plans}
@@ -129,15 +126,39 @@ class ContinuousBatcher:
         L, B, S, D = (
             spec.num_hidden_layers, self.lanes, plan.total_slots, spec.head_dim,
         )
-        dtype = jnp.result_type(engine.params["embed"].dtype)
-        cache = KVCache(
-            k=jnp.zeros((L, B, heads, S, D), dtype),
-            v=jnp.zeros((L, B, heads, S, D), dtype),
-            mask=jnp.zeros((L, B, heads, S), bool),
-            positions=jnp.full((L, B, heads, S), -1, jnp.int32),
-            true_len=jnp.zeros((B,), jnp.int32),
-            step=jnp.zeros((), jnp.int32),
-        )
+        dtype = engine.params["embed"].dtype
+        quantized = plan.spec.quant_method is not None
+        if quantized:
+            # derive the batched cache structure (incl. quant region shapes)
+            # from an abstract prefill at the smallest bucket
+            bucket0 = es.prefill_buckets[0]
+            pf = engine._get_prefill(bucket0)
+            _, cache_shape = jax.eval_shape(
+                pf, engine.params,
+                jax.ShapeDtypeStruct((1, bucket0), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+            )
+            def _mk(leaf):
+                shp = list(leaf.shape)
+                if len(shp) >= 2:
+                    shp[1] = B  # batch axis of [L, B, ...] leaves
+                return jnp.zeros(tuple(shp), leaf.dtype)
+            cache = jax.tree_util.tree_map(_mk, cache_shape)
+            cache = cache._replace(
+                true_len=jnp.zeros((B,), jnp.int32),
+                step=jnp.zeros((), jnp.int32),
+            )
+            kv_dtype = cache.k.dtype
+        else:
+            cache = KVCache(
+                k=jnp.zeros((L, B, heads, S, D), dtype),
+                v=jnp.zeros((L, B, heads, S, D), dtype),
+                mask=jnp.zeros((L, B, heads, S), bool),
+                positions=jnp.full((L, B, heads, S), -1, jnp.int32),
+                true_len=jnp.zeros((B,), jnp.int32),
+                step=jnp.zeros((), jnp.int32),
+            )
         tokens = jnp.zeros((B,), jnp.int32)
         lane_steps = jnp.zeros((B,), jnp.int32)
         done = jnp.ones((B,), bool)  # all lanes start empty
@@ -151,11 +172,12 @@ class ContinuousBatcher:
         @jax.jit
         def insert_lane(cache, tokens, lane_steps, done, budget,
                         new_cache, first_tok, lane, new_budget):
-            cache = KVCache(
-                k=cache.k.at[:, lane].set(new_cache.k[:, 0]),
-                v=cache.v.at[:, lane].set(new_cache.v[:, 0]),
-                mask=cache.mask.at[:, lane].set(new_cache.mask[:, 0]),
-                positions=cache.positions.at[:, lane].set(new_cache.positions[:, 0]),
+            def put(old, new):
+                if old.ndim >= 2 and old.shape[0] == new.shape[0]:
+                    return old.at[:, lane].set(new[:, 0])
+                return old
+            merged = jax.tree_util.tree_map(put, cache, new_cache)
+            cache = merged._replace(
                 true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
                 step=cache.step,
             )

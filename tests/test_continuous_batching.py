@@ -67,3 +67,25 @@ def test_fullkv_rejected(eng):
                   eng.params)
     with pytest.raises(ValueError):
         ContinuousBatcher(full, lanes=2)
+
+
+def test_quantized_lanes(eng):
+    spec = eng.model_spec
+    qeng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4,
+                        quant_method="kivi", nbits=8),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(32, 64)),
+        eng.params,
+    )
+    rng = np.random.default_rng(3)
+    reqs = [
+        Request(f"q{i}", [int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=4)
+        for i, n in enumerate((20, 40, 28))
+    ]
+    cb = ContinuousBatcher(qeng, lanes=2, quantum=2)
+    out = cb.run(list(reqs))
+    for r in reqs:
+        want = qeng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
