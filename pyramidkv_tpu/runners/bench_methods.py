@@ -37,6 +37,8 @@ def main():
     p.add_argument("--preset", type=str, default="llama3-8b")
     p.add_argument("--quant", type=str, default=None)
     p.add_argument("--nbits", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1,
+                   help="decode batch size (same prompt replicated)")
     args = p.parse_args()
 
     import jax
@@ -59,6 +61,7 @@ def main():
     params = llama.init_params(spec, jax.random.PRNGKey(0), dtype=dtype)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(0, spec.vocab_size, size=ctx - 1)]
+    prompts = [prompt] * args.batch
 
     for method in args.methods:
         eng = Engine(
@@ -72,16 +75,17 @@ def main():
         )
         print(f"[bench_methods] {method}: compiling ...", file=sys.stderr,
               flush=True)
-        eng.generate([prompt])  # compile + warmup
+        eng.generate(prompts)  # compile + warmup
         best = None
         for _ in range(2):
-            out = eng.generate([prompt])
-            tps = out.decode_steps / out.decode_seconds
+            out = eng.generate(prompts)
+            tps = out.decode_steps * args.batch / out.decode_seconds
             if best is None or tps > best[0]:
                 best = (tps, out)
         tps, out = best
         print(json.dumps({
             "method": method,
+            "batch": args.batch,
             "decode_tokens_per_s": round(tps, 2),
             "prefill_ms": round(out.prefill_seconds * 1e3, 1),
             "kv_cache_mb": round(out.kv_cache_bytes / 1e6, 2),
