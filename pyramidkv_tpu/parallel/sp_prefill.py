@@ -12,7 +12,9 @@ top-k selection gathers only the WINNING rows — so the compressed cache
 any cross-chip traffic.
 
 Supported methods: the window-score family (snapkv, pyramidkv),
-streamingllm, l2norm, random.  H2O needs a second ring pass for its
+streamingllm, l2norm, random, and the per-head allocators (adakv, headkv —
+global scores are all_gathered [N floats/head], winning rows fetched by
+local one-hot contraction + psum).  H2O needs a second ring pass for its
 full-matrix column sums (ROADMAP item 7).
 
 All collectives are XLA primitives inside one `shard_map`; the layer loop
@@ -133,7 +135,8 @@ def sequence_parallel_prefill(
     identical (up to fp reorder) to `models.llama.prefill` on one device.
     """
     m = plan.spec.method
-    assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random"), m
+    assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
+                 "adakv", "headkv"), m
     b, n = tokens.shape
     p = mesh.shape[axis]
     assert n % p == 0 and n == plan.bucket_len
@@ -168,7 +171,57 @@ def sequence_parallel_prefill(
 
             hh = k_rep.shape[1]
             # ---- scoring (local columns, global normalisation) ----
-            if m in ("snapkv", "pyramidkv"):
+            if m in ("adakv", "headkv"):
+                # per-head allocation needs the global score vector: gather
+                # scores (N floats/head — small), allocate, then fetch the
+                # winning ROWS via local one-hot contractions + psum.
+                from ..ops.selection import (
+                    adakv_allocate,
+                    headkv_allocate,
+                    selection_from_allocation,
+                )
+
+                qw_local = q[:, :, nl - w:, :]
+                qw = jax.lax.psum(
+                    jnp.where(me == p - 1, qw_local, jnp.zeros_like(qw_local)),
+                    axis,
+                )
+                sc_local = _sp_window_scores(
+                    qw, k_rep, axis=axis, n_global=n, window=w,
+                    true_len=true_len_, kernel_size=plan.spec.kernel_size,
+                    pooling=plan.spec.pooling, aggregation="mean",
+                )
+                sc_full = jax.lax.all_gather(sc_local, axis, axis=2, tiled=True)
+                base = plan.spec.max_capacity_prompt - plan.spec.window_size
+                if m == "adakv":
+                    alloc = adakv_allocate(
+                        sc_full, base_capacity=base,
+                        floor_ratio=plan.spec.floor_ratio,
+                        normalize=plan.spec.normalize, true_len=true_len_,
+                        window_size=w, max_head_capacity=width,
+                    )
+                else:
+                    alloc = headkv_allocate(
+                        sc_full, head_capacity=ctx.head_capacity,
+                        base_capacity=base, true_len=true_len_,
+                        window_size=w, max_head_capacity=width,
+                    )
+                sel = selection_from_allocation(alloc, width)
+                onehot_l = (
+                    sel.indices[..., None] == cols[None, None, None, :]
+                ).astype(k_rep.dtype)  # [B,H,width,Nl]
+                kept_k = jax.lax.psum(
+                    jnp.einsum("bhwn,bhnd->bhwd", onehot_l, k_rep,
+                               preferred_element_type=jnp.float32), axis
+                ).astype(k_rep.dtype)
+                kept_v = jax.lax.psum(
+                    jnp.einsum("bhwn,bhnd->bhwd", onehot_l, v_rep,
+                               preferred_element_type=jnp.float32), axis
+                ).astype(v_rep.dtype)
+                kept_cols = sel.indices
+                kept_valid = sel.valid
+                scores = None  # handled
+            elif m in ("snapkv", "pyramidkv"):
                 # window queries live on the LAST shard; broadcast them
                 qw_local = q[:, :, nl - w:, :]
                 qw = jax.lax.psum(
@@ -204,38 +257,49 @@ def sequence_parallel_prefill(
                 scores = jnp.where(past[:, None, :], u, _NEG_INF)
 
             # ---- local top-k candidates, then global merge ----
-            kw = min(width, nl)
-            lv, li = jax.lax.top_k(scores, kw)  # [B,H,kw] local cols
-            gcols = jnp.take_along_axis(
-                jnp.broadcast_to(cols[None, None, :], scores.shape), li, axis=-1
-            )
-            onehot = (
-                li[..., None] == jnp.arange(nl, dtype=jnp.int32)[None, None, None, :]
-            ).astype(k_rep.dtype)
-            cand_k = jnp.einsum("bhwn,bhnd->bhwd", onehot, k_rep,
-                                preferred_element_type=jnp.float32).astype(k_rep.dtype)
-            cand_v = jnp.einsum("bhwn,bhnd->bhwd", onehot, v_rep,
-                                preferred_element_type=jnp.float32).astype(v_rep.dtype)
-            # gather candidates from all shards: [B, H, P*kw, ...]
-            allv = jax.lax.all_gather(lv, axis, axis=2, tiled=True)
-            allc = jax.lax.all_gather(gcols, axis, axis=2, tiled=True)
-            allk = jax.lax.all_gather(cand_k, axis, axis=2, tiled=True)
-            av = jax.lax.all_gather(cand_v, axis, axis=2, tiled=True)
-            fv, fi = jax.lax.top_k(allv, width)  # global winners
-            sel_onehot = (
-                fi[..., None]
-                == jnp.arange(allv.shape[2], dtype=jnp.int32)[None, None, None, :]
-            ).astype(allk.dtype)
-            kept_k = jnp.einsum("bhwn,bhnd->bhwd", sel_onehot, allk,
-                                preferred_element_type=jnp.float32).astype(allk.dtype)
-            kept_v = jnp.einsum("bhwn,bhnd->bhwd", sel_onehot, av,
-                                preferred_element_type=jnp.float32).astype(av.dtype)
-            kept_cols = jnp.take_along_axis(allc, fi, axis=-1)
-            rank = jnp.arange(width, dtype=jnp.int32)[None, None, :]
-            counts = ctx.keep_counts
-            if counts.ndim == 1:
-                counts = counts[:, None]
-            kept_valid = (rank < counts[:, :, None]) & jnp.isfinite(fv)
+            if m not in ("adakv", "headkv"):
+                kw = min(width, nl)
+                lv, li = jax.lax.top_k(scores, kw)  # [B,H,kw] local cols
+                gcols = jnp.take_along_axis(
+                    jnp.broadcast_to(cols[None, None, :], scores.shape), li,
+                    axis=-1,
+                )
+                onehot = (
+                    li[..., None]
+                    == jnp.arange(nl, dtype=jnp.int32)[None, None, None, :]
+                ).astype(k_rep.dtype)
+                cand_k = jnp.einsum(
+                    "bhwn,bhnd->bhwd", onehot, k_rep,
+                    preferred_element_type=jnp.float32,
+                ).astype(k_rep.dtype)
+                cand_v = jnp.einsum(
+                    "bhwn,bhnd->bhwd", onehot, v_rep,
+                    preferred_element_type=jnp.float32,
+                ).astype(v_rep.dtype)
+                # gather candidates from all shards: [B, H, P*kw, ...]
+                allv = jax.lax.all_gather(lv, axis, axis=2, tiled=True)
+                allc = jax.lax.all_gather(gcols, axis, axis=2, tiled=True)
+                allk = jax.lax.all_gather(cand_k, axis, axis=2, tiled=True)
+                av = jax.lax.all_gather(cand_v, axis, axis=2, tiled=True)
+                fv, fi = jax.lax.top_k(allv, width)  # global winners
+                sel_onehot = (
+                    fi[..., None]
+                    == jnp.arange(allv.shape[2], dtype=jnp.int32)[None, None, None, :]
+                ).astype(allk.dtype)
+                kept_k = jnp.einsum(
+                    "bhwn,bhnd->bhwd", sel_onehot, allk,
+                    preferred_element_type=jnp.float32,
+                ).astype(allk.dtype)
+                kept_v = jnp.einsum(
+                    "bhwn,bhnd->bhwd", sel_onehot, av,
+                    preferred_element_type=jnp.float32,
+                ).astype(av.dtype)
+                kept_cols = jnp.take_along_axis(allc, fi, axis=-1)
+                rank = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+                counts = ctx.keep_counts
+                if counts.ndim == 1:
+                    counts = counts[:, None]
+                kept_valid = (rank < counts[:, :, None]) & jnp.isfinite(fv)
 
             # ---- recency window rows (last shard) broadcast ----
             if w > 0:

@@ -77,3 +77,46 @@ def test_sp_prefill_then_decode(setup):
     np.testing.assert_allclose(
         np.asarray(l_got), np.asarray(l_ref), rtol=3e-4, atol=3e-4
     )
+
+
+@pytest.mark.parametrize("method", ["adakv", "headkv"])
+def test_sp_prefill_headwise_methods(setup, method):
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    kw = dict(method=method, max_capacity_prompt=32, window_size=8,
+              kernel_size=1)
+    if method == "headkv":
+        L, H = spec.num_hidden_layers, spec.num_attention_heads
+        kw["head_capacity"] = tuple(
+            tuple(8 + (i + j) % 5 for j in range(H)) for i in range(L)
+        )
+    comp = CompressionSpec(**kw)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    ref_mask = np.asarray(ref_cache.mask)
+    got_mask = np.asarray(got_cache.mask)
+    # adakv's score-mass-normalised global top-(H*base) can flip a boundary
+    # slot under distributed-softmax fp reordering; headkv (static budgets)
+    # is exact.
+    tol = 2 if method == "adakv" else 0
+    assert abs(int(ref_mask.sum()) - int(got_mask.sum())) <= tol
+    ref_pos = np.asarray(ref_cache.positions)
+    got_pos = np.asarray(got_cache.positions)
+    L, B, H, S = ref_mask.shape
+    mismatches = 0
+    for l in range(L):
+        for h in range(H):
+            a = set(ref_pos[l, 0, h][ref_mask[l, 0, h]].tolist())
+            bb = set(got_pos[l, 0, h][got_mask[l, 0, h]].tolist())
+            mismatches += len(a ^ bb)
+    # adakv's tail scores sit at ~1e-5 where 1e-7 fp reordering noise flips
+    # boundary ranks; require >= 97% kept-set agreement there, exact else.
+    limit = int(0.03 * ref_mask.sum()) if method == "adakv" else 0
+    assert mismatches <= limit, (method, mismatches, limit)
