@@ -171,6 +171,8 @@ def flash_causal_attention(
     q, k, v [B, H, N, D] -> [B, H, N, D] (padding rows undefined).
     """
     b, h, n, d = q.shape
+    hk = k.shape[1]
+    g = h // hk
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
@@ -184,8 +186,13 @@ def flash_causal_attention(
     T = len(qidx)
 
     qr = q.reshape(b * h, n, d)
-    kr = k.reshape(b * h, n, d)
-    vr = v.reshape(b * h, n, d)
+    kr = k.reshape(b * hk, n, d)
+    vr = v.reshape(b * hk, n, d)
+
+    def _kv_row(bh):
+        # grid row bh indexes (batch, query head); map to its KV head row
+        # (grouped-query: no repeat_kv buffer is materialised)
+        return (bh // h) * hk + (bh % h) // g
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -194,9 +201,9 @@ def flash_causal_attention(
             pl.BlockSpec((1, block_q, d),
                          lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),
             pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls: (bh, kx[t], 0)),
+                         lambda bh, t, pad, qx, kx, fs, ls: (_kv_row(bh), kx[t], 0)),
             pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls: (bh, kx[t], 0)),
+                         lambda bh, t, pad, qx, kx, fs, ls: (_kv_row(bh), kx[t], 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),

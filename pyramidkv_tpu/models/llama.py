@@ -214,14 +214,18 @@ def prefill(
         q, k, v = _qkv(x, wts, spec)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        k_rep = _repeat_kv(k, groups)
-        v_rep = _repeat_kv(v, groups)
+        # k/v stay at num_kv_heads everywhere: attention, scoring, and
+        # compaction all expand GQA groups inside their contractions, so no
+        # O(H*N*D) repeat_kv buffer is ever materialised (the reference
+        # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
         if plan.spec.method == "minference":
             from ..ops.sparse_prefill import (
                 estimate_vertical_slash,
                 sparse_prefill_attention,
             )
 
+            k_rep = _repeat_kv(k, groups)
+            v_rep = _repeat_kv(v, groups)
             pattern = estimate_vertical_slash(
                 q, k_rep, true_len=true_len,
                 vertical_size=plan.spec.minference_vertical_size,
@@ -236,23 +240,21 @@ def prefill(
             from ..kernels import flash_causal_attention
 
             attn = flash_causal_attention(
-                q, k_rep, v_rep, true_len,
+                q, k, v, true_len,
                 block_q=min(prefill_block, n), block_k=min(prefill_block, n),
                 sliding_window=spec.sliding_window,
                 interpret=attention_impl == "pallas_interpret",
             )
         else:
             attn = causal_prefill_attention(
-                q, k_rep, v_rep, true_len=true_len,
+                q, k, v, true_len=true_len,
                 block=prefill_block, sliding_window=spec.sliding_window,
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
         hidden = hidden + attn @ wts["wo"]
         x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
         hidden = hidden + _mlp(x2, wts)
-        ckv = compress_layer(
-            plan, ctx, q, k_rep, v_rep, true_len=true_len, k_kv=k, v_kv=v
-        )
+        ckv = compress_layer(plan, ctx, q, k, v, true_len=true_len)
         return hidden, ckv
 
     hidden, ckvs = jax.lax.scan(layer_fn, hidden0, (params["layers"], ctxs))

@@ -36,7 +36,9 @@ def causal_prefill_attention(
     """Blockwise causal self-attention over a left-padded buffer.
 
     Args:
-      q, k, v: [B, H, N, D] (k/v already repeated to H query heads).
+      q: [B, H, N, D]; k, v: [B, Hk, N, D] where Hk == H (pre-repeated) or
+        Hk == num_kv_heads (grouped-query: each group of H/Hk query heads
+        shares a KV head — no repeat_kv materialisation).
       true_len: [B] int32 — real tokens occupy columns [N - true_len, N).
       block: query-block size of the online-softmax scan.
       sliding_window: Mistral-style window — key j visible to query i only
@@ -46,6 +48,10 @@ def causal_prefill_attention(
       [B, H, N, D] attention outputs (garbage at padding rows; callers mask).
     """
     b, h, n, d = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        g = h // hk
+        q = q.reshape(b, hk, g, n, d)
     # cap the transient [B, H, block, N] fp32 logits at ~256 MB
     budget = (1 << 26) // max(b * h * n, 1)
     block = max(min(block, budget), 8)
@@ -57,30 +63,53 @@ def causal_prefill_attention(
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]  # [B, N]
 
-    q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
+    q_blocks = (
+        q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
+        if hk == h else None
+    )
 
     def body(_, inputs):
         bi, qb = inputs
         # operands stay in storage dtype (bf16 on TPU -> full-rate MXU);
         # accumulation is fp32 via preferred_element_type, softmax in fp32 —
         # the reference's fp16-matmul + fp32-softmax recipe.
-        logits = jnp.einsum(
-            "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
-        ) * scale
         rows = bi * block + jnp.arange(block, dtype=jnp.int32)  # [block]
         causal = col[None, :] <= rows[:, None]  # [block, N]
         if sliding_window is not None:
             causal &= (rows[:, None] - col[None, :]) < sliding_window
         mask = causal[None] & colv[:, None, :]  # [B, block, N]
-        logits = jnp.where(mask[:, None], logits, _NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum(
-            "bhqn,bhnd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+        if hk == h:
+            logits = jnp.einsum(
+                "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
+            ) * scale
+            logits = jnp.where(mask[:, None], logits, _NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum(
+                "bhqn,bhnd->bhqd", probs, v,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bkgqd,bknd->bkgqn", qb, k, preferred_element_type=jnp.float32
+            ) * scale
+            logits = jnp.where(mask[:, None, None], logits, _NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum(
+                "bkgqn,bknd->bkgqd", probs, v,
+                preferred_element_type=jnp.float32,
+            )
         return None, out
 
-    _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks))
-    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+    if hk == h:
+        q_blocks_ = q_blocks
+        _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks_))
+        out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+    else:
+        g = h // hk
+        q_blocks_ = q.reshape(b, hk, g, nblocks, block, d).transpose(3, 0, 1, 2, 4, 5)
+        _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks_))
+        # outs: [nblocks, B, Hk, G, block, D]
+        out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(b, h, n, d)
     return out.astype(q.dtype)
 
 

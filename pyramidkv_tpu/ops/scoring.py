@@ -67,9 +67,10 @@ def window_scores(
 
     Args:
       q: [B, H, N, D] queries (post-RoPE), left-padded buffer.
-      k: [B, H, N, D] keys (post-RoPE, already repeated to H query heads when
-         per-query-head selection is on — reference compresses after
-         repeat_kv, llama_model.py:158-159).
+      k: [B, Hk, N, D] keys (post-RoPE).  Hk == H reproduces the reference's
+         post-repeat_kv scoring (llama_model.py:158-159) directly; with
+         Hk == num_kv_heads the grouped einsum computes the SAME per-query-
+         head scores without materialising the repeat.
       window_size: W — the last W queries are the observation window.
       true_len: [B] int32 count of real tokens.
       kernel_size / pooling: 1-D smoothing of the raw score.
@@ -80,10 +81,17 @@ def window_scores(
       [B, H, N - W] float32 scores, -inf at padding columns.
     """
     b, h, n, d = q.shape
+    hk = k.shape[1]
     w = window_size
     qw = q[:, :, n - w :, :].astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) / math.sqrt(d)
+    if hk == h:
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) / math.sqrt(d)
+    else:
+        g = h // hk
+        logits = jnp.einsum(
+            "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), kf
+        ).reshape(b, h, w, n) / math.sqrt(d)
     logits = logits + _window_causal_bias(w, n)[None, None]
     colv = _column_valid(n, true_len)  # [B, N]
     logits = jnp.where(colv[:, None, None, :], logits, _NEG_INF)
@@ -119,6 +127,10 @@ def h2o_scores(
     memory is O(block * N) instead of O(N^2) per head.
     """
     b, h, n, d = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        # grouped keys: expand per-query-head logits via the grouped einsum
+        g = h // hk
     w = window_size
     # cap the transient [B, H, block, N] fp32 logits at ~256 MB
     budget = (1 << 26) // max(b * h * n, 1)
@@ -137,9 +149,15 @@ def h2o_scores(
         bi, qb = inputs
         # bf16 operands, fp32 accumulation (reference: fp16 matmul,
         # fp32 softmax — pyramidkv_utils.py:544, :553)
-        logits = jnp.einsum(
-            "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
-        ) * scale
+        if hk == h:
+            logits = jnp.einsum(
+                "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
+            ) * scale
+        else:
+            logits = jnp.einsum(
+                "bkgqd,bknd->bkgqn", qb.reshape(b, hk, g, block, d), k,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, block, n) * scale
         r = bi * block + jnp.arange(block, dtype=jnp.int32)  # buffer row ids
         # Causal bias only where both row and col are inside the last W block.
         jcol = row[None, :]

@@ -293,7 +293,8 @@ def compact_kv(
     """Gather the selected past tokens + the verbatim recency window into the
     static slot layout (reference: gather + cat, pyramidkv_utils.py:341-346).
     """
-    b, h, n, d = k.shape
+    b, hk, n, d = k.shape
+    h = sel.indices.shape[1]
     w = window_size
     width = sel.indices.shape[-1]
     pad = (n - true_len).astype(jnp.int32)[:, None, None]  # [B,1,1]
@@ -301,22 +302,38 @@ def compact_kv(
     # Row gather as a one-hot matmul: XLA lowers take_along_axis on
     # [B,H,width,D] rows to a scalar gather that measured ~22 ms/layer on
     # TPU at N=4096; the MXU one-hot contraction does it in <1 ms and is
-    # bit-exact (single 1.0 coefficient per output row).
+    # bit-exact (single 1.0 coefficient per output row).  With grouped keys
+    # (hk == num_kv_heads < H selection heads) the contraction reads each
+    # KV head once for its whole query group — no repeat_kv buffer.
     onehot = (
         sel.indices[..., None] == jnp.arange(n, dtype=jnp.int32)[None, None, None, :]
     ).astype(k.dtype)  # [B,H,width,N]
-    kept_k = jnp.einsum(
-        "bhwn,bhnd->bhwd", onehot, k, preferred_element_type=jnp.float32
-    ).astype(k.dtype)
-    kept_v = jnp.einsum(
-        "bhwn,bhnd->bhwd", onehot, v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
+    if hk == h:
+        kept_k = jnp.einsum(
+            "bhwn,bhnd->bhwd", onehot, k, preferred_element_type=jnp.float32
+        ).astype(k.dtype)
+        kept_v = jnp.einsum(
+            "bhwn,bhnd->bhwd", onehot, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
+    else:
+        g = h // hk
+        oh = onehot.reshape(b, hk, g, width, n)
+        kept_k = jnp.einsum(
+            "bkgwn,bknd->bkgwd", oh, k, preferred_element_type=jnp.float32
+        ).reshape(b, h, width, d).astype(k.dtype)
+        kept_v = jnp.einsum(
+            "bkgwn,bknd->bkgwd", oh, v, preferred_element_type=jnp.float32
+        ).reshape(b, h, width, d).astype(v.dtype)
     kept_pos = sel.indices - pad  # true positions
     kept_mask = sel.valid
 
     if w > 0:
         win_k = k[:, :, n - w :, :]
         win_v = v[:, :, n - w :, :]
+        if hk != h:
+            g = h // hk
+            win_k = jnp.repeat(win_k, g, axis=1)  # only W rows — tiny
+            win_v = jnp.repeat(win_v, g, axis=1)
         win_col = jnp.arange(n - w, n, dtype=jnp.int32)[None, None, :]
         win_mask = jnp.broadcast_to(win_col >= pad, (b, h, w))
         win_pos = jnp.broadcast_to(win_col - pad, (b, h, w))

@@ -272,29 +272,36 @@ def compress_layer(
         ``num_kv_heads`` (group_size x less HBM than the reference layout).
     """
     spec = plan.spec
-    b, h, n, d = k.shape
+    b, h, n, d = q.shape
     w = plan.window
     m = spec.method
+    if k_kv is None:
+        k_kv, v_kv = k, v  # new contract: k/v may already be grouped
+    hk = k_kv.shape[1]
+    groups = h // hk
+
+    def _rep(x):
+        """Materialise per-query-head copies (only the CAM / pivot-merge /
+        think-compat paths need a full repeated buffer)."""
+        return x if x.shape[1] == h else jnp.repeat(x, groups, axis=1)
 
     if spec.gqa_aggregate:
         if m in ("cam", "think", "headkv"):
             raise NotImplementedError(f"gqa_aggregate unsupported for {m}")
-        assert k_kv is not None and v_kv is not None
-        hk = k_kv.shape[1]
-        groups = h // hk
 
         def _group_mean(scores: jax.Array) -> jax.Array:
             return scores.reshape(b, hk, groups, scores.shape[-1]).mean(axis=2)
 
-        k_score = k  # repeated heads, used for q @ k scoring
-        k, v = k_kv, v_kv  # storage tensors
+        k, v = k_kv, v_kv  # storage at kv heads
     else:
-        groups = 1
         _group_mean = lambda s: s  # noqa: E731
-        k_score = k
-        if m in ("fullkv", "minference") and k_kv is not None:
+        if m in ("fullkv", "minference"):
+            k, v = k_kv, v_kv  # true-GQA storage
+        else:
+            # per-query-head storage; scoring/compaction read k_kv grouped
             k, v = k_kv, v_kv
-    hs = k.shape[1]  # stored head count
+    k_score = k_kv  # scorers expand groups internally (ops/scoring.py)
+    hs = hk if stores_kv_heads(spec) else h  # stored head count
 
     if m in ("fullkv", "minference"):
         # Fast path: the buffer IS the compacted layout — no gather.
@@ -315,22 +322,34 @@ def compress_layer(
             ),
         )
 
+    def _expand(scores_kv):
+        """[B, hk, C] -> [B, hs, C] (selection identical within a group for
+        position/norm scores)."""
+        if scores_kv.shape[1] == hs:
+            return scores_kv
+        return jnp.repeat(scores_kv, hs // scores_kv.shape[1], axis=1)
+
     if m == "l2norm":
-        scores = l2norm_scores(k, true_len=true_len)
+        scores = _expand(l2norm_scores(k_kv, true_len=true_len))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
-        return compact_kv(k, v, sel, window_size=0,
+        return compact_kv(k_kv, v_kv, sel, window_size=0,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "streamingllm":
-        scores = position_scores(k, window_size=w, true_len=true_len)
+        scores = _expand(position_scores(k_kv, window_size=w, true_len=true_len))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
-        return compact_kv(k, v, sel, window_size=w,
+        return compact_kv(k_kv, v_kv, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "random":
-        scores = random_scores(ctx.rng, k, window_size=w, true_len=true_len)
+        # per-(query-)head randomness like the reference's results-table row
+        u = jax.random.uniform(ctx.rng, (b, hs, n - w), dtype=jnp.float32)
+        colv = jnp.arange(n - w, dtype=jnp.int32)[None, :] >= (
+            n - true_len
+        ).astype(jnp.int32)[:, None]
+        scores = jnp.where(colv[:, None, :], u, -jnp.inf)
         sel = topk_select(scores, plan.width, ctx.keep_counts)
-        return compact_kv(k, v, sel, window_size=w,
+        return compact_kv(k_kv, v_kv, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "h2o":
@@ -342,7 +361,7 @@ def compress_layer(
             raw = h2o_scores(q, k_score, window_size=w, true_len=true_len)
         scores = _group_mean(raw)
         sel = topk_select(scores, plan.width, ctx.keep_counts)
-        return compact_kv(k, v, sel, window_size=w,
+        return compact_kv(k_kv, v_kv, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m in ("snapkv", "pyramidkv", "think"):
@@ -352,11 +371,16 @@ def compress_layer(
         ))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         if spec.merge == "pivot":
-            k, v = pivot_merge(k, v, sel, window_size=w, true_len=true_len)
-        ckv = compact_kv(k, v, sel, window_size=w,
-                         decode_slots=plan.decode_slots, true_len=true_len)
+            kr, vr = pivot_merge(_rep(k_kv), _rep(v_kv), sel, window_size=w,
+                                 true_len=true_len)
+            ckv = compact_kv(kr, vr, sel, window_size=w,
+                             decode_slots=plan.decode_slots, true_len=true_len)
+        else:
+            ckv = compact_kv(k_kv, v_kv, sel, window_size=w,
+                             decode_slots=plan.decode_slots, true_len=true_len)
         if m == "think":
-            ckv = _think_zero_channels(ckv, q, k, sel, plan, true_len, ctx.keep_counts)
+            ckv = _think_zero_channels(ckv, q, ckv.k, sel, plan, true_len,
+                                       ctx.keep_counts)
         return ckv
 
     if m == "cam":
@@ -365,8 +389,10 @@ def compress_layer(
         # window softmax itself.
         from .ops.scoring import _column_valid, _window_causal_bias
 
+        kr = _rep(k_kv)
+        v = _rep(v_kv)
         qw = q[:, :, n - w :, :].astype(jnp.float32)
-        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, k.astype(jnp.float32)) / math.sqrt(d)
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kr.astype(jnp.float32)) / math.sqrt(d)
         logits = logits + _window_causal_bias(w, n)[None, None]
         colv = _column_valid(n, true_len)
         logits = jnp.where(colv[:, None, None, :], logits, -jnp.inf)
@@ -381,7 +407,7 @@ def compress_layer(
             recent_budget=w, true_len=true_len,
         )
         sel = topk_select(scores, plan.width, ctx.keep_counts)
-        return compact_kv(k, v, sel, window_size=w,
+        return compact_kv(kr, v, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m in ("adakv", "headkv"):
@@ -403,7 +429,7 @@ def compress_layer(
                 true_len=true_len, window_size=w, max_head_capacity=plan.width,
             )
         sel = selection_from_allocation(alloc, plan.width)
-        return compact_kv(k, v, sel, window_size=w,
+        return compact_kv(k_kv, v_kv, sel, window_size=w,
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     raise ValueError(f"unknown method {m!r}")

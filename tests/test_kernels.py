@@ -106,3 +106,25 @@ def test_h2o_pallas_matches_xla(true_len):
         np.testing.assert_allclose(
             got[bi, :, pad:], want[bi, :, pad:], rtol=3e-4, atol=3e-4
         )
+
+
+def test_flash_grouped_kv_matches_repeated():
+    """Grouped-query kernel (KV heads < query heads) == repeated-KV kernel."""
+    b, h, kv, n, d = 2, 8, 2, 64, 32
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, kv, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, kv, n, d)), jnp.float32)
+    tl = jnp.asarray([64, 49], jnp.int32)
+    krep = jnp.repeat(k, h // kv, axis=1)
+    vrep = jnp.repeat(v, h // kv, axis=1)
+    want = flash_causal_attention(q, krep, vrep, tl, block_q=16, block_k=16,
+                                  interpret=True)
+    got = flash_causal_attention(q, k, v, tl, block_q=16, block_k=16,
+                                 interpret=True)
+    for bi in range(b):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
