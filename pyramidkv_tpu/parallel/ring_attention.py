@@ -32,13 +32,20 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _ring_body(q, k, v, true_len, axis_name: str):
     """Per-shard computation (runs under shard_map).
 
-    q, k, v: [B, H, Nl, D] — this device's sequence shard (global layout:
-    shard p owns rows [p*Nl, (p+1)*Nl)).
+    q: [B, H, Nl, D]; k, v: [B, Hk, Nl, D] — this device's sequence shard
+    (global layout: shard p owns rows [p*Nl, (p+1)*Nl)).  Hk may be
+    num_kv_heads (grouped-query): only the KV heads rotate around the ring,
+    cutting ICI traffic by the group factor.
     true_len: [B] GLOBAL true length (left padding at the global front).
     """
     p = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     b, h, nl, d = q.shape
+    hk = k.shape[1]
+    grouped = hk != h
+    if grouped:
+        g = h // hk
+        qg = q.reshape(b, hk, g, nl, d)
     n = nl * p
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)  # [B]
@@ -51,9 +58,14 @@ def _ring_body(q, k, v, true_len, axis_name: str):
         # (me - s_idx) mod p
         src = (me - s_idx) % p
         cols = src * nl + jnp.arange(nl, dtype=jnp.int32)  # [Nl]
-        s = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
-        ) * scale
+        if grouped:
+            s = jnp.einsum(
+                "bkgqd,bkcd->bkgqc", qg, kc, preferred_element_type=jnp.float32
+            ).reshape(b, h, nl, nl) * scale
+        else:
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
+            ) * scale
         mask = (cols[None, :] <= rows[:, None])[None, None] & (
             cols[None, None, None, :] >= pad[:, None, None, None]
         )
@@ -65,10 +77,17 @@ def _ring_body(q, k, v, true_len, axis_name: str):
         alpha = jnp.exp(jnp.minimum(m - m_new, 0.0))
         alpha = jnp.where(m <= _NEG_INF / 2, 0.0, alpha)
         l_new = alpha * l + pexp.sum(-1, keepdims=True)
-        acc_new = acc * alpha + jnp.einsum(
-            "bhqk,bhkd->bhqd", pexp.astype(vc.dtype), vc,
-            preferred_element_type=jnp.float32,
-        )
+        pv = pexp.astype(vc.dtype)
+        if grouped:
+            upd = jnp.einsum(
+                "bkgqc,bkcd->bkgqd", pv.reshape(b, hk, g, nl, nl), vc,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, nl, d)
+        else:
+            upd = jnp.einsum(
+                "bhqk,bhkd->bhqd", pv, vc, preferred_element_type=jnp.float32
+            )
+        acc_new = acc * alpha + upd
         # rotate K/V shards one step around the ring
         perm = [(i, (i + 1) % p) for i in range(p)]
         kc = jax.lax.ppermute(kc, axis_name, perm)

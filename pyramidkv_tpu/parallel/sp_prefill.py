@@ -68,13 +68,21 @@ def _sp_window_scores(
     p = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     b, h, w, d = qw.shape
+    hk = k_local.shape[1]
     nl = k_local.shape[2]
     pad = (n_global - true_len).astype(jnp.int32)  # [B]
     cols = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global col ids
 
-    logits = jnp.einsum(
-        "bhwd,bhnd->bhwn", qw, k_local, preferred_element_type=jnp.float32
-    ) / math.sqrt(d)
+    if hk == h:
+        logits = jnp.einsum(
+            "bhwd,bhnd->bhwn", qw, k_local, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
+    else:
+        g = h // hk
+        logits = jnp.einsum(
+            "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), k_local,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, nl) / math.sqrt(d)
     # causal inside the trailing W x W block (global rows n-W..n-1)
     row_g = n_global - w + jnp.arange(w, dtype=jnp.int32)  # [W]
     tri_mask = cols[None, :] > row_g[:, None]  # key after query, only hits
@@ -161,9 +169,10 @@ def sequence_parallel_prefill(
             q, k, v = _qkv(x, wts, spec)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
+            attn = _ring_body(q, k, v, true_len_, axis)  # grouped ring:
+            # only KV heads rotate (group_size x less ICI traffic)
             k_rep = _repeat_kv(k, groups)
             v_rep = _repeat_kv(v, groups)
-            attn = _ring_body(q, k_rep, v_rep, true_len_, axis)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
             hidden = hidden + attn @ wts["wo"]
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
