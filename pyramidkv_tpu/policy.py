@@ -32,7 +32,6 @@ from .ops import (
     pivot_merge,
     position_scores,
     pyramid_keep_counts,
-    random_scores,
     selection_from_allocation,
     selection_window,
     static_selection_width,
