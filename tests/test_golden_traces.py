@@ -1,0 +1,55 @@
+"""Golden greedy-token traces per method on a fixed tiny model.
+
+Pins the end-to-end numerics (prefill -> compress -> decode) across
+refactors: any change that alters WHICH tokens a method keeps, or the
+attention/score math, flips these traces.  Regenerate deliberately with
+the snippet in this file's git history when an intentional change lands.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models import llama as jl
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_traces.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def eng_factory():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32)
+
+    def mk(method):
+        return Engine(
+            spec,
+            CompressionSpec(method=method, max_capacity_prompt=16,
+                            window_size=4, kernel_size=5, recent_size=8,
+                            minference_vertical_size=16,
+                            minference_slash_size=16, minference_last_q=8),
+            EngineSpec(max_new_tokens=8, prefill_buckets=(64,)),
+            params,
+        )
+
+    return mk
+
+
+@pytest.mark.parametrize(
+    "method", ["fullkv", "snapkv", "pyramidkv", "h2o", "streamingllm",
+               "l2norm", "adakv", "think", "minference"]
+)
+def test_trace_matches_golden(golden, eng_factory, method):
+    out = eng_factory(method).generate([golden["_prompt"]]).tokens[0]
+    assert out == golden[method], (method, out, golden[method])
