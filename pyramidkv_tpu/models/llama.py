@@ -163,10 +163,15 @@ def _mlp(x: jax.Array, wts: dict) -> jax.Array:
 
 
 def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
+    """fp32 logits WITHOUT upcasting the vocab projection: an explicit
+    ``astype(fp32)`` on the [Dm, V] matrix gets hoisted out of the decode
+    loop by XLA as a persistent fp32 copy (~2x the weight's HBM)."""
     h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps)
-    if spec.tie_word_embeddings:
-        return (h.astype(jnp.float32) @ params["embed"].T.astype(jnp.float32))
-    return h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    w = params["embed"].T if spec.tie_word_embeddings else params["lm_head"]
+    return jax.lax.dot_general(
+        h, w, (((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ---------------------------------------------------------------------------
