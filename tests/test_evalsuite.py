@@ -282,3 +282,35 @@ def test_ruler_real_data_schema(tmp_path):
             rec["pred"] = "the answer is " + ex["answers"][0]
             f.write(_json.dumps(rec) + "\n")
     assert score_ruler_file(out_path) == 100.0
+
+
+def test_longbench_real_data_schema(tmp_path):
+    """Run the LongBench harness flow against a real LongBench jsonl from
+    the reference snapshot (multi_news survived the blob strip)."""
+    import pytest as _pytest
+
+    path = "/root/reference/data/LongBench/multi_news.jsonl"
+    if not os.path.exists(path):
+        _pytest.skip("reference LongBench data absent")
+    from pyramidkv_tpu.evalsuite.harness import read_jsonl
+    from pyramidkv_tpu.evalsuite.report import score_prediction_file
+    from pyramidkv_tpu.evalsuite.tasks import LONGBENCH_TASKS
+
+    examples = read_jsonl(path)[:2]
+    assert {"context", "input", "answers", "length"} <= set(examples[0])
+    task = LONGBENCH_TASKS["multi_news"]
+    tok = WordTokenizer()
+    # echo the first gold summary -> rouge-L should be ~1
+    eng = EchoEngine(tok, examples[0]["answers"][0])
+    h = GenerationHarness(eng, tok, "llama3-t", model_max_len=2000)
+    out_path = str(tmp_path / "multi_news")
+    os.makedirs(out_path)
+    res = h.run_examples(
+        examples, template=task.prompt_template, max_new_tokens=task.max_gen,
+        out_path=os.path.join(out_path, "SnapKV.json"),
+    )
+    assert len(res.predictions) == 2
+    score = score_prediction_file(
+        os.path.join(out_path, "SnapKV.json"), "multi_news"
+    )
+    assert score > 40  # echo of example-0's gold answer (example 1 differs)
