@@ -51,6 +51,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gqa_aggregate", action="store_true",
                    help="store num_kv_heads cache entries (group-mean scores)")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="enable sampling with this temperature (default: greedy)")
+    p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_num_examples", type=int, default=None)
     p.add_argument("--sample_method", type=str, default="topk")
@@ -114,7 +117,12 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
     ) or (model_max_len,)
     eng = Engine(
         spec, comp,
-        EngineSpec(max_new_tokens=max_new_tokens, prefill_buckets=buckets),
+        EngineSpec(
+            max_new_tokens=max_new_tokens, prefill_buckets=buckets,
+            greedy=args.temperature is None,
+            temperature=args.temperature or 1.0,
+            sample_top_k=args.top_k,
+        ),
         params,
     )
     tokenizer = AutoTokenizer.from_pretrained(args.model_path, padding_side="left")
