@@ -83,6 +83,7 @@ class Engine:
         self.params = params
         self._prefill_fns: dict = {}
         self._decode_fns: dict = {}
+        self._roll_fns: dict = {}
         self.stats = EngineStats()
 
     def profile(self, log_dir: str):
@@ -182,10 +183,10 @@ class Engine:
                     done = done | is_eos
                     return cache, nxt, out, step + 1, done
 
-                cache, _, out, steps, done = jax.lax.while_loop(
+                cache, last, out, steps, done = jax.lax.while_loop(
                     cond, body, (cache, first_token, out, jnp.int32(0), done0)
                 )
-                return out, steps
+                return out, steps, cache, last, done
 
             fn = self._decode_fns[bucket] = decode_fn
         return fn
@@ -240,9 +241,9 @@ class Engine:
             list(eos_token_ids) or [-1], dtype=jnp.int32
         )
         decode_fn = self._get_decode(bucket)
-        out, steps = decode_fn(self.params, cache, first, eos,
-                               jax.random.fold_in(rng, 1 << 20),
-                               jnp.int32(max_new - 1))
+        out, steps, cache, _, _ = decode_fn(self.params, cache, first, eos,
+                                            jax.random.fold_in(rng, 1 << 20),
+                                            jnp.int32(max_new - 1))
         out = np.asarray(out)
         steps = int(steps)
         t2 = time.perf_counter()
@@ -273,4 +274,130 @@ class Engine:
             decode_seconds=t2 - t1,
             decode_steps=steps,
             kv_cache_bytes=cache_memory_bytes(cache),
+        )
+
+    # -- decode-stage compression (unbounded generation) -------------------
+
+    def _get_roll(self, bucket: int, keep_recent: int):
+        key = (bucket, keep_recent)
+        fn = self._roll_fns.get(key)
+        if fn is None:
+            plan = self.plan_for(bucket)
+            ps, ds = plan.prefill_slots, plan.decode_slots
+
+            @jax.jit
+            def roll_fn(cache: KVCache):
+                """Rolling decode-region compaction: keep the last
+                ``keep_recent`` decode tokens (shifted to the region start),
+                evict the older ones — StreamingLLM-style decode-stage
+                compression with the compressed prefill acting as sinks.
+                The reference lists this as an open TODO (README.md:49)."""
+                def shift(x, fill):
+                    dec = x[:, :, :, ps:ps + ds]
+                    recent = dec[:, :, :, ds - keep_recent:]
+                    pad_shape = list(x.shape)
+                    pad_shape[3] = ds - keep_recent
+                    pad = jnp.full(pad_shape, fill, x.dtype)
+                    return jnp.concatenate(
+                        [x[:, :, :, :ps], recent, pad], axis=3
+                    )
+
+                return KVCache(
+                    k=shift(cache.k, 0), v=shift(cache.v, 0),
+                    mask=shift(cache.mask, False),
+                    positions=shift(cache.positions, -1),
+                    # keep true_len + step == total tokens so RoPE positions
+                    # stay absolute after the shift
+                    true_len=cache.true_len + (cache.step - keep_recent),
+                    step=jnp.asarray(keep_recent, jnp.int32),
+                    quant=cache.quant,
+                )
+
+            fn = self._roll_fns[key] = roll_fn
+        return fn
+
+    def generate_long(
+        self,
+        prompt_ids: Sequence[Sequence[int]],
+        *,
+        max_new_tokens: int,
+        eos_token_ids: Sequence[int] = (),
+        rng_seed: int = 0,
+        keep_recent: Optional[int] = None,
+    ) -> GenerationOutput:
+        """Generation beyond the decode-slot allocation: when the decode
+        region fills, older decode tokens are evicted (rolling recency
+        window over the fixed-size cache) and generation continues —
+        unbounded length at constant memory."""
+        es = self.engine_spec
+        seg = es.max_new_tokens
+        if max_new_tokens <= seg:
+            return self.generate(
+                prompt_ids, max_new_tokens=max_new_tokens,
+                eos_token_ids=eos_token_ids, rng_seed=rng_seed,
+            )
+        if self.comp_spec.quant_method is not None:
+            raise NotImplementedError("generate_long with quantized caches")
+        keep_recent = keep_recent or seg // 2
+        assert 0 < keep_recent < seg
+        b = len(prompt_ids)
+        lens = [len(p) for p in prompt_ids]
+        bucket = es.bucket_for(max(lens))
+        tokens = np.zeros((b, bucket), dtype=np.int32)
+        for i, pr in enumerate(prompt_ids):
+            tokens[i, bucket - len(pr):] = np.asarray(pr, dtype=np.int32)
+        rng = jax.random.PRNGKey(rng_seed)
+        t0 = time.perf_counter()
+        logits, cache = self._get_prefill(bucket)(
+            self.params, jnp.asarray(tokens), jnp.asarray(lens, jnp.int32), rng
+        )
+        if eos_token_ids:
+            logits = logits.at[:, jnp.asarray(list(eos_token_ids), jnp.int32)
+                               ].set(-jnp.inf)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        t1 = time.perf_counter()
+
+        eos = jnp.asarray(list(eos_token_ids) or [-1], jnp.int32)
+        eos_set = set(int(e) for e in eos_token_ids)
+        decode_fn = self._get_decode(bucket)
+        roll_fn = self._get_roll(bucket, keep_recent)
+        results = [[int(np.asarray(token)[i])] for i in range(b)]
+        finished = [results[i][0] in eos_set for i in range(b)]
+        remaining = max_new_tokens - 1
+        seg_idx = 0
+        total_steps = 0
+        while remaining > 0 and not all(finished):
+            take = min(remaining, seg - int(cache.step))
+            out, steps, cache, token, done = decode_fn(
+                self.params, cache, token, eos,
+                jax.random.fold_in(rng, seg_idx), jnp.int32(take),
+            )
+            out_np = np.asarray(out)
+            done_np = np.asarray(done)
+            for i in range(b):
+                if finished[i]:
+                    continue
+                for t in out_np[i, :take]:
+                    t = int(t)
+                    if t < 0 or t in eos_set:
+                        finished[i] = True
+                        break
+                    results[i].append(t)
+                finished[i] = finished[i] or bool(done_np[i])
+            total_steps += int(steps)
+            remaining -= take
+            seg_idx += 1
+            if remaining > 0 and not all(finished):
+                cache = roll_fn(cache)
+        t2 = time.perf_counter()
+        results = [r[:max_new_tokens] for r in results]
+        self.stats.requests += b
+        self.stats.prompt_tokens += sum(lens)
+        self.stats.generated_tokens += sum(len(r) for r in results)
+        self.stats.prefill_seconds += t1 - t0
+        self.stats.decode_seconds += t2 - t1
+        self.stats.kv_cache_bytes_last = cache_memory_bytes(cache)
+        return GenerationOutput(
+            tokens=results, prefill_seconds=t1 - t0, decode_seconds=t2 - t1,
+            decode_steps=total_steps, kv_cache_bytes=cache_memory_bytes(cache),
         )

@@ -1,0 +1,63 @@
+"""Decode-stage compression: unbounded generation at fixed cache size
+(the reference's own open TODO, README.md:49)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models import llama as jl
+
+
+@pytest.fixture(scope="module")
+def eng():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)),
+        params,
+    )
+
+
+IDS = [int(x) for x in np.random.default_rng(7).integers(0, 256, size=40)]
+
+
+def test_generates_beyond_decode_slots(eng):
+    out = eng.generate_long([IDS], max_new_tokens=30)
+    assert len(out.tokens[0]) == 30
+    assert all(0 <= t < 256 for t in out.tokens[0])
+    # cache stayed at its fixed size (slots never grew)
+    plan = eng.plan_for(64)
+    assert out.kv_cache_bytes == (
+        2 * eng.model_spec.num_hidden_layers * 1
+        * eng.model_spec.num_attention_heads * plan.total_slots
+        * eng.model_spec.head_dim * 4  # fp32 test params
+    )
+
+
+def test_first_segment_matches_plain_generate(eng):
+    plain = eng.generate([IDS], max_new_tokens=8).tokens[0]
+    long = eng.generate_long([IDS], max_new_tokens=30).tokens[0]
+    assert long[:8] == plain
+
+
+def test_short_requests_delegate(eng):
+    a = eng.generate([IDS], max_new_tokens=5).tokens[0]
+    b = eng.generate_long([IDS], max_new_tokens=5).tokens[0]
+    assert a == b
+
+
+def test_eos_mid_segment_stops(eng):
+    base = eng.generate_long([IDS], max_new_tokens=20).tokens[0]
+    eos = base[10]
+    out = eng.generate_long([IDS], max_new_tokens=20,
+                            eos_token_ids=(eos,)).tokens[0]
+    assert len(out) <= 20
+    assert eos not in out
+    # and it is a prefix of the unconstrained run up to the first eos
+    cut = base.index(eos)
+    assert out == base[:cut]
