@@ -12,10 +12,11 @@ top-k selection gathers only the WINNING rows — so the compressed cache
 any cross-chip traffic.
 
 Supported methods: the window-score family (snapkv, pyramidkv),
-streamingllm, l2norm, random, and the per-head allocators (adakv, headkv —
-global scores are all_gathered [N floats/head], winning rows fetched by
-local one-hot contraction + psum).  H2O needs a second ring pass for its
-full-matrix column sums (ROADMAP item 7).
+streamingllm, l2norm, random, H2O (a dedicated two-pass ring: per-row
+stats, then rotated-row column accumulation), and the per-head allocators
+(adakv, headkv — global scores are all_gathered [N floats/head], winning
+rows fetched by local one-hot contraction + psum).  Not sharded: cam /
+think (sequential value merge / channel pruning — run them single-chip).
 
 All collectives are XLA primitives inside one `shard_map`; the layer loop
 stays a `lax.scan`.
@@ -128,6 +129,102 @@ def _sp_window_scores(
     return jnp.where(past_valid[:, None, :], s_pooled, _NEG_INF)
 
 
+def _h2o_ring_scores(
+    q: jax.Array,       # [B, H, Nl, D] local query rows
+    k_local: jax.Array, # [B, Hk, Nl, D] local key cols
+    *,
+    axis: str,
+    n_global: int,
+    window: int,
+    true_len: jax.Array,
+) -> jax.Array:
+    """H2O column sums under sequence sharding: two ring passes.
+
+    Pass 1 rotates K to compute each local ROW's softmax stats (m, l) under
+    the reference's quirky mask (causal only inside the trailing W x W
+    block, pyramidkv_utils.py:544-561).  Pass 2 rotates (Q, m, l) so every
+    shard accumulates all rows' normalised probabilities for its LOCAL
+    columns.  Returns [B, H, Nl] scores (window/pad columns -inf).
+    """
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, h, nl, d = q.shape
+    hk = k_local.shape[1]
+    g = h // hk
+    n = n_global
+    w = window
+    scale = 1.0 / math.sqrt(d)
+    pad = (n - true_len).astype(jnp.int32)  # [B]
+
+    def quirk_mask(rows, cols):
+        # rows/cols: [..., Nl] global ids; visibility per h2o parity
+        in_blk = (rows[:, None] >= n - w) & (cols[None, :] >= n - w)
+        return (cols[None, :] >= pad[:, None, None]) & ~(
+            in_blk & (cols[None, :] > rows[:, None])
+        )
+
+    loc = jnp.arange(nl, dtype=jnp.int32)
+    my_rows = me * nl + loc
+
+    def qk(qrows, kc):
+        if g == 1:
+            return jnp.einsum(
+                "bhqd,bhcd->bhqc", qrows, kc, preferred_element_type=jnp.float32
+            ) * scale
+        return jnp.einsum(
+            "bkgqd,bkcd->bkgqc", qrows.reshape(b, hk, g, nl, d), kc,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, nl, nl) * scale
+
+    # ---- pass 1: per-local-row stats over all columns ----
+    def step1(carry, s_idx):
+        m, l, kc = carry
+        src = (me - s_idx) % p
+        cols = src * nl + loc
+        sλ = qk(q, kc)
+        vis = quirk_mask(my_rows, cols)[:, None]  # [B,1,Nl,Nl]
+        sλ = jnp.where(vis, sλ, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(sλ, axis=-1, keepdims=True))
+        pe = jnp.where(vis, jnp.exp(sλ - jnp.maximum(m_new, _NEG_INF / 2)), 0.0)
+        alpha = jnp.where(m <= _NEG_INF / 2, 0.0,
+                          jnp.exp(jnp.minimum(m - m_new, 0.0)))
+        l = alpha * l + pe.sum(-1, keepdims=True)
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        return (m_new, l, jax.lax.ppermute(kc, axis, perm)), None
+
+    m0 = jnp.full((b, h, nl, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, nl, 1), jnp.float32)
+    (m, l, _), _ = jax.lax.scan(step1, (m0, l0, k_local), jnp.arange(p))
+
+    # ---- pass 2: rotate (q, m, l, row-origin) and accumulate local cols ----
+    my_cols = me * nl + loc
+
+    def step2(carry, s_idx):
+        acc, qc, mc, lc = carry
+        src = (me - s_idx) % p  # shard whose ROWS qc currently holds
+        rows = src * nl + loc
+        sλ = qk(qc, k_local)
+        vis = quirk_mask(rows, my_cols)[:, None]
+        rows_real = (rows[None, :] >= pad[:, None])  # [B, Nl]
+        pe = jnp.where(
+            vis & rows_real[:, None, :, None],
+            jnp.exp(sλ - jnp.maximum(mc, _NEG_INF / 2)) /
+            jnp.maximum(lc, 1e-30),
+            0.0,
+        )
+        acc = acc + pe.sum(axis=2)  # sum over rows -> [B, H, Nl]
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        qc = jax.lax.ppermute(qc, axis, perm)
+        mc = jax.lax.ppermute(mc, axis, perm)
+        lc = jax.lax.ppermute(lc, axis, perm)
+        return (acc, qc, mc, lc), None
+
+    acc0 = jnp.zeros((b, h, nl), jnp.float32)
+    (acc, _, _, _), _ = jax.lax.scan(step2, (acc0, q, m, l), jnp.arange(p))
+    past_valid = (my_cols[None, :] >= pad[:, None]) & (my_cols[None, :] < n - w)
+    return jnp.where(past_valid[:, None, :], acc, _NEG_INF)
+
+
 def sequence_parallel_prefill(
     params: dict,
     spec: ModelSpec,
@@ -144,7 +241,7 @@ def sequence_parallel_prefill(
     """
     m = plan.spec.method
     assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
-                 "adakv", "headkv"), m
+                 "adakv", "headkv", "h2o"), m
     b, n = tokens.shape
     p = mesh.shape[axis]
     assert n % p == 0 and n == plan.bucket_len
@@ -241,6 +338,11 @@ def sequence_parallel_prefill(
                     qw, k_rep, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation=agg,
+                )
+            elif m == "h2o":
+                scores = _h2o_ring_scores(
+                    q, k, axis=axis, n_global=n, window=w,
+                    true_len=true_len_,
                 )
             elif m == "streamingllm":
                 colv = cols[None, :] >= pad[:, None]

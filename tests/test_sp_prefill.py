@@ -26,7 +26,7 @@ def setup():
     return spec, params, toks
 
 
-@pytest.mark.parametrize("method", ["snapkv", "pyramidkv", "streamingllm", "l2norm"])
+@pytest.mark.parametrize("method", ["snapkv", "pyramidkv", "streamingllm", "l2norm", "h2o"])
 @pytest.mark.parametrize("sp", [4])
 def test_sp_prefill_matches_single_device(setup, method, sp):
     spec, params, toks = setup
