@@ -89,3 +89,21 @@ def test_quantized_lanes(eng):
     for r in reqs:
         want = qeng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_gqa_aggregate_lanes(eng):
+    spec = eng.model_spec
+    geng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4,
+                        gqa_aggregate=True),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(32, 64)),
+        eng.params,
+    )
+    rng = np.random.default_rng(5)
+    reqs = [Request(f"g{i}", [int(x) for x in rng.integers(0, 256, size=n)],
+                    max_new_tokens=4) for i, n in enumerate((20, 40))]
+    out = ContinuousBatcher(geng, lanes=2, quantum=2).run(list(reqs))
+    for r in reqs:
+        want = geng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
+        assert out[r.request_id].tokens == want

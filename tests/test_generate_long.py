@@ -61,3 +61,38 @@ def test_eos_mid_segment_stops(eng):
     # and it is a prefix of the unconstrained run up to the first eos
     cut = base.index(eos)
     assert out == base[:cut]
+
+
+def test_generate_long_with_sliding_window():
+    """Mistral-style sliding window composes with rolling decode eviction
+    (positions stay absolute across rolls)."""
+    spec = ModelSpec.tiny(sliding_window=16)
+    params = jl.init_params(spec, jax.random.PRNGKey(1), dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="streamingllm", max_capacity_prompt=16,
+                        window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)),
+        params,
+    )
+    out = eng.generate_long([IDS], max_new_tokens=25)
+    assert len(out.tokens[0]) == 25
+    assert all(0 <= t < 256 for t in out.tokens[0])
+
+
+def test_generate_long_batch():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    eng = Engine(
+        spec, CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                              window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    rng = np.random.default_rng(9)
+    prompts = [[int(x) for x in rng.integers(0, 256, size=n)] for n in (20, 35)]
+    out = eng.generate_long(prompts, max_new_tokens=20)
+    assert [len(t) for t in out.tokens] == [20, 20]
+    # batch rows match the same rows generated individually
+    for i, p in enumerate(prompts):
+        solo = eng.generate_long([p], max_new_tokens=20).tokens[0]
+        assert out.tokens[i] == solo
