@@ -65,7 +65,6 @@ class ContinuousBatcher:
                 "BatchScheduler for those.)"
             )
         self._plan = plans[0]
-        self._jax = jax
         self._quantum_fn = None
 
     def _build_quantum(self):
@@ -149,7 +148,6 @@ class ContinuousBatcher:
                 true_len=jnp.zeros((B,), jnp.int32),
                 step=jnp.zeros((), jnp.int32),
             )
-            kv_dtype = cache.k.dtype
         else:
             cache = KVCache(
                 k=jnp.zeros((L, B, heads, S, D), dtype),
