@@ -181,3 +181,29 @@ def test_headkv_decode_runs(tmp_path):
     ids = [int(x) for x in np.random.default_rng(5).integers(0, 128, size=28)]
     out = eng.generate([ids])
     assert len(out.tokens[0]) == 4
+
+
+def test_tied_embeddings_checkpoint(tmp_path):
+    """Loader + logits path for tie_word_embeddings=True checkpoints."""
+    torch.manual_seed(9)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=True,
+    )
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path / "tied"
+    model.save_pretrained(d, safe_serialization=True)
+    spec = spec_from_hf_dir(str(d))
+    assert spec.tie_word_embeddings
+    params = load_params_from_hf(str(d), spec, dtype=jnp.float32)
+    assert "lm_head" not in params
+    ids = np.random.default_rng(0).integers(0, 128, size=(1, 16))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+    plan = make_plan(CompressionSpec(method="fullkv"), spec.num_hidden_layers, 16, 4)
+    logits, _ = jl.prefill(params, spec, plan, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray([16], jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref[0, -1],
+                               rtol=2e-4, atol=2e-4)
