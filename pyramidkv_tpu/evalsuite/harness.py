@@ -10,12 +10,10 @@ Reproduces the reference runner's prompt pipeline
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 from typing import Iterable, Optional
 
-from ..config import CompressionSpec, EngineSpec, ModelSpec
 from ..engine import Engine
 
 

@@ -23,7 +23,7 @@ Layout decisions (TPU-first):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +32,8 @@ from ..cache import (KVCache, LayerCacheView, append_token,
                      append_token_per_lane)
 from ..config import ModelSpec
 from ..ops.attention import causal_prefill_attention, decode_attention
-from ..policy import (LayerContext, PolicyPlan, compress_layer,
-                      layer_contexts, stores_kv_heads)
+from ..policy import (PolicyPlan, compress_layer, layer_contexts,
+                      stores_kv_heads)
 
 # ---------------------------------------------------------------------------
 # Parameters

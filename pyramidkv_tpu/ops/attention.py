@@ -16,7 +16,6 @@ lengths are just masked columns — one batched matmul, no raggedness.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

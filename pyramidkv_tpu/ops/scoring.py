@@ -23,7 +23,6 @@ Behavioral contracts reproduced from the reference:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ AdaKV's global-top-k head allocation) exactly.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 

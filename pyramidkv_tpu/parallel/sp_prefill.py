@@ -24,7 +24,6 @@ stays a `lax.scan`.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 
@@ -43,7 +42,7 @@ from ..models.llama import (
     rms_norm,
     rope_inv_freq,
 )
-from ..policy import LayerContext, PolicyPlan, layer_contexts
+from ..policy import PolicyPlan, layer_contexts
 from .ring_attention import _ring_body
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)

@@ -24,7 +24,6 @@ from .ops import (
     Selection,
     adakv_allocate,
     compact_kv,
-    gather_channels,
     h2o_scores,
     headkv_allocate,
     l2norm_keep_counts,
@@ -40,7 +39,6 @@ from .ops import (
     uniform_keep_counts,
     window_scores,
 )
-from .ops.selection import HeadAllocation
 
 
 @dataclass(frozen=True)

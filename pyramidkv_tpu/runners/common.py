@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 import random
-from typing import Optional
 
 import numpy as np
 

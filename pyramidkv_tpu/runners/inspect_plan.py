@@ -28,7 +28,6 @@ def main():
     p.add_argument("--head_path", type=str, default=None)
     args = p.parse_args()
 
-    import jax
     import jax.numpy as jnp
 
     from ..config import (

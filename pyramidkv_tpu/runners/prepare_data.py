@@ -18,7 +18,7 @@ import argparse
 import json
 import os
 
-from ..evalsuite.tasks import LONGBENCH_EN_TASKS, LONGBENCH_TASKS
+from ..evalsuite.tasks import LONGBENCH_EN_TASKS
 
 
 def export_longbench(out_dir: str, tasks=None, e_split: bool = False) -> None:

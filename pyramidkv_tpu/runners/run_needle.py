@@ -9,7 +9,6 @@ skip-if-exists resume.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

@@ -11,8 +11,7 @@ already handled inside the engine's decode loop.
 
 from __future__ import annotations
 
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 from .engine import Engine, GenerationOutput
