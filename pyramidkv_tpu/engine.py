@@ -291,21 +291,26 @@ class Engine:
                 ``keep_recent`` decode tokens (shifted to the region start),
                 evict the older ones — StreamingLLM-style decode-stage
                 compression with the compressed prefill acting as sinks.
-                The reference lists this as an open TODO (README.md:49)."""
-                def shift(x, fill):
-                    dec = x[:, :, :, ps:ps + ds]
+                The reference lists this as an open TODO (README.md:49).
+
+                With a quantized cache the k/v buffers hold ONLY the bf16
+                decode region (offset 0); the immutable quantized prefill
+                region never moves."""
+                def shift(x, fill, off):
+                    dec = x[:, :, :, off:off + ds]
                     recent = dec[:, :, :, ds - keep_recent:]
                     pad_shape = list(x.shape)
                     pad_shape[3] = ds - keep_recent
                     pad = jnp.full(pad_shape, fill, x.dtype)
                     return jnp.concatenate(
-                        [x[:, :, :, :ps], recent, pad], axis=3
+                        [x[:, :, :, :off], recent, pad], axis=3
                     )
 
+                kv_off = 0 if cache.quant is not None else ps
                 return KVCache(
-                    k=shift(cache.k, 0), v=shift(cache.v, 0),
-                    mask=shift(cache.mask, False),
-                    positions=shift(cache.positions, -1),
+                    k=shift(cache.k, 0, kv_off), v=shift(cache.v, 0, kv_off),
+                    mask=shift(cache.mask, False, ps),
+                    positions=shift(cache.positions, -1, ps),
                     # keep true_len + step == total tokens so RoPE positions
                     # stay absolute after the shift
                     true_len=cache.true_len + (cache.step - keep_recent),
@@ -336,8 +341,6 @@ class Engine:
                 prompt_ids, max_new_tokens=max_new_tokens,
                 eos_token_ids=eos_token_ids, rng_seed=rng_seed,
             )
-        if self.comp_spec.quant_method is not None:
-            raise NotImplementedError("generate_long with quantized caches")
         keep_recent = keep_recent or seg // 2
         assert 0 < keep_recent < seg
         b = len(prompt_ids)

@@ -96,3 +96,20 @@ def test_generate_long_batch():
     for i, p in enumerate(prompts):
         solo = eng.generate_long([p], max_new_tokens=20).tokens[0]
         assert out.tokens[i] == solo
+
+
+def test_generate_long_quantized():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(3), dtype=jnp.float32)
+    def mk(qm):
+        return Engine(
+            spec,
+            CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                            window_size=4, quant_method=qm, nbits=8),
+            EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+        )
+    out = mk("kivi").generate_long([IDS], max_new_tokens=25)
+    assert len(out.tokens[0]) == 25
+    # int8 kivi tracks the fp run closely on the first segment
+    fp8 = mk(None).generate([IDS], max_new_tokens=8).tokens[0]
+    assert out.tokens[0][:8] == fp8
