@@ -48,8 +48,29 @@ def eng_factory():
 
 @pytest.mark.parametrize(
     "method", ["fullkv", "snapkv", "pyramidkv", "h2o", "streamingllm",
-               "l2norm", "adakv", "think", "minference"]
+               "l2norm", "adakv", "think", "minference", "cam", "random"]
 )
 def test_trace_matches_golden(golden, eng_factory, method):
     out = eng_factory(method).generate([golden["_prompt"]]).tokens[0]
     assert out == golden[method], (method, out, golden[method])
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("snapkv_gqa", dict(method="snapkv", gqa_aggregate=True)),
+        ("snapkv_kivi4", dict(method="snapkv", quant_method="kivi", nbits=4)),
+        ("snapkv_pivot", dict(method="snapkv", merge="pivot")),
+    ],
+)
+def test_variant_traces(golden, name, kw):
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(max_capacity_prompt=16, window_size=4, **kw),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)),
+        params,
+    )
+    out = eng.generate([golden["_prompt"]]).tokens[0]
+    assert out == golden[name], (name, out, golden[name])
