@@ -120,8 +120,14 @@ def h2o_scores_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for ``ops.scoring.h2o_scores``:
-    [B, H, N, D] -> [B, H, N - W] fp32 scores, -inf at padding columns."""
+    q [B, H, N, D], k [B, Hk, N, D] -> [B, H, N - W] fp32 scores, -inf at
+    padding columns.  Hk may be num_kv_heads (GQA): each query-head grid row
+    reads its group's KV-head key block via the BlockSpec index map — no
+    repeat_kv materialisation (same contract as ``ops.scoring.h2o_scores``)."""
     b, h, n, d = q.shape
+    hk = k.shape[1]
+    assert h % hk == 0, (h, hk)
+    g = h // hk
     w = window_size
     block_q = min(block_q, n)
     block_k = min(block_k, n)
@@ -130,7 +136,11 @@ def h2o_scores_pallas(
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
     qr = q.reshape(b * h, n, d)
-    kr = k.reshape(b * h, n, d)
+    kr = k.reshape(b * hk, n, d)
+
+    def _krow(bh):
+        """Grid row bh = b_idx*h + h_idx -> KV buffer row b_idx*hk + h_idx//g."""
+        return (bh // h) * hk + (bh % h) // g
 
     stats = pl.pallas_call(
         functools.partial(
@@ -142,7 +152,8 @@ def h2o_scores_pallas(
             grid=(b * h, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, pad: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, pad: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bh, qi, ki, pad: (_krow(bh), ki, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 8, block_q), lambda bh, qi, ki, pad: (bh, 0, qi)),
@@ -171,7 +182,8 @@ def h2o_scores_pallas(
             grid=(b * h, nk, nq),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, ki, qi, pad: (bh, qi, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, ki, qi, pad: (bh, ki, 0)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bh, ki, qi, pad: (_krow(bh), ki, 0)),
                 pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi, pad: (bh, 0, qi)),
                 pl.BlockSpec((1, 8, block_q), lambda bh, ki, qi, pad: (bh, 0, qi)),
             ],

@@ -173,9 +173,11 @@ def adakv_allocate(
     (optionally mass-normalised) scores decides how many slots each head
     receives; a floor guarantees ``floor_ratio * base`` per head.  The
     reference's ragged output becomes per-head counts + a per-head index
-    order; the static cache clamps any head at ``max_head_capacity`` (the
-    reference is unbounded — overflow beyond the clamp is redistributed to
-    the runner-up ranks by construction of the shared top-k).
+    order.  The static cache bounds any head at ``max_head_capacity`` (the
+    reference is unbounded); the bound is enforced as a per-head rank mask
+    BEFORE the shared top-k, so slots a heavy head cannot hold are
+    redistributed to the runner-up ranks of the other heads instead of
+    silently dropped (total kept stays ~H*base).
     """
     b, h, c = scores.shape
     order = jnp.argsort(-scores, axis=-1)  # descending; -inf padding sinks
@@ -190,15 +192,23 @@ def adakv_allocate(
         total_mass = vals.sum(-1, keepdims=True)
         ratio = top_mass / jnp.maximum(total_mass, 1e-20)
         adjusted = sorted_scores * ratio
+    floor_cap = int(base_capacity * floor_ratio)
+    # Pre-floor image of the slot bound: a head with pre-floor count n ends
+    # at round(n*(1-fr) + floor_cap) slots; cap n so the post-floor count
+    # fits max_head_capacity.
+    max_pre = int((max_head_capacity - floor_cap) / max(1.0 - floor_ratio, 1e-9))
+    if max_pre < c:
+        adjusted = jnp.where(
+            jnp.arange(c)[None, None, :] < max_pre, adjusted, -jnp.inf
+        )
     flat = adjusted.reshape(b, h * c)
     k = min(h * base_capacity, h * c)
     _, flat_idx = jax.lax.top_k(flat, k)
     head_of = (flat_idx // c).astype(jnp.int32)  # [B, k]
     counts = jnp.zeros((b, h), dtype=jnp.int32)
     counts = counts.at[jnp.arange(b)[:, None], head_of].add(1)
-    floor_cap = int(base_capacity * floor_ratio)
     counts = jnp.round(counts * (1.0 - floor_ratio) + floor_cap).astype(jnp.int32)
-    counts = jnp.minimum(counts, max_head_capacity)
+    counts = jnp.minimum(counts, max_head_capacity)  # rounding safety
     avail = jnp.maximum(true_len - window_size, 0).astype(jnp.int32)[:, None]
     counts = jnp.minimum(counts, avail)
     # no-compression early exit: base_capacity > q_len - w -> keep everything

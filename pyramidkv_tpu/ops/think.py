@@ -37,6 +37,7 @@ def think_channel_selection(
     ratio: float,
     true_len: jax.Array,
     obs_queries: int = 32,
+    valid_mask: jax.Array | None = None,
 ) -> ChannelPrune:
     """Score channels and pick the kept set.
 
@@ -46,17 +47,28 @@ def think_channel_selection(
       q: [B, H, N, D] queries; the last ``obs_queries`` real rows drive the
          score (pyramidkv_utils.py:17 uses q[..., -32:, :]).
       ratio: fraction of channels dropped (k = int(D * ratio)).
+      valid_mask: optional [B, H, N] bool overriding the left-pad validity
+         assumption — pass the compacted cache's mask when ``k`` is a
+         COMPACTED buffer (valid rows lead, invalid trail), so the key-norm
+         mean matches the reference's mean over real rows only
+         (pyramidkv_utils.py:18 on an unpadded compacted tensor).
     """
     b, h, n, d = k.shape
     drop = int(d * ratio)
     keep = d - drop
     qq = q[:, :, -obs_queries:, :].astype(jnp.float32)
     q_norm = (qq**2).mean(axis=2)  # [B,H,D]
-    col = jnp.arange(n, dtype=jnp.int32)[None, :]
-    pad = (n - true_len).astype(jnp.int32)[:, None]
-    valid = (col >= pad)[:, None, :, None]  # [B,1,N,1]
     kf = k.astype(jnp.float32) ** 2
-    denom = jnp.maximum(true_len.astype(jnp.float32), 1.0)[:, None, None]
+    if valid_mask is None:
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        pad = (n - true_len).astype(jnp.int32)[:, None]
+        valid = (col >= pad)[:, None, :, None]  # [B,1,N,1]
+        denom = jnp.maximum(true_len.astype(jnp.float32), 1.0)[:, None, None]
+    else:
+        valid = valid_mask[..., None]  # [B,H,N,1]
+        denom = jnp.maximum(
+            valid_mask.sum(axis=2).astype(jnp.float32), 1.0
+        )[..., None]  # [B,H,1]
     k_norm = jnp.where(valid, kf, 0.0).sum(axis=2) / denom  # [B,H,D]
     score = q_norm * k_norm
     # Reference: topk(largest=False) picks the `drop` smallest to prune; the

@@ -104,6 +104,12 @@ def _sp_window_scores(
     else:
         s = probs.mean(axis=2)
 
+    # The single-device scorer pools the PAST slice only (window columns
+    # dropped, zero pad at the right edge — ops/scoring.py:98-107).  Zero
+    # the window columns BEFORE the halo exchange so the last shard's
+    # near-diagonal window scores don't bleed into adjacent past columns.
+    s = jnp.where((cols < (n_global - w))[None, None, :], s, 0.0)
+
     # pooling crosses shard boundaries: halo-exchange kernel//2 columns
     halo = kernel_size // 2
     if halo > 0:

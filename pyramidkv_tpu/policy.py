@@ -222,8 +222,12 @@ def _think_zero_channels(
     w, width = plan.window, plan.width
     # Compressed keys in reference row order: [selected (desc score) | window].
     comp_k = ckv.k[:, :, : width + w, :]
+    # The compacted buffer's validity is ckv.mask (valid rows LEAD, trailing
+    # slots empty), not left-padding — feed it to the channel statistics so
+    # short-prompt rows don't drop their highest-score leading keys.
     prune = think_channel_selection(
-        comp_k, q, ratio=spec.pruning_ratio, true_len=true_len
+        comp_k, q, ratio=spec.pruning_ratio, true_len=true_len,
+        valid_mask=ckv.mask[:, :, : width + w],
     )
     # "Recent" rows = last recent_size rows of the compressed sequence =
     # window rows + the (recent_size - W) lowest-score selected rows.
@@ -232,7 +236,14 @@ def _think_zero_channels(
     recent_sel = jnp.maximum(spec.recent_size - w, 0)
     is_recent_past = rank >= (n_valid[:, :, None] - recent_sel)  # [B,1,width]
     keep_ch = prune.channel_mask[:, :, None, :]  # [B,H,1,D]
-    pruned_region = (~is_recent_past)[..., None] & (~keep_ch)
+    # Reference short-prompt regime: update_think returns UNPRUNED K/V when
+    # q_len < max_capacity_prompt (pyramidkv_utils.py:357-358).
+    long_enough = true_len >= spec.max_capacity_prompt  # [B]
+    pruned_region = (
+        (~is_recent_past)[..., None]
+        & (~keep_ch)
+        & long_enough[:, None, None, None]
+    )
     new_past_k = jnp.where(pruned_region, 0.0, ckv.k[:, :, :width, :].astype(jnp.float32))
     k_out = jnp.concatenate(
         [new_past_k.astype(ckv.k.dtype), ckv.k[:, :, width:, :]], axis=2

@@ -108,6 +108,31 @@ def test_h2o_pallas_matches_xla(true_len):
         )
 
 
+def test_h2o_pallas_grouped_kv():
+    """GQA: k at num_kv_heads < num query heads (the policy call-site shape
+    — policy.compress_layer passes k_kv grouped).  Regression for the
+    round-1 trace-time reshape crash."""
+    from pyramidkv_tpu.kernels.h2o_scores import h2o_scores_pallas
+    from pyramidkv_tpu.ops.scoring import h2o_scores
+
+    n, w, h, hk = 128, 8, 4, 2
+    rng = np.random.default_rng(23)
+    q = jnp.asarray(rng.normal(size=(B, h, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, hk, n, D)).astype(np.float32))
+    tl = jnp.asarray([n, n - 13], jnp.int32)
+    want = np.asarray(h2o_scores(q, k, window_size=w, true_len=tl, block=32))
+    got = np.asarray(
+        h2o_scores_pallas(q, k, window_size=w, true_len=tl,
+                          block_q=32, block_k=32, interpret=True)
+    )
+    assert got.shape == want.shape == (B, h, n - w)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            got[bi, :, pad:], want[bi, :, pad:], rtol=3e-4, atol=3e-4
+        )
+
+
 def test_flash_grouped_kv_matches_repeated():
     """Grouped-query kernel (KV heads < query heads) == repeated-KV kernel."""
     b, h, kv, n, d = 2, 8, 2, 64, 32

@@ -154,6 +154,28 @@ def test_adakv_allocation_matches_reference():
     assert abs(int(alloc.counts.sum()) - H * base) <= H
 
 
+def test_adakv_clamp_redistributes():
+    """A head that would exceed max_head_capacity loses only the overflow;
+    those slots flow to runner-up ranks of other heads (total kept ~H*base),
+    instead of being silently dropped."""
+    n, w, cap = 256, 8, 64
+    base = cap - w
+    rng = np.random.default_rng(19)
+    scores = np.abs(rng.normal(size=(1, H, n - w))).astype(np.float32)
+    scores[0, 0] += 100.0  # head 0 dominates the global top-k
+    tight = base  # head cap == base -> head 0 must be clamped
+    alloc = adakv_allocate(
+        jnp.asarray(scores), base_capacity=base, floor_ratio=0.2,
+        normalize=False, true_len=jnp.full((1,), n, jnp.int32), window_size=w,
+        max_head_capacity=tight,
+    )
+    counts = np.asarray(alloc.counts)[0]
+    assert counts.max() <= tight
+    assert counts[0] == tight  # the heavy head fills its bound
+    # redistribution: total stays ~H*base (per-head floor rounding slack)
+    assert abs(int(counts.sum()) - H * base) <= H
+
+
 def test_headkv_allocation_and_selection():
     n, w = 128, 8
     caps = jnp.asarray([10, 20, 5, 40], jnp.int32)

@@ -58,6 +58,44 @@ def test_sp_prefill_matches_single_device(setup, method, sp):
             assert a == bset, (method, l, h, sorted(a ^ bset))
 
 
+@pytest.mark.parametrize("pooling", ["avgpool", "maxpool"])
+def test_sp_window_scores_pooling_parity(pooling):
+    """kernel_size=7 score parity vs the single-device scorer, esp. the last
+    kernel//2 past columns next to the observation window (regression: the
+    SP path used to pool BEFORE masking window columns, bleeding the
+    near-diagonal window softmax mass into adjacent past columns)."""
+    from jax.sharding import PartitionSpec as P
+    from pyramidkv_tpu.parallel.sp_prefill import _sp_window_scores
+    from pyramidkv_tpu.ops.scoring import window_scores
+
+    b, h, n, d, w, ks = 1, 2, 128, 16, 8, 7
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    tl = jnp.asarray([100], jnp.int32)
+    want = np.asarray(window_scores(
+        q, k, window_size=w, true_len=tl, kernel_size=ks, pooling=pooling))
+
+    mesh = make_mesh((1, 4), ("data", "model"))
+    qw = q[:, :, n - w:, :]
+
+    fn = jax.shard_map(
+        lambda a, bb, c: _sp_window_scores(
+            a, bb, axis="model", n_global=n, window=w, true_len=c,
+            kernel_size=ks, pooling=pooling, aggregation="sum"),
+        mesh=mesh,
+        in_specs=(P(), P(None, None, "model"), P()),
+        out_specs=P(None, None, "model"),
+        check_vma=False,
+    )
+    got_full = np.asarray(fn(qw, k, tl))
+    got = got_full[..., : n - w]
+    pad = n - int(tl[0])
+    assert np.all(got[..., :pad] <= -1e37)  # SP path uses finfo.min not -inf
+    np.testing.assert_allclose(got[..., pad:], want[..., pad:],
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_sp_prefill_then_decode(setup):
     """The replicated compressed cache decodes identically to the
     single-device cache."""
