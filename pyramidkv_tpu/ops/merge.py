@@ -2,10 +2,16 @@
 
 - ``pivot_merge`` reproduces the intent of ``merge_kv`` (/root/reference/
   pyramidkv/pyramidkv_utils.py:119-170): every *evicted* KV entry is folded
-  into its nearest (cosine-similarity) *kept* entry by averaging.  The
-  reference concatenates K as [recent, selected] but V as [selected, recent]
-  (:146-148), silently misaligning K/V rows — we implement the intent with
-  both aligned as [selected, window].
+  into its nearest (cosine-similarity) *kept* entry by averaging.  Three
+  reference accidents are intentionally NOT replicated (cross-impl A/B in
+  tests/test_reference_ab.py::test_ab_pivot_merge pins the agreeing part):
+  (1) it concatenates K as [recent, selected] but V as [selected, recent]
+  (:146-148), silently misaligning K/V rows — we keep both aligned;
+  (2) its drop set is the complement of the UNION of all heads' selections
+  (:130-136 flattens indices across heads before ``torch.isin``) — ours is
+  per-head; (3) its drop set also contains the window rows themselves
+  (self-merges that skew the scatter-mean counts of window pool entries) —
+  ours evicts only non-kept past rows.
 - ``cam_value_merge`` reproduces CAMKVCluster's sequential Bernoulli value
   merging (pyramidkv_utils.py:488-502) as a ``lax.scan`` with cumulative
   column means instead of the reference's O(n^3) Python loop.
