@@ -35,4 +35,4 @@ from .sparse_prefill import (
     estimate_vertical_slash,
     sparse_prefill_attention,
 )
-from .merge import pivot_merge, cam_value_merge
+from .merge import pivot_merge

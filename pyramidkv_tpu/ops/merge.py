@@ -12,9 +12,8 @@
   per-head; (3) its drop set also contains the window rows themselves
   (self-merges that skew the scatter-mean counts of window pool entries) —
   ours evicts only non-kept past rows.
-- ``cam_value_merge`` reproduces CAMKVCluster's sequential Bernoulli value
-  merging (pyramidkv_utils.py:488-502) as a ``lax.scan`` with cumulative
-  column means instead of the reference's O(n^3) Python loop.
+- CAM's sequential Bernoulli value merging lives in
+  ``policy._cam_merge_values`` (the hoisted-colmean ``lax.scan`` form).
 """
 
 from __future__ import annotations
@@ -123,73 +122,3 @@ def pivot_merge(
     k_out = jnp.concatenate([k_sc, new_pool_k[:, :, width:, :]], axis=2)
     v_out = jnp.concatenate([v_sc, new_pool_v[:, :, width:, :]], axis=2)
     return k_out.astype(k.dtype), v_out.astype(v.dtype)
-
-
-def cam_value_merge(
-    v: jax.Array,
-    attn_colmean_cum: jax.Array,
-    *,
-    rng: jax.Array,
-    start_budget: jax.Array,
-    recent_budget: int,
-    true_len: jax.Array,
-) -> jax.Array:
-    """CAM's sequential stochastic value merging (pyramidkv_utils.py:488-502).
-
-    For each token t in [start+recent, q_len): with probability
-    ``colmean_t[t - recent] / max(colmean_t over sinks+recent window)`` the
-    evicted value row ``t - recent`` is added, scaled by 1/recent_budget,
-    into the following ``recent_budget`` value rows.
-
-    Args:
-      v: [B, H, N, D] value buffer (left-padded).
-      attn_colmean_cum: [B, H, N, N] is NOT materialised — instead we take
-        the cumulative row-sums of the softmax matrix so that
-        ``colmean_t[j] = cum[t-1, j] / t``.  Shape [B, H, N, N] would be
-        O(N^2); callers pass the full probs cumsum row-block by row-block.
-        For practicality this function takes ``cum``: [B, H, N, N] replaced
-        by a callback-free exact form: we require the caller to supply
-        ``probs_cumsum`` of shape [B, H, N, N].  (Used only by the CAM path,
-        which the reference itself runs at O(n^3); we keep N modest.)
-      rng: PRNG key for the Bernoulli draws (the reference inherits torch's
-        global seed, run_longbench.py:85-92).
-
-    Returns the merged value buffer.
-    """
-    b, h, n, d = v.shape
-    cum = attn_colmean_cum  # [B,H,N,N] cumulative over rows
-    pad = (n - true_len).astype(jnp.int32)
-
-    vout = v.astype(jnp.float32)
-    col = jnp.arange(n, dtype=jnp.int32)
-
-    unif = jax.random.uniform(rng, (b, h, n))
-
-    def body(carry, t):
-        vbuf = carry
-        # true index of t within the sequence: tt = t - pad (per batch)
-        tt = t - pad  # [B]
-        rows = jnp.maximum(tt, 1).astype(jnp.float32)
-        colmean = cum[:, :, t - 1, :] / rows[:, None, None]  # [B,H,N]
-        src_col = t - recent_budget
-        # max over sinks [pad, pad+start_budget) and recent (src_col, t)
-        in_sink = (col[None, :] >= pad[:, None]) & (
-            col[None, :] < (pad + start_budget)[:, None]
-        )
-        in_recent = (col[None, :] >= src_col) & (col[None, :] < t)
-        sel = in_sink | in_recent
-        mean_attn = jnp.max(jnp.where(sel[:, None, :], colmean, -jnp.inf), axis=-1)
-        p = colmean[:, :, src_col] / mean_attn
-        p = jnp.nan_to_num(p, nan=0.0, posinf=1.0, neginf=0.0)
-        p = jnp.clip(p, 0.0, 1.0)
-        active = (tt >= (start_budget + recent_budget)) & (src_col >= pad)
-        draw = (unif[:, :, t % n] < p) & active[:, None]
-        add = vbuf[:, :, src_col, :] * draw[..., None] / recent_budget
-        # add into rows (src_col, src_col + recent_budget]
-        tgt = (col[None, :] > src_col) & (col[None, :] <= src_col + recent_budget)
-        vbuf = vbuf + add[:, :, None, :] * tgt[:, None, :, None]
-        return vbuf, None
-
-    ts = jnp.arange(recent_budget, n, dtype=jnp.int32)
-    vout, _ = jax.lax.scan(body, vout, ts)
-    return vout.astype(v.dtype)

@@ -170,13 +170,28 @@ class ContinuousBatcher:
         def insert_lane(cache, tokens, lane_steps, done, budget,
                         new_cache, first_tok, lane, new_budget):
             def put(old, new):
-                if old.ndim >= 2 and old.shape[0] == new.shape[0]:
-                    return old.at[:, lane].set(new[:, 0])
-                return old
-            merged = jax.tree_util.tree_map(put, cache, new_cache)
-            cache = merged._replace(
+                # Every leaf routed here is layer-stacked [L, B(=1 in), ...]
+                # by construction (KVCache main fields and QuantizedKVRegion
+                # leaves alike); anything else is a cache-layout change that
+                # must fail loudly, not be silently skipped.
+                if old.ndim < 2 or old.shape[2:] != new.shape[2:]:
+                    raise ValueError(
+                        f"insert_lane: unmergeable cache leaf {old.shape} vs "
+                        f"{new.shape} — update the per-field handling"
+                    )
+                return old.at[:, lane].set(new[:, 0])
+
+            quant = cache.quant
+            if quant is not None:
+                quant = jax.tree_util.tree_map(put, quant, new_cache.quant)
+            cache = cache._replace(
+                k=put(cache.k, new_cache.k),
+                v=put(cache.v, new_cache.v),
+                mask=put(cache.mask, new_cache.mask),
+                positions=put(cache.positions, new_cache.positions),
                 true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
                 step=cache.step,
+                quant=quant,
             )
             tokens = tokens.at[lane].set(first_tok[0])
             lane_steps = lane_steps.at[lane].set(0)
