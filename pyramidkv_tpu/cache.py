@@ -26,9 +26,15 @@ from .ops.quant import QuantizedKVRegion
 
 
 class KVCache(NamedTuple):
-    """Layer-stacked compressed KV cache (a scan-friendly pytree)."""
+    """Layer-stacked compressed KV cache (a scan-friendly pytree).
 
-    k: jax.Array          #: [L, B, H, S, D]
+    With a segmented plan (``PolicyPlan.segments`` — per-layer-run slot
+    widths, e.g. l2norm skip_layers or PyramidKV's pyramid), ``k``/``v``/
+    ``mask``/``positions`` each hold a TUPLE of per-segment stacks
+    ``[L_seg, B, H, S_seg, D]`` instead of one array; everything stays one
+    pytree, so jit/sharding/batching treat both layouts uniformly."""
+
+    k: jax.Array          #: [L, B, H, S, D] (or tuple per segment)
     v: jax.Array          #: [L, B, H, S, D]
     mask: jax.Array       #: [L, B, H, S] bool — slot holds a real token
     positions: jax.Array  #: [L, B, H, S] int32 — original token position (-1 invalid)
@@ -46,11 +52,18 @@ class KVCache(NamedTuple):
     quant: Optional[QuantizedKVRegion] = None
 
     @property
+    def segmented(self) -> bool:
+        return isinstance(self.k, tuple)
+
+    @property
     def num_layers(self) -> int:
+        if self.segmented:
+            return sum(k.shape[0] for k in self.k)
         return self.k.shape[0]
 
     @property
     def num_slots(self) -> int:
+        assert not self.segmented, "per-segment slot counts differ"
         return self.k.shape[3]
 
     def current_position(self) -> jax.Array:
@@ -151,7 +164,10 @@ def append_token_per_lane(
 
 def cache_memory_bytes(cache: KVCache) -> int:
     """HBM footprint of the KV buffers (the reference never measures this)."""
-    total = cache.k.size * cache.k.dtype.itemsize + cache.v.size * cache.v.dtype.itemsize
+    total = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves((cache.k, cache.v))
+    )
     if cache.quant is not None:
         total += sum(
             x.size * x.dtype.itemsize
@@ -160,7 +176,34 @@ def cache_memory_bytes(cache: KVCache) -> int:
     return total
 
 
+def segment_cache(cache: KVCache, plan) -> KVCache:
+    """Re-layout a UNIFORM cache into a plan's segmented layout.
+
+    Used by producers that build the max-width uniform layout (e.g. the
+    sequence-parallel prefill) when the engine's plan is segmented.  Safe
+    because every layer's valid slots occupy the leading ranks: slots beyond
+    a segment's width are invalid by the width-bound construction."""
+    if not plan.segmented or cache.segmented:
+        return cache
+    width = plan.width
+
+    def cut(x, start, stop, seg_w):
+        return jnp.concatenate(
+            [x[start:stop, :, :, :seg_w], x[start:stop, :, :, width:]], axis=3
+        )
+
+    segs = plan.segments
+    return cache._replace(
+        k=tuple(cut(cache.k, a, b, w) for a, b, w in segs),
+        v=tuple(cut(cache.v, a, b, w) for a, b, w in segs),
+        mask=tuple(cut(cache.mask, a, b, w) for a, b, w in segs),
+        positions=tuple(cut(cache.positions, a, b, w) for a, b, w in segs),
+    )
+
+
 def used_kv_tokens(cache: KVCache) -> jax.Array:
     """Total number of live KV entries (sum over layers/heads of per-head
     lengths) — the compression-diagnostics metric."""
+    if cache.segmented:
+        return sum(m.sum() for m in cache.mask)
     return cache.mask.sum()

@@ -285,6 +285,8 @@ class Engine:
             plan = self.plan_for(bucket)
             ps, ds = plan.prefill_slots, plan.decode_slots
 
+            seg_ps = tuple(s[2] + plan.window for s in plan.segments)
+
             @jax.jit
             def roll_fn(cache: KVCache):
                 """Rolling decode-region compaction: keep the last
@@ -306,11 +308,22 @@ class Engine:
                         [x[:, :, :, :off], recent, pad], axis=3
                     )
 
-                kv_off = 0 if cache.quant is not None else ps
+                def shift_field(field, fill, offs):
+                    if isinstance(field, tuple):  # segmented plan
+                        return tuple(
+                            shift(x, fill, o) for x, o in zip(field, offs)
+                        )
+                    return shift(field, fill, offs[0])
+
+                if cache.quant is not None:
+                    kv_offs = (0,) * len(seg_ps)
+                else:
+                    kv_offs = seg_ps
                 return KVCache(
-                    k=shift(cache.k, 0, kv_off), v=shift(cache.v, 0, kv_off),
-                    mask=shift(cache.mask, False, ps),
-                    positions=shift(cache.positions, -1, ps),
+                    k=shift_field(cache.k, 0, kv_offs),
+                    v=shift_field(cache.v, 0, kv_offs),
+                    mask=shift_field(cache.mask, False, seg_ps),
+                    positions=shift_field(cache.positions, -1, seg_ps),
                     # keep true_len + step == total tokens so RoPE positions
                     # stay absolute after the shift
                     true_len=cache.true_len + (cache.step - keep_recent),

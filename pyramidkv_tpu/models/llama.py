@@ -213,58 +213,86 @@ def prefill(
     ctxs = layer_contexts(plan, true_len, spec.num_attention_heads, rng)
     hidden0 = jnp.take(params["embed"], tokens, axis=0)  # [B, N, Dm]
 
-    def layer_fn(hidden, xs):
-        wts, ctx = xs
-        x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
-        q, k, v = _qkv(x, wts, spec)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
-        # k/v stay at num_kv_heads everywhere: attention, scoring, and
-        # compaction all expand GQA groups inside their contractions, so no
-        # O(H*N*D) repeat_kv buffer is ever materialised (the reference
-        # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
-        if plan.spec.method == "minference":
-            from ..ops.sparse_prefill import (
-                estimate_vertical_slash,
-                sparse_prefill_attention,
-            )
+    def make_layer_fn(subplan):
+        def layer_fn(hidden, xs):
+            wts, ctx = xs
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+            q, k, v = _qkv(x, wts, spec)
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+            # k/v stay at num_kv_heads everywhere: attention, scoring, and
+            # compaction all expand GQA groups inside their contractions, so no
+            # O(H*N*D) repeat_kv buffer is ever materialised (the reference
+            # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
+            if subplan.spec.method == "minference":
+                from ..ops.sparse_prefill import (
+                    estimate_vertical_slash,
+                    sparse_prefill_attention,
+                )
 
-            k_rep = _repeat_kv(k, groups)
-            v_rep = _repeat_kv(v, groups)
-            pattern = estimate_vertical_slash(
-                q, k_rep, true_len=true_len,
-                vertical_size=plan.spec.minference_vertical_size,
-                slash_size=plan.spec.minference_slash_size,
-                last_q=plan.spec.minference_last_q,
-            )
-            attn = sparse_prefill_attention(
-                q, k_rep, v_rep, pattern, true_len=true_len,
-                block=prefill_block,
-            )
-        elif attention_impl in ("pallas", "pallas_interpret"):
-            from ..kernels import flash_causal_attention
+                k_rep = _repeat_kv(k, groups)
+                v_rep = _repeat_kv(v, groups)
+                pattern = estimate_vertical_slash(
+                    q, k_rep, true_len=true_len,
+                    vertical_size=subplan.spec.minference_vertical_size,
+                    slash_size=subplan.spec.minference_slash_size,
+                    last_q=subplan.spec.minference_last_q,
+                )
+                attn = sparse_prefill_attention(
+                    q, k_rep, v_rep, pattern, true_len=true_len,
+                    block=prefill_block,
+                )
+            elif attention_impl in ("pallas", "pallas_interpret"):
+                from ..kernels import flash_causal_attention
 
-            attn = flash_causal_attention(
-                q, k, v, true_len,
-                block_q=min(prefill_block, n), block_k=min(prefill_block, n),
-                sliding_window=spec.sliding_window,
-                interpret=attention_impl == "pallas_interpret",
-            )
-        else:
-            attn = causal_prefill_attention(
-                q, k, v, true_len=true_len,
-                block=prefill_block, sliding_window=spec.sliding_window,
-            )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
-        hidden = hidden + attn @ wts["wo"]
-        x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-        hidden = hidden + _mlp(x2, wts)
-        ckv = compress_layer(plan, ctx, q, k, v, true_len=true_len)
-        return hidden, ckv
+                attn = flash_causal_attention(
+                    q, k, v, true_len,
+                    block_q=min(prefill_block, n), block_k=min(prefill_block, n),
+                    sliding_window=spec.sliding_window,
+                    interpret=attention_impl == "pallas_interpret",
+                )
+            else:
+                attn = causal_prefill_attention(
+                    q, k, v, true_len=true_len,
+                    block=prefill_block, sliding_window=spec.sliding_window,
+                )
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
+            hidden = hidden + attn @ wts["wo"]
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+            hidden = hidden + _mlp(x2, wts)
+            ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
+            return hidden, ckv
 
-    hidden, ckvs = jax.lax.scan(layer_fn, hidden0, (params["layers"], ctxs))
+        return layer_fn
+
+    def _slice_layers(tree, start, stop):
+        return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
+
+    # One lax.scan per width segment (a single segment — the common case —
+    # is exactly the old full-stack scan).
+    hidden = hidden0
+    seg_ckvs = []
+    for start, stop, sub in plan.segment_plans():
+        xs = (
+            _slice_layers(params["layers"], start, stop),
+            _slice_layers(ctxs, start, stop),
+        )
+        hidden, ckv = jax.lax.scan(make_layer_fn(sub), hidden, xs)
+        seg_ckvs.append(ckv)
     logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
     cs = plan.spec
+    if len(seg_ckvs) > 1:
+        assert cs.quant_method is None  # make_plan keeps quant plans uniform
+        cache = KVCache(
+            k=tuple(c.k for c in seg_ckvs),
+            v=tuple(c.v for c in seg_ckvs),
+            mask=tuple(c.mask for c in seg_ckvs),
+            positions=tuple(c.positions for c in seg_ckvs),
+            true_len=true_len.astype(jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return logits, cache
+    ckvs = seg_ckvs[0]
     if cs.quant_method is not None:
         # Quantize the (immutable) compacted prefill region; decode slots
         # stay bf16 — the static analogue of the reference's fp16 residual
@@ -331,72 +359,106 @@ def decode_step(
     quantized = cache.quant is not None
     if lane_steps is None:
         pos = cache.current_position()  # [B]
-        full_slot = plan.prefill_slots + cache.step  # into mask/positions
-        kv_slot = cache.step if quantized else full_slot  # into k/v buffers
-        full_slots = kv_slots = None
     else:
         pos = cache.true_len.astype(jnp.int32) + lane_steps
-        full_slots = plan.prefill_slots + lane_steps  # [B]
-        kv_slots = lane_steps if quantized else full_slots
-        full_slot = kv_slot = None
     hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
 
     store_kv = stores_kv_heads(plan.spec)
     cs = plan.spec
 
-    def layer_fn(hidden, xs):
-        wts, layer, qreg = xs
-        layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
-        x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
-        q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
-        q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
-        k = apply_rope(k, pos[:, None], inv_freq)
-        if store_kv:
-            k_new, v_new = k[:, :, 0, :], v[:, :, 0, :]  # [B, KV, Dh]
-        else:
-            k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
-            v_new = _repeat_kv(v, groups)[:, :, 0, :]
+    def make_layer_fn(subplan):
         if lane_steps is None:
-            layer = append_token(
-                layer, k_new, v_new, slot=kv_slot, position=pos,
-                mask_slot=full_slot,
-            )
+            full_slot = subplan.prefill_slots + cache.step  # mask/positions
+            kv_slot = cache.step if quantized else full_slot  # k/v buffers
+            full_slots = kv_slots = None
         else:
-            layer = append_token_per_lane(
-                layer, k_new, v_new, slots=kv_slots, positions=pos,
-                mask_slots=full_slots,
-            )
-        if quantized:
-            from ..ops.quant import dequantize_kv_region
+            full_slots = subplan.prefill_slots + lane_steps  # [B]
+            kv_slots = lane_steps if quantized else full_slots
+            full_slot = kv_slot = None
 
-            k_pre, v_pre = dequantize_kv_region(
-                qreg, num_slots=plan.prefill_slots, head_dim=spec.head_dim,
-                nbits=cs.nbits, group_size=cs.q_group_size,
-                dtype=layer.k.dtype,
-            )
-            k_all = jnp.concatenate([k_pre, layer.k], axis=2)
-            v_all = jnp.concatenate([v_pre, layer.v], axis=2)
-        else:
-            k_all, v_all = layer.k, layer.v
-        visible = layer.mask
-        if spec.sliding_window is not None:
-            visible = visible & (
-                layer.positions > (pos[:, None, None] - spec.sliding_window)
-            )
-        attn = decode_attention(q, k_all, v_all, visible)  # [B, H, Dh]
-        hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
-        x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-        hidden = hidden + _mlp(x2, wts)
-        return hidden, layer
+        def layer_fn(hidden, xs):
+            wts, layer, qreg = xs
+            layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
+            q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
+            q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
+            k = apply_rope(k, pos[:, None], inv_freq)
+            if store_kv:
+                k_new, v_new = k[:, :, 0, :], v[:, :, 0, :]  # [B, KV, Dh]
+            else:
+                k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
+                v_new = _repeat_kv(v, groups)[:, :, 0, :]
+            if lane_steps is None:
+                layer = append_token(
+                    layer, k_new, v_new, slot=kv_slot, position=pos,
+                    mask_slot=full_slot,
+                )
+            else:
+                layer = append_token_per_lane(
+                    layer, k_new, v_new, slots=kv_slots, positions=pos,
+                    mask_slots=full_slots,
+                )
+            if quantized:
+                from ..ops.quant import dequantize_kv_region
 
-    layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
-    hidden, layers_out = jax.lax.scan(
-        layer_fn, hidden0, (params["layers"], layers_in, cache.quant)
-    )
+                k_pre, v_pre = dequantize_kv_region(
+                    qreg, num_slots=subplan.prefill_slots,
+                    head_dim=spec.head_dim,
+                    nbits=cs.nbits, group_size=cs.q_group_size,
+                    dtype=layer.k.dtype,
+                )
+                k_all = jnp.concatenate([k_pre, layer.k], axis=2)
+                v_all = jnp.concatenate([v_pre, layer.v], axis=2)
+            else:
+                k_all, v_all = layer.k, layer.v
+            visible = layer.mask
+            if spec.sliding_window is not None:
+                visible = visible & (
+                    layer.positions > (pos[:, None, None] - spec.sliding_window)
+                )
+            attn = decode_attention(q, k_all, v_all, visible)  # [B, H, Dh]
+            hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+            hidden = hidden + _mlp(x2, wts)
+            return hidden, layer
+
+        return layer_fn
+
+    def _slice_layers(tree, start, stop):
+        return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
+
+    segs = plan.segment_plans()
+    if len(segs) == 1:
+        _, _, sub = segs[0]
+        layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
+        hidden, layers_out = jax.lax.scan(
+            make_layer_fn(sub), hidden0, (params["layers"], layers_in, cache.quant)
+        )
+        logits = _logits(hidden, params, spec)
+        new_cache = KVCache(
+            k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
+            positions=layers_out.positions, true_len=cache.true_len,
+            step=cache.step + 1, quant=cache.quant,
+        )
+        return logits, new_cache
+
+    assert not quantized  # make_plan keeps quant plans uniform
+    hidden = hidden0
+    outs = []
+    for i, (start, stop, sub) in enumerate(segs):
+        layers_in = LayerCacheView(
+            cache.k[i], cache.v[i], cache.mask[i], cache.positions[i]
+        )
+        hidden, layers_out = jax.lax.scan(
+            make_layer_fn(sub), hidden,
+            (_slice_layers(params["layers"], start, stop), layers_in, None),
+        )
+        outs.append(layers_out)
     logits = _logits(hidden, params, spec)
     new_cache = KVCache(
-        k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
-        positions=layers_out.positions, true_len=cache.true_len,
-        step=cache.step + 1, quant=cache.quant,
+        k=tuple(o.k for o in outs), v=tuple(o.v for o in outs),
+        mask=tuple(o.mask for o in outs),
+        positions=tuple(o.positions for o in outs),
+        true_len=cache.true_len, step=cache.step + 1, quant=None,
     )
     return logits, new_cache

@@ -479,4 +479,8 @@ def sequence_parallel_prefill(
         k=ck, v=cv, mask=cm, positions=cp,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
     )
+    if plan.segmented:
+        from ..cache import segment_cache
+
+        cache = segment_cache(cache, plan)
     return logits, cache

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,20 @@ class PolicyPlan:
     window: int  #: recency slots kept verbatim
     #: use the Pallas scoring kernels (TPU hot path; set by the engine)
     use_pallas: bool = False
+    #: Contiguous layer runs with their own static slot widths:
+    #: ((start, stop, width), ...).  One entry == the uniform layout (the
+    #: default for most methods).  Multiple entries let methods whose
+    #: per-layer budgets differ wildly (l2norm skip_layers keep the WHOLE
+    #: bucket; PyramidKV's pyramid spans ~2x) stop paying the max width at
+    #: every layer — the reference's dynamically-sized caches get this for
+    #: free, our static layout gets it via per-segment buffers.
+    segments: "Tuple[Tuple[int, int, int], ...]" = ()
+
+    def __post_init__(self):
+        if not self.segments:
+            object.__setattr__(
+                self, "segments", ((0, self.num_layers, self.width),)
+            )
 
     @property
     def prefill_slots(self) -> int:
@@ -62,6 +76,82 @@ class PolicyPlan:
     def total_slots(self) -> int:
         return self.width + self.window + self.decode_slots
 
+    @property
+    def segmented(self) -> bool:
+        return len(self.segments) > 1
+
+    def segment_plans(self):
+        """Per-segment sub-plans: (start, stop, plan-with-that-width)."""
+        import dataclasses
+
+        out = []
+        for start, stop, w in self.segments:
+            sub = dataclasses.replace(
+                self, width=w, num_layers=stop - start,
+                segments=((0, stop - start, w),),
+            )
+            out.append((start, stop, sub))
+        return out
+
+
+def _merge_segments(widths, max_segments=4):
+    """Contiguous per-layer widths -> at most ``max_segments`` runs, each
+    taking the max width inside it.  Greedy: repeatedly merge the adjacent
+    pair of runs whose merge wastes the fewest layer-slots."""
+    runs = []  # (start, stop, width)
+    for i, w in enumerate(widths):
+        if runs and runs[-1][2] == w:
+            runs[-1] = (runs[-1][0], i + 1, w)
+        else:
+            runs.append((i, i + 1, w))
+    while len(runs) > max_segments:
+        best, cost = None, None
+        for j in range(len(runs) - 1):
+            a, b = runs[j], runs[j + 1]
+            w = max(a[2], b[2])
+            c = (w - a[2]) * (a[1] - a[0]) + (w - b[2]) * (b[1] - b[0])
+            if cost is None or c < cost:
+                best, cost = j, c
+        a, b = runs[best], runs[best + 1]
+        runs[best: best + 2] = [(a[0], b[1], max(a[2], b[2]))]
+    return tuple(runs)
+
+
+def _per_layer_width_bounds(spec, num_layers, bucket_len):
+    """Per-layer STATIC selection-width bounds (max keep count over any
+    true_len <= bucket), or None when the method's widths are uniform."""
+    import numpy as np
+
+    cap, w = spec.max_capacity_prompt, spec.window_size
+    if spec.method == "l2norm" and spec.skip_layers:
+        base = min(cap, bucket_len)
+        return [
+            bucket_len if l in set(spec.skip_layers) else base
+            for l in range(num_layers)
+        ]
+    if spec.method == "pyramidkv":
+        # numpy sweep of pyramid_keep_counts' exact arithmetic over every
+        # possible true_len (cheap: O(L * bucket) once per compile)
+        capw = cap - w
+        q = np.arange(1, bucket_len + 1)
+        qlw = q - w
+        min0 = capw // spec.beta
+        max0 = capw * 2 - min0
+        clamped = max0 >= qlw
+        max_num = np.where(clamped, qlw, max0)
+        min_num = np.where(clamped, capw * 2 - qlw, min0)
+        steps = (max_num - min_num) // max(num_layers - 1, 1)
+        layer = np.arange(num_layers)[:, None]
+        b_l = max_num[None, :] - layer * steps[None, :]
+        avail = np.maximum(qlw, 0)[None, :]
+        n = np.where(
+            (q < cap)[None, :], avail,
+            np.where((q < 2 * capw)[None, :],
+                     np.minimum(capw, avail), np.minimum(b_l, avail)),
+        )
+        return [int(x) for x in n.max(axis=1)]
+    return None
+
 
 def make_plan(
     spec: CompressionSpec,
@@ -69,6 +159,7 @@ def make_plan(
     bucket_len: int,
     decode_slots: int,
     use_pallas: bool = False,
+    allow_segments: bool = True,
 ) -> PolicyPlan:
     window = min(selection_window(spec), bucket_len)
     width = static_selection_width(spec, num_layers, bucket_len)
@@ -79,6 +170,20 @@ def make_plan(
     # pyramidkv_utils.py:314-315) always fits: q_len < cap implies
     # q_len - window < width for every method's static width.
     width = min(width, bucket_len)
+
+    segments = ()
+    if allow_segments and spec.quant_method is None:
+        bounds = _per_layer_width_bounds(spec, num_layers, bucket_len)
+        if bounds is not None:
+            # sublane-align the slot widths, clamp at the uniform bound
+            bounds = [min(((b + 7) // 8) * 8, width) for b in bounds]
+            segs = _merge_segments(bounds)
+            # segment only when it actually saves slots (>= 1/8 of the
+            # uniform layout)
+            uniform = width * num_layers
+            used = sum((stop - start) * w for start, stop, w in segs)
+            if len(segs) > 1 and used <= uniform * 7 // 8:
+                segments = segs
     return PolicyPlan(
         spec=spec,
         num_layers=num_layers,
@@ -87,6 +192,7 @@ def make_plan(
         width=width,
         window=window,
         use_pallas=use_pallas,
+        segments=segments,
     )
 
 

@@ -126,9 +126,16 @@ class ContinuousBatcher:
         )
         dtype = engine.params["embed"].dtype
         quantized = plan.spec.quant_method is not None
-        if quantized:
-            # derive the batched cache structure (incl. quant region shapes)
-            # from an abstract prefill at the smallest bucket
+        if plan.segmented:
+            # per-segment slot widths depend on the bucket; one bucket only
+            assert len(es.prefill_buckets) == 1, (
+                "segmented plans (l2norm skip_layers / pyramidkv) support "
+                "continuous batching with a single prefill bucket"
+            )
+        if quantized or plan.segmented:
+            # derive the batched cache structure (incl. quant region /
+            # per-segment shapes) from an abstract prefill at the smallest
+            # bucket
             bucket0 = es.prefill_buckets[0]
             pf = engine._get_prefill(bucket0)
             _, cache_shape = jax.eval_shape(
@@ -184,11 +191,12 @@ class ContinuousBatcher:
             quant = cache.quant
             if quant is not None:
                 quant = jax.tree_util.tree_map(put, quant, new_cache.quant)
-            cache = cache._replace(
-                k=put(cache.k, new_cache.k),
-                v=put(cache.v, new_cache.v),
-                mask=put(cache.mask, new_cache.mask),
-                positions=put(cache.positions, new_cache.positions),
+            tput = lambda a, b_: jax.tree_util.tree_map(put, a, b_)  # noqa: E731
+            cache = cache._replace(  # tree_map: fields may be per-segment tuples
+                k=tput(cache.k, new_cache.k),
+                v=tput(cache.v, new_cache.v),
+                mask=tput(cache.mask, new_cache.mask),
+                positions=tput(cache.positions, new_cache.positions),
                 true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
                 step=cache.step,
                 quant=quant,

@@ -30,7 +30,8 @@ def test_fullkv_cache_stores_kv_heads(setup):
         jnp.asarray([40], jnp.int32),
         jax.random.PRNGKey(0),
     )
-    assert cache.k.shape[2] == spec.num_key_value_heads  # not H
+    k0 = cache.k[0] if cache.segmented else cache.k
+    assert k0.shape[2] == spec.num_key_value_heads  # not H
     out = eng.generate([ids])
     assert len(out.tokens[0]) == 4
 
@@ -51,7 +52,8 @@ def test_gqa_aggregate_runs_and_shrinks_cache(setup, method):
         jnp.asarray([40], jnp.int32),
         jax.random.PRNGKey(0),
     )
-    assert cache.k.shape[2] == spec.num_key_value_heads
+    k0 = cache.k[0] if cache.segmented else cache.k
+    assert k0.shape[2] == spec.num_key_value_heads
 
 
 def test_gqa_aggregate_same_tokens_when_capacity_suffices(setup):

@@ -16,6 +16,19 @@ from pyramidkv_tpu.parallel.sp_prefill import sequence_parallel_prefill
 from pyramidkv_tpu.policy import make_plan
 
 
+def _per_layer(cache):
+    """(positions, mask) as per-layer numpy lists — handles the segmented
+    (tuple-field) cache layout of l2norm/pyramidkv plans."""
+    def split(field):
+        parts = field if isinstance(field, tuple) else (field,)
+        out = []
+        for p in parts:
+            arr = np.asarray(p)
+            out.extend(arr[l] for l in range(arr.shape[0]))
+        return out
+    return split(cache.positions), split(cache.mask)
+
+
 @pytest.fixture(scope="module")
 def setup():
     spec = ModelSpec.tiny()
@@ -45,16 +58,14 @@ def test_sp_prefill_matches_single_device(setup, method, sp):
         np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
     )
     # identical kept-token SET per layer/head (order may differ only on ties)
-    ref_pos = np.asarray(ref_cache.positions)
-    got_pos = np.asarray(got_cache.positions)
-    ref_mask = np.asarray(ref_cache.mask)
-    got_mask = np.asarray(got_cache.mask)
-    assert ref_mask.sum() == got_mask.sum()
-    L, B, H, S = ref_mask.shape
-    for l in range(L):
+    ref_pos, ref_mask = _per_layer(ref_cache)
+    got_pos, got_mask = _per_layer(got_cache)
+    assert sum(m.sum() for m in ref_mask) == sum(m.sum() for m in got_mask)
+    H = ref_pos[0].shape[1]
+    for l in range(len(ref_pos)):
         for h in range(H):
-            a = set(ref_pos[l, 0, h][ref_mask[l, 0, h]].tolist())
-            bset = set(got_pos[l, 0, h][got_mask[l, 0, h]].tolist())
+            a = set(ref_pos[l][0, h][ref_mask[l][0, h]].tolist())
+            bset = set(got_pos[l][0, h][got_mask[l][0, h]].tolist())
             assert a == bset, (method, l, h, sorted(a ^ bset))
 
 
