@@ -25,6 +25,19 @@ import jax.numpy as jnp
 from .ops.quant import QuantizedKVRegion
 
 
+class ThinKRegion(NamedTuple):
+    """ThinK narrow key storage — the TPU-native equivalent of the
+    reference's ``cache_utils_think`` fork (``update_think`` stores
+    channel-pruned keys separately, cache_utils_think.py:390-424): the
+    pruned-region slots' keys live at ``D_kept = D - int(D*ratio)``
+    channels, cutting the selected-past key bytes by ``pruning_ratio``.
+    V and the recent/window/decode keys stay full width in the main cache
+    buffers."""
+
+    k_pruned: jax.Array       #: [L, B, H, S_pruned, D_kept]
+    kept_channels: jax.Array  #: [L, B, H, D_kept] int32, ascending
+
+
 class KVCache(NamedTuple):
     """Layer-stacked compressed KV cache (a scan-friendly pytree).
 
@@ -50,6 +63,11 @@ class KVCache(NamedTuple):
     #: fp16 residual buffer (quantcache.py:79-82), except ours never needs
     #: re-quantisation because compacted prefill slots are immutable.
     quant: Optional[QuantizedKVRegion] = None
+    #: ThinK narrow key region: when set, ``k`` holds ONLY the
+    #: recent+window+decode slots (full width) and the pruned-region keys
+    #: live here at D_kept channels.  ``v``/``mask``/``positions`` stay
+    #: full-length.
+    think: Optional[ThinKRegion] = None
 
     @property
     def segmented(self) -> bool:
@@ -106,6 +124,7 @@ def append_token(
     slot: jax.Array,
     position: jax.Array,
     mask_slot: Optional[jax.Array] = None,
+    v_slot: Optional[jax.Array] = None,
 ) -> LayerCacheView:
     """O(1) in-place append of one decoded token into its decode slot.
 
@@ -116,15 +135,19 @@ def append_token(
         relative to the decode region while ``mask_slot`` (full-cache index)
         addresses the full-length mask/positions arrays.
       position: [B] int32 — the token's true sequence position.
+      v_slot: separate V-buffer index when K and V buffers differ in length
+        (ThinK: K holds only recent+window+decode slots, V is full-length).
     """
     b, h, s, d = layer.k.shape
     if mask_slot is None:
         mask_slot = slot
+    if v_slot is None:
+        v_slot = slot
     k = jax.lax.dynamic_update_slice(
         layer.k, k_new[:, :, None, :].astype(layer.k.dtype), (0, 0, slot, 0)
     )
     v = jax.lax.dynamic_update_slice(
-        layer.v, v_new[:, :, None, :].astype(layer.v.dtype), (0, 0, slot, 0)
+        layer.v, v_new[:, :, None, :].astype(layer.v.dtype), (0, 0, v_slot, 0)
     )
     mask = jax.lax.dynamic_update_slice(
         layer.mask, jnp.ones((b, h, 1), dtype=bool), (0, 0, mask_slot)
@@ -145,6 +168,7 @@ def append_token_per_lane(
     slots: jax.Array,
     positions: jax.Array,
     mask_slots: jax.Array,
+    v_slots: Optional[jax.Array] = None,
 ) -> LayerCacheView:
     """Per-lane append: each batch row writes its own slot (continuous
     batching, where lanes join mid-flight and have different step counts).
@@ -152,9 +176,11 @@ def append_token_per_lane(
     slots / mask_slots: [B] int32 per-row indices; positions: [B] int32.
     """
     b, h, s, d = layer.k.shape
+    if v_slots is None:
+        v_slots = slots
     rows = jnp.arange(b)
     k = layer.k.at[rows, :, slots].set(k_new.astype(layer.k.dtype))
-    v = layer.v.at[rows, :, slots].set(v_new.astype(layer.v.dtype))
+    v = layer.v.at[rows, :, v_slots].set(v_new.astype(layer.v.dtype))
     mask = layer.mask.at[rows, :, mask_slots].set(True)
     pos = layer.positions.at[rows, :, mask_slots].set(
         jnp.broadcast_to(positions[:, None], (b, h)).astype(jnp.int32)
@@ -172,6 +198,11 @@ def cache_memory_bytes(cache: KVCache) -> int:
         total += sum(
             x.size * x.dtype.itemsize
             for x in jax.tree_util.tree_leaves(cache.quant)
+        )
+    if cache.think is not None:
+        total += sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(cache.think)
         )
     return total
 

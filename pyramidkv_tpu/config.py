@@ -216,6 +216,15 @@ class CompressionSpec:
     #: (pyramidkv_utils.py:13-26; run_longbench.py:353-354).
     pruning_ratio: float = 0.4
     recent_size: int = 32
+    #: ThinK storage: False (default) stores the pruned-region keys at
+    #: ``head_dim - int(head_dim*ratio)`` channels (the reference's
+    #: ``cache_utils_think`` narrow layout, :390-424 — the method's whole
+    #: memory benefit); True keeps a full-width key buffer with dropped
+    #: channels zeroed (bit-identical dot products; used as the oracle and
+    #: automatically selected when ``quant_method`` is set).  The narrow
+    #: layout prunes every row; the reference's ``q_len < cap`` early-out
+    #: (no pruning for short prompts) only survives in the dense layout.
+    think_dense: bool = False
     #: CAM start-budget ratio (pyramidkv_utils.py:432).
     start_budget_ratio: float = 0.1
     #: MInference vertical_and_slash pattern sizes (minference.py:9-12 loads

@@ -316,12 +316,16 @@ class Engine:
                     return shift(field, fill, offs[0])
 
                 if cache.quant is not None:
-                    kv_offs = (0,) * len(seg_ps)
+                    k_offs = v_offs = (0,) * len(seg_ps)
+                elif cache.think is not None:
+                    # ThinK: K buffer holds only recent+window+decode slots
+                    k_offs = (plan.prefill_slots - plan.think_pruned_slots,)
+                    v_offs = seg_ps
                 else:
-                    kv_offs = seg_ps
+                    k_offs = v_offs = seg_ps
                 return KVCache(
-                    k=shift_field(cache.k, 0, kv_offs),
-                    v=shift_field(cache.v, 0, kv_offs),
+                    k=shift_field(cache.k, 0, k_offs),
+                    v=shift_field(cache.v, 0, v_offs),
                     mask=shift_field(cache.mask, False, seg_ps),
                     positions=shift_field(cache.positions, -1, seg_ps),
                     # keep true_len + step == total tokens so RoPE positions
@@ -329,6 +333,7 @@ class Engine:
                     true_len=cache.true_len + (cache.step - keep_recent),
                     step=jnp.asarray(keep_recent, jnp.int32),
                     quant=cache.quant,
+                    think=cache.think,
                 )
 
             fn = self._roll_fns[key] = roll_fn

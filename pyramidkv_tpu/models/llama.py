@@ -261,6 +261,11 @@ def prefill(
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts)
             ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
+            if subplan.think_narrow:
+                from ..policy import think_split
+
+                kp, kc, krest = think_split(ckv, q, subplan, true_len)
+                return hidden, (ckv._replace(k=krest), kp, kc)
             return hidden, ckv
 
         return layer_fn
@@ -281,6 +286,17 @@ def prefill(
         seg_ckvs.append(ckv)
     logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
     cs = plan.spec
+    if plan.think_narrow:
+        from ..cache import ThinKRegion
+
+        ckvs, kps, kcs = seg_ckvs[0]  # think never segments
+        cache = KVCache(
+            k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
+            true_len=true_len.astype(jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+            think=ThinKRegion(k_pruned=kps, kept_channels=kcs),
+        )
+        return logits, cache
     if len(seg_ckvs) > 1:
         assert cs.quant_method is None  # make_plan keeps quant plans uniform
         cache = KVCache(
@@ -365,19 +381,25 @@ def decode_step(
 
     store_kv = stores_kv_heads(plan.spec)
     cs = plan.spec
+    think = cache.think is not None
 
     def make_layer_fn(subplan):
+        sp = subplan.think_pruned_slots if think else 0
         if lane_steps is None:
             full_slot = subplan.prefill_slots + cache.step  # mask/positions
-            kv_slot = cache.step if quantized else full_slot  # k/v buffers
-            full_slots = kv_slots = None
+            # K-buffer index: quant holds only decode slots; think holds
+            # only recent+window+decode slots (narrow region excluded)
+            kv_slot = cache.step if quantized else full_slot - sp
+            v_slot = full_slot if think else None  # V is always full-length
+            full_slots = kv_slots = v_slots = None
         else:
             full_slots = subplan.prefill_slots + lane_steps  # [B]
-            kv_slots = lane_steps if quantized else full_slots
-            full_slot = kv_slot = None
+            kv_slots = lane_steps if quantized else full_slots - sp
+            v_slots = full_slots if think else None
+            full_slot = kv_slot = v_slot = None
 
         def layer_fn(hidden, xs):
-            wts, layer, qreg = xs
+            wts, layer, qreg, treg = xs
             layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
             x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
             q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
@@ -391,12 +413,17 @@ def decode_step(
             if lane_steps is None:
                 layer = append_token(
                     layer, k_new, v_new, slot=kv_slot, position=pos,
-                    mask_slot=full_slot,
+                    mask_slot=full_slot, v_slot=v_slot,
                 )
             else:
                 layer = append_token_per_lane(
                     layer, k_new, v_new, slots=kv_slots, positions=pos,
-                    mask_slots=full_slots,
+                    mask_slots=full_slots, v_slots=v_slots,
+                )
+            visible = layer.mask
+            if spec.sliding_window is not None:
+                visible = visible & (
+                    layer.positions > (pos[:, None, None] - spec.sliding_window)
                 )
             if quantized:
                 from ..ops.quant import dequantize_kv_region
@@ -409,14 +436,16 @@ def decode_step(
                 )
                 k_all = jnp.concatenate([k_pre, layer.k], axis=2)
                 v_all = jnp.concatenate([v_pre, layer.v], axis=2)
-            else:
-                k_all, v_all = layer.k, layer.v
-            visible = layer.mask
-            if spec.sliding_window is not None:
-                visible = visible & (
-                    layer.positions > (pos[:, None, None] - spec.sliding_window)
+                attn = decode_attention(q, k_all, v_all, visible)
+            elif think:
+                from ..ops.attention import decode_attention_think
+
+                attn = decode_attention_think(
+                    q, treg.k_pruned, treg.kept_channels, layer.k, layer.v,
+                    visible,
                 )
-            attn = decode_attention(q, k_all, v_all, visible)  # [B, H, Dh]
+            else:
+                attn = decode_attention(q, layer.k, layer.v, visible)
             hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts)
@@ -432,17 +461,18 @@ def decode_step(
         _, _, sub = segs[0]
         layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
         hidden, layers_out = jax.lax.scan(
-            make_layer_fn(sub), hidden0, (params["layers"], layers_in, cache.quant)
+            make_layer_fn(sub), hidden0,
+            (params["layers"], layers_in, cache.quant, cache.think),
         )
         logits = _logits(hidden, params, spec)
         new_cache = KVCache(
             k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
             positions=layers_out.positions, true_len=cache.true_len,
-            step=cache.step + 1, quant=cache.quant,
+            step=cache.step + 1, quant=cache.quant, think=cache.think,
         )
         return logits, new_cache
 
-    assert not quantized  # make_plan keeps quant plans uniform
+    assert not quantized and not think  # make_plan keeps these uniform
     hidden = hidden0
     outs = []
     for i, (start, stop, sub) in enumerate(segs):
@@ -451,7 +481,8 @@ def decode_step(
         )
         hidden, layers_out = jax.lax.scan(
             make_layer_fn(sub), hidden,
-            (_slice_layers(params["layers"], start, stop), layers_in, None),
+            (_slice_layers(params["layers"], start, stop), layers_in, None,
+             None),
         )
         outs.append(layers_out)
     logits = _logits(hidden, params, spec)

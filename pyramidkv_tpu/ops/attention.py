@@ -154,3 +154,45 @@ def decode_attention(
         "bkgs,bksd->bkgd", probs, v_cache, preferred_element_type=jnp.float32
     )
     return out.reshape(b, h, d).astype(q.dtype)
+
+
+def decode_attention_think(
+    q: jax.Array,
+    k_pruned: jax.Array,
+    kept_channels: jax.Array,
+    k_rest: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """ThinK decode: two partial logit blocks concatenated before softmax
+    (llama_model_think.py:175-181) — channel-gathered query x narrow pruned
+    keys, full query x full-width recent/window/decode keys.
+
+    Args:
+      q: [B, H, D].
+      k_pruned: [B, H, Sp, D_kept] narrow keys (slots [0, Sp)).
+      kept_channels: [B, H, D_kept] int32 (ascending).
+      k_rest: [B, H, Sr, D] full-width keys (slots [Sp, Sp+Sr)).
+      v_cache: [B, H, Sp+Sr, D] full-width values.
+      mask: [B, H, Sp+Sr] bool.
+
+    The softmax scale stays 1/sqrt(D) for BOTH blocks (the reference scales
+    by the full head_dim, llama_model_think.py:177).  The channel gather is
+    a last-axis gather on a [B,H,D] per-step tensor — not the slot-axis row
+    gather the TPU pathology notes forbid.
+    """
+    b, h, d = q.shape
+    q_kept = jnp.take_along_axis(q, kept_channels, axis=-1)  # [B,H,Dk]
+    lp = jnp.einsum(
+        "bhd,bhsd->bhs", q_kept, k_pruned, preferred_element_type=jnp.float32
+    )
+    lr = jnp.einsum(
+        "bhd,bhsd->bhs", q, k_rest, preferred_element_type=jnp.float32
+    )
+    logits = jnp.concatenate([lp, lr], axis=-1) / math.sqrt(d)
+    logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bhs,bhsd->bhd", probs, v_cache, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)

@@ -80,6 +80,21 @@ class PolicyPlan:
     def segmented(self) -> bool:
         return len(self.segments) > 1
 
+    @property
+    def think_narrow(self) -> bool:
+        """ThinK stores pruned-region keys at D_kept channels (the
+        reference fork's memory benefit, cache_utils_think.py:390-424);
+        dense (zeroed full-width) only on request or under quantization."""
+        cs = self.spec
+        return (cs.method == "think" and not cs.think_dense
+                and cs.quant_method is None)
+
+    @property
+    def think_pruned_slots(self) -> int:
+        """Static slot count of the narrow (channel-pruned) key region."""
+        recent_sel = max(self.spec.recent_size - self.window, 0)
+        return max(self.width - recent_sel, 0)
+
     def segment_plans(self):
         """Per-segment sub-plans: (start, stop, plan-with-that-width)."""
         import dataclasses
@@ -492,7 +507,7 @@ def compress_layer(
         else:
             ckv = compact_kv(k_kv, v_kv, sel, window_size=w,
                              decode_slots=plan.decode_slots, true_len=true_len)
-        if m == "think":
+        if m == "think" and not plan.think_narrow:
             ckv = _think_zero_channels(ckv, q, ckv.k, sel, plan, true_len,
                                        ctx.keep_counts)
         return ckv
@@ -547,3 +562,30 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     raise ValueError(f"unknown method {m!r}")
+
+
+def think_split(ckv, q, plan: PolicyPlan, true_len: jax.Array):
+    """Split a think-compacted layer into the narrow key region + the rest.
+
+    Returns ``(k_pruned [B,H,Sp,D_kept], kept_channels [B,H,D_kept],
+    k_rest [B,H,S-Sp,D])`` where ``Sp = plan.think_pruned_slots``.  The
+    channel selection is the SAME computation the dense zeroing path uses
+    (``_think_zero_channels``), so for prompts with ``true_len >= cap`` the
+    two layouts produce bit-identical attention logits
+    (llama_model_think.py:175-181 partial-logit concat).  Short prompts are
+    channel-pruned too under this layout (the reference's early-out needs
+    full-width storage — see CompressionSpec.think_dense).
+    """
+    from .ops.think import gather_channels
+
+    spec = plan.spec
+    w, width = plan.window, plan.width
+    sp = plan.think_pruned_slots
+    comp_k = ckv.k[:, :, : width + w, :]
+    prune = think_channel_selection(
+        comp_k, q, ratio=spec.pruning_ratio, true_len=true_len,
+        valid_mask=ckv.mask[:, :, : width + w],
+    )
+    k_pruned = gather_channels(ckv.k[:, :, :sp, :], prune.kept_channels)
+    k_rest = ckv.k[:, :, sp:, :]
+    return k_pruned, prune.kept_channels.astype(jnp.int32), k_rest

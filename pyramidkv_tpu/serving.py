@@ -132,8 +132,8 @@ class ContinuousBatcher:
                 "segmented plans (l2norm skip_layers / pyramidkv) support "
                 "continuous batching with a single prefill bucket"
             )
-        if quantized or plan.segmented:
-            # derive the batched cache structure (incl. quant region /
+        if quantized or plan.segmented or plan.think_narrow:
+            # derive the batched cache structure (incl. quant/think region /
             # per-segment shapes) from an abstract prefill at the smallest
             # bucket
             bucket0 = es.prefill_buckets[0]
@@ -191,6 +191,9 @@ class ContinuousBatcher:
             quant = cache.quant
             if quant is not None:
                 quant = jax.tree_util.tree_map(put, quant, new_cache.quant)
+            think = cache.think
+            if think is not None:
+                think = jax.tree_util.tree_map(put, think, new_cache.think)
             tput = lambda a, b_: jax.tree_util.tree_map(put, a, b_)  # noqa: E731
             cache = cache._replace(  # tree_map: fields may be per-segment tuples
                 k=tput(cache.k, new_cache.k),
@@ -200,6 +203,7 @@ class ContinuousBatcher:
                 true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
                 step=cache.step,
                 quant=quant,
+                think=think,
             )
             tokens = tokens.at[lane].set(first_tok[0])
             lane_steps = lane_steps.at[lane].set(0)
