@@ -232,6 +232,9 @@ class CompressionSpec:
     minference_vertical_size: int = 1000
     minference_slash_size: int = 200
     minference_last_q: int = 64
+    #: Block-sparse slash coverage: k-tiles (of 128) gathered per q-block
+    #: (the TPU analogue of MInference's block-granular Triton kernel).
+    minference_tile_budget: int = 16
     #: Aggregate selection over GQA groups and store num_kv_heads entries
     #: instead of the reference's per-query-head selection after repeat_kv
     #: (llama_model.py:158-159).  Saves group_size x cache memory at a small

@@ -240,7 +240,7 @@ def prefill(
                 )
                 attn = sparse_prefill_attention(
                     q, k_rep, v_rep, pattern, true_len=true_len,
-                    block=prefill_block,
+                    tile_budget=subplan.spec.minference_tile_budget,
                 )
             elif attention_impl in ("pallas", "pallas_interpret"):
                 from ..kernels import flash_causal_attention

@@ -6,13 +6,28 @@ config :9-12, prefill dispatch :49-59; decode falls back to dense flash).
 Its dominant pattern is ``vertical_and_slash``: keep a per-head set of
 VERTICAL key columns (globally attended tokens) plus SLASH diagonals
 (fixed relative offsets), estimated from the last 64 queries' attention.
+The plugin exists to make long prefill FASTER — its GPU kernel computes
+only the covered blocks.
 
-TPU-native expression: the pattern is two boolean sets per head —
-``vert[j]`` over absolute columns and ``slash[d]`` over diagonal offsets
-``d = i - j`` — and the sparse mask for any (i, j) is
-``vert[j] | slash[i - j]``, materialised blockwise (never O(N^2) at once).
-Estimation and attention are static-shape; the per-head top-k counts are
-fixed by config.
+TPU-native expression (this module):
+
+- estimation: one [last_q, N] score pass (same recipe as the reference).
+- attention: FLOPs actually scale with the pattern, not with N^2:
+  * the Vs vertical columns are gathered ONCE per head into a dense
+    [B, H, Vs, D] buffer (one-hot MXU contraction — no row-gather
+    pathology) and every query block attends to them exactly;
+  * slash coverage is BLOCK-GRANULAR, like MInference's own Triton kernel:
+    per query block, the ``tile_budget`` k-tiles with the highest
+    slash-offset coverage (computed from prefix sums of the slash set) are
+    gathered and attended in full (causal + padding masks applied; columns
+    already covered by a vertical are deduplicated out of the softmax).
+
+  Total cost per layer ~ N * (Vs + tile_budget*k_tile) * D instead of
+  N^2 * D — e.g. ~2.6x fewer attention FLOPs at 8k with the default
+  pattern sizes, growing linearly with context.
+
+``sparse_prefill_attention_dense`` applies the IDENTICAL coverage over full
+logits (O(N^2)) and is the CPU parity oracle for the gathered path.
 """
 
 from __future__ import annotations
@@ -27,8 +42,10 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 class VerticalSlashPattern(NamedTuple):
-    vert: jax.Array   #: [B, H, N] bool — kept absolute key columns
-    slash: jax.Array  #: [B, H, N] bool — kept diagonal offsets (i - j)
+    vert: jax.Array        #: [B, H, N] bool — kept absolute key columns
+    slash: jax.Array       #: [B, H, N] bool — kept diagonal offsets (i - j)
+    vert_idx: jax.Array    #: [B, H, Vs] int32 — vertical column ids
+    vert_valid: jax.Array  #: [B, H, Vs] bool
 
 
 def estimate_vertical_slash(
@@ -63,8 +80,11 @@ def estimate_vertical_slash(
     logits = jnp.where(colv[:, None, None, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)  # [B, H, w, N]
 
-    # vertical scores: column sums
+    # vertical scores: column sums; sinks (first 4 real tokens) forced via
+    # a large finite boost so they always rank into the static top-k
     vscore = probs.sum(axis=2)  # [B, H, N]
+    sink = (col[None, :] >= pad[:, None]) & (col[None, :] < (pad + 4)[:, None])
+    vscore = jnp.where(sink[:, None, :], 1e30, vscore)
     vscore = jnp.where(colv[:, None, :], vscore, -jnp.inf)
 
     # slash scores: sum along diagonals d = i - j, where row i is a window
@@ -75,24 +95,63 @@ def estimate_vertical_slash(
     oh = jax.nn.one_hot(diag, n + 1, dtype=jnp.float32)  # [w, N, n+1]
     sscore = jnp.einsum("bhwn,wnd->bhd", probs, oh)[..., :n]  # [B, H, N]
 
-    # top-k sets (+ forced sinks / local diagonals)
-    vs = min(vertical_size, n)
+    # top-k sets
+    vs = min(vertical_size + 4, n)
     ss = min(slash_size, n)
-    _, vidx = jax.lax.top_k(vscore, vs)
+    vvals, vidx = jax.lax.top_k(vscore, vs)
+    vert_valid = jnp.isfinite(vvals) | (vvals >= 1e29)
     vert = jnp.zeros((b, h, n), bool)
     bi = jnp.arange(b)[:, None, None]
     hi = jnp.arange(h)[None, :, None]
-    vert = vert.at[bi, hi, vidx].set(True)
-    # always keep attention sinks: first 4 real tokens
-    sink = (col[None, :] >= pad[:, None]) & (col[None, :] < (pad + 4)[:, None])
-    vert = vert | sink[:, None, :]
+    vert = vert.at[bi, hi, vidx].max(vert_valid)
 
     _, sidx = jax.lax.top_k(sscore, ss)
     slash = jnp.zeros((b, h, n), bool)
     slash = slash.at[bi, hi, sidx].set(True)
     # always keep the local band (offsets 0..last_q)
     slash = slash | (jnp.arange(n)[None, None, :] <= w)
-    return VerticalSlashPattern(vert=vert, slash=slash)
+    return VerticalSlashPattern(vert=vert, slash=slash,
+                                vert_idx=vidx.astype(jnp.int32),
+                                vert_valid=vert_valid)
+
+
+def _slash_tile_selection(
+    pattern: VerticalSlashPattern, n: int, q_block: int, k_tile: int,
+    tile_budget: int,
+):
+    """Per query-block top-``tile_budget`` k-tiles by slash coverage.
+
+    A slash offset d hits tile (qb, kb) iff some (i, j) with i in qb rows,
+    j in kb cols has i - j = d, i.e. d in
+    [qb*Q - (kb+1)*K + 1, (qb+1)*Q - 1 - kb*K].  Coverage counts come from
+    prefix sums of the slash set.  The diagonal tile (and its left
+    neighbour, covering the local band) is always forced.
+
+    Returns (tile_idx [B,H,nq,T] int32, tile_valid [B,H,nq,T] bool).
+    """
+    b, h, _ = pattern.slash.shape
+    nq, nk = n // q_block, n // k_tile
+    t = min(tile_budget, nk)
+    psum = jnp.concatenate(
+        [jnp.zeros((b, h, 1), jnp.int32),
+         jnp.cumsum(pattern.slash.astype(jnp.int32), axis=-1)], axis=-1,
+    )  # [B,H,N+1]
+    qb = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    kb = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    lo = jnp.clip(qb * q_block - (kb + 1) * k_tile + 1, 0, n)
+    hi_ = jnp.clip((qb + 1) * q_block - kb * k_tile, 0, n)  # exclusive
+    # counts[b,h,qb,kb] = psum[hi] - psum[lo]
+    cnt = (jnp.take(psum, hi_.reshape(-1), axis=-1)
+           - jnp.take(psum, lo.reshape(-1), axis=-1))
+    cnt = cnt.reshape(b, h, nq, nk)
+    causal_tiles = kb * k_tile <= (qb + 1) * q_block - 1  # any causal overlap
+    forced = (kb == (qb * q_block) // k_tile) | (
+        kb == jnp.maximum((qb * q_block) // k_tile - 1, 0)
+    )
+    score = jnp.where(forced[None, None], n + 1, cnt)
+    score = jnp.where(causal_tiles[None, None], score, -1)
+    vals, idx = jax.lax.top_k(score, t)
+    return idx.astype(jnp.int32), vals > 0
 
 
 def sparse_prefill_attention(
@@ -102,51 +161,144 @@ def sparse_prefill_attention(
     pattern: VerticalSlashPattern,
     *,
     true_len: jax.Array,
-    block: int = 512,
+    q_block: int = 128,
+    k_tile: int = 128,
+    tile_budget: int = 16,
+    block: int | None = None,  # legacy knob, accepted and ignored
 ) -> jax.Array:
-    """Causal attention restricted to the vertical/slash pattern,
-    accumulated blockwise over query rows (O(block x N) memory)."""
+    """Gathered block-sparse causal attention over the pattern.
+
+    FLOPs ~ N * (Vs + tile_budget * k_tile) * D; the full [N, N] logits are
+    never formed.
+    """
     b, h, n, d = q.shape
-    if n % block != 0:
-        block = math.gcd(n, block) or n
-    nblocks = n // block
+    if n % q_block != 0:
+        q_block = math.gcd(n, q_block) or n
+    if n % k_tile != 0:
+        k_tile = math.gcd(n, k_tile) or n
+    nq, nk = n // q_block, n // k_tile
     scale = 1.0 / math.sqrt(d)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
     pad = (n - true_len).astype(jnp.int32)
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]
 
-    q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
+    vs = pattern.vert_idx.shape[-1]
+    # one-hot MXU gather of the vertical columns (+ their validity/colv)
+    oh_v = jax.nn.one_hot(pattern.vert_idx, n, dtype=k.dtype)  # [B,H,Vs,N]
+    k_vert = jnp.einsum("bhvn,bhnd->bhvd", oh_v, k,
+                        preferred_element_type=jnp.float32).astype(k.dtype)
+    v_vert = jnp.einsum("bhvn,bhnd->bhvd", oh_v, v,
+                        preferred_element_type=jnp.float32).astype(v.dtype)
+    vcol = pattern.vert_idx  # [B,H,Vs] absolute ids
+    vvalid = pattern.vert_valid & jnp.take_along_axis(
+        jnp.broadcast_to(colv[:, None, :], (b, h, n)), vcol, axis=-1
+    )
+
+    tile_idx, tile_valid = _slash_tile_selection(
+        pattern, n, q_block, k_tile, tile_budget
+    )  # [B,H,nq,T]
+    t = tile_idx.shape[-1]
+    k_tiles = k.reshape(b, h, nk, k_tile, d)
+    v_tiles = v.reshape(b, h, nk, k_tile, d)
+
+    q_blocks = q.reshape(b, h, nq, q_block, d).transpose(2, 0, 1, 3, 4)
 
     def body(_, inputs):
-        bi_, qb = inputs
-        rows = bi_ * block + jnp.arange(block, dtype=jnp.int32)  # [block]
-        logits = jnp.einsum(
-            "bhqd,bhnd->bhqn", qb.astype(jnp.float32), kf,
-            preferred_element_type=jnp.float32,
-        ) * scale
-        causal = col[None, :] <= rows[:, None]
-        # diagonal offsets for this block: d = i - j
-        doff = rows[:, None] - col[None, :]
-        doff_c = jnp.clip(doff, 0, n - 1)
-        slash_hit = jnp.take_along_axis(
-            pattern.slash[:, :, None, :].repeat(block, 2),
-            jnp.broadcast_to(doff_c[None, None], (b, h, block, n)),
-            axis=3,
+        qb_i, qb = inputs  # qb: [B,H,q_block,D]
+        rows = qb_i * q_block + jnp.arange(q_block, dtype=jnp.int32)
+
+        # ---- vertical part (exact columns) ----
+        lv = jnp.einsum("bhqd,bhvd->bhqv", qb, k_vert,
+                        preferred_element_type=jnp.float32) * scale
+        mv = (vcol[:, :, None, :] <= rows[None, None, :, None]) \
+            & vvalid[:, :, None, :]
+        lv = jnp.where(mv, lv, _NEG_INF)
+
+        # ---- slash part (block-granular coverage) ----
+        ti = tile_idx[:, :, qb_i]      # [B,H,T]
+        tv = tile_valid[:, :, qb_i]    # [B,H,T]
+        # gather T tiles of contiguous k_tile rows (large-slice gather)
+        bi = jnp.arange(b)[:, None, None]
+        hi = jnp.arange(h)[None, :, None]
+        kg = k_tiles[bi, hi, ti].reshape(b, h, t * k_tile, d)
+        vg = v_tiles[bi, hi, ti].reshape(b, h, t * k_tile, d)
+        gcol = (ti[..., None] * k_tile
+                + jnp.arange(k_tile, dtype=jnp.int32)[None, None, None, :]
+                ).reshape(b, h, t * k_tile)  # absolute ids
+        ls = jnp.einsum("bhqd,bhsd->bhqs", qb, kg,
+                        preferred_element_type=jnp.float32) * scale
+        gvalid = (
+            tv[..., None].repeat(k_tile, -1).reshape(b, h, t * k_tile)
+            & jnp.take_along_axis(
+                jnp.broadcast_to(colv[:, None, :], (b, h, n)), gcol, axis=-1)
+            # dedup: vertical columns already counted in the vertical part
+            & ~jnp.take_along_axis(pattern.vert, gcol, axis=-1)
         )
-        allowed = pattern.vert[:, :, None, :] | (slash_hit & (doff >= 0)[None, None])
-        mask = causal[None, None] & allowed & colv[:, None, None, :]
-        logits = jnp.where(mask, logits, _NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        # fully-masked (padding) rows produce uniform rows; zero them
-        any_valid = mask.any(axis=-1, keepdims=True)
-        probs = jnp.where(any_valid, probs, 0.0)
-        out = jnp.einsum(
-            "bhqn,bhnd->bhqd", probs, vf, preferred_element_type=jnp.float32
+        ms = (gcol[:, :, None, :] <= rows[None, None, :, None]) \
+            & gvalid[:, :, None, :]
+        ls = jnp.where(ms, ls, _NEG_INF)
+
+        # ---- joint softmax over [verticals | gathered tiles] ----
+        logits = jnp.concatenate([lv, ls], axis=-1)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2))
+        z = jnp.maximum(e.sum(-1, keepdims=True), 1e-30)
+        probs = (e / z).astype(v.dtype)
+        out = (
+            jnp.einsum("bhqv,bhvd->bhqd", probs[..., :vs], v_vert,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhqs,bhsd->bhqd", probs[..., vs:], vg,
+                         preferred_element_type=jnp.float32)
         )
         return None, out
 
-    _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks))
+    _, outs = jax.lax.scan(body, None, (jnp.arange(nq), q_blocks))
     out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+    return out.astype(q.dtype)
+
+
+def sparse_prefill_attention_dense(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pattern: VerticalSlashPattern,
+    *,
+    true_len: jax.Array,
+    q_block: int = 128,
+    k_tile: int = 128,
+    tile_budget: int = 16,
+) -> jax.Array:
+    """O(N^2) oracle applying the IDENTICAL coverage as the gathered path
+    (vertical columns exact + block-granular slash tiles).  Test-only."""
+    b, h, n, d = q.shape
+    if n % q_block != 0:
+        q_block = math.gcd(n, q_block) or n
+    if n % k_tile != 0:
+        k_tile = math.gcd(n, k_tile) or n
+    nq, nk = n // q_block, n // k_tile
+    scale = 1.0 / math.sqrt(d)
+    pad = (n - true_len).astype(jnp.int32)
+    col = jnp.arange(n, dtype=jnp.int32)
+    colv = col[None, :] >= pad[:, None]
+
+    tile_idx, tile_valid = _slash_tile_selection(
+        pattern, n, q_block, k_tile, tile_budget
+    )
+    # expand tile selection into a [B,H,N,N]-equivalent column mask per row
+    covered = jnp.zeros((b, h, nq, nk), bool)
+    bi = jnp.arange(b)[:, None, None, None]
+    hi = jnp.arange(h)[None, :, None, None]
+    qi = jnp.arange(nq)[None, None, :, None]
+    covered = covered.at[bi, hi, qi, tile_idx].max(tile_valid)
+    cov_cols = covered.repeat(q_block, axis=2).repeat(k_tile, axis=3)  # [B,H,N,N]
+
+    allowed = pattern.vert[:, :, None, :] | cov_cols
+    causal = col[None, :] <= col[:, None]
+    mask = allowed & causal[None, None] & colv[:, None, None, :]
+    logits = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask.any(-1, keepdims=True), probs, 0.0)
+    out = jnp.einsum("bhqn,bhnd->bhqd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)

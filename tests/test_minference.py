@@ -13,7 +13,16 @@ from pyramidkv_tpu.ops.sparse_prefill import (
     VerticalSlashPattern,
     estimate_vertical_slash,
     sparse_prefill_attention,
+    sparse_prefill_attention_dense,
 )
+
+
+def _full_pattern(b, h, n):
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, h, n))
+    return VerticalSlashPattern(
+        vert=jnp.ones((b, h, n), bool), slash=jnp.ones((b, h, n), bool),
+        vert_idx=idx, vert_valid=jnp.ones((b, h, n), bool),
+    )
 
 
 def test_dense_pattern_recovers_full_attention():
@@ -23,16 +32,52 @@ def test_dense_pattern_recovers_full_attention():
     q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
                for _ in range(3))
     tl = jnp.asarray([50], jnp.int32)
-    pattern = VerticalSlashPattern(
-        vert=jnp.ones((b, h, n), bool), slash=jnp.ones((b, h, n), bool)
-    )
-    got = sparse_prefill_attention(q, k, v, pattern, true_len=tl, block=16)
+    pattern = _full_pattern(b, h, n)
+    got = sparse_prefill_attention(q, k, v, pattern, true_len=tl,
+                                   q_block=16, k_tile=16, tile_budget=4)
     want = causal_prefill_attention(q, k, v, true_len=tl, block=16)
     pad = n - 50
     np.testing.assert_allclose(
         np.asarray(got)[:, :, pad:], np.asarray(want)[:, :, pad:],
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("true_len", [128, 100])
+def test_gathered_matches_dense_oracle(true_len):
+    """The gathered block-sparse path == the O(N^2) oracle applying the
+    identical coverage (vertical columns exact + block-granular slash)."""
+    b, h, n, d = 1, 2, 128, 16
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    tl = jnp.asarray([true_len], jnp.int32)
+    pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=12,
+                                  slash_size=8, last_q=8)
+    kw = dict(true_len=tl, q_block=16, k_tile=16, tile_budget=3)
+    got = np.asarray(sparse_prefill_attention(q, k, v, pat, **kw))
+    want = np.asarray(sparse_prefill_attention_dense(q, k, v, pat, **kw))
+    pad = n - true_len
+    np.testing.assert_allclose(got[:, :, pad:], want[:, :, pad:],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_flops_scale_with_pattern():
+    """The gathered path never builds [N, N] logits: its largest live
+    attention intermediate is [B, H, q_block, Vs + T*k_tile]."""
+    b, h, n, d = 1, 2, 256, 16
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    tl = jnp.asarray([n], jnp.int32)
+    pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=8,
+                                  slash_size=4, last_q=8)
+    fn = jax.jit(lambda q, k, v: sparse_prefill_attention(
+        q, k, v, pat, true_len=tl, q_block=32, k_tile=32, tile_budget=2))
+    txt = fn.lower(q, k, v).compile().as_text()
+    # the dense [q_block, N] product would be f32[1,2,32,256] per block;
+    # with budget 2 the slash part is f32[1,2,32,64]
+    assert "f32[1,2,32,256]" not in txt
 
 
 def test_estimate_keeps_sinks_and_local_band():
