@@ -346,6 +346,10 @@ def prefill(
 # Decode
 # ---------------------------------------------------------------------------
 
+#: Test hook: force the fused dequant decode kernel (in interpret mode) off
+#: the TPU.  Mutated by tests only.
+_FORCE_QUANT_KERNEL = [False]
+
 
 def decode_step(
     params: dict,
@@ -426,17 +430,50 @@ def decode_step(
                     layer.positions > (pos[:, None, None] - spec.sliding_window)
                 )
             if quantized:
-                from ..ops.quant import dequantize_kv_region
+                sp_ = subplan.prefill_slots
+                use_kernel = (
+                    subplan.use_pallas or _FORCE_QUANT_KERNEL[0]
+                ) and cs.quant_method == "kivi"
+                if use_kernel:
+                    # fused dequant-attention over the packed region: HBM
+                    # traffic = codes + scales only (~nbits/16 of bf16)
+                    from ..kernels.quant_decode import quant_decode_attention
+                    from ..ops.attention import (
+                        decode_attention_partials,
+                        merge_attention_partials,
+                    )
 
-                k_pre, v_pre = dequantize_kv_region(
-                    qreg, num_slots=subplan.prefill_slots,
-                    head_dim=spec.head_dim,
-                    nbits=cs.nbits, group_size=cs.q_group_size,
-                    dtype=layer.k.dtype,
-                )
-                k_all = jnp.concatenate([k_pre, layer.k], axis=2)
-                v_all = jnp.concatenate([v_pre, layer.v], axis=2)
-                attn = decode_attention(q, k_all, v_all, visible)
+                    s_pad = qreg.k.codes.shape[-1] * (8 // cs.nbits)
+                    rmask = jnp.pad(
+                        visible[:, :, :sp_], ((0, 0), (0, 0), (0, s_pad - sp_))
+                    )
+                    part_r = quant_decode_attention(
+                        q, qreg.k.codes,
+                        qreg.k.scale[..., 0], qreg.k.zero[..., 0],
+                        qreg.v.codes,
+                        qreg.v.scale[..., 0], qreg.v.zero[..., 0],
+                        rmask, nbits=cs.nbits,
+                        group_size=cs.q_group_size,
+                        interpret=_FORCE_QUANT_KERNEL[0],
+                    )
+                    part_t = decode_attention_partials(
+                        q, layer.k, layer.v, visible[:, :, sp_:]
+                    )
+                    attn = merge_attention_partials([part_r, part_t]).astype(
+                        q.dtype
+                    )
+                else:
+                    from ..ops.quant import dequantize_kv_region
+
+                    k_pre, v_pre = dequantize_kv_region(
+                        qreg, num_slots=sp_,
+                        head_dim=spec.head_dim,
+                        nbits=cs.nbits, group_size=cs.q_group_size,
+                        dtype=layer.k.dtype,
+                    )
+                    k_all = jnp.concatenate([k_pre, layer.k], axis=2)
+                    v_all = jnp.concatenate([v_pre, layer.v], axis=2)
+                    attn = decode_attention(q, k_all, v_all, visible)
             elif think:
                 from ..ops.attention import decode_attention_think
 

@@ -196,3 +196,56 @@ def decode_attention_think(
         "bhs,bhsd->bhd", probs, v_cache, preferred_element_type=jnp.float32
     )
     return out.astype(q.dtype)
+
+
+def decode_attention_partials(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+):
+    """Online-softmax partials of single-token attention: returns
+    (acc [B,H,D] f32, m [B,H] f32, l [B,H] f32) for flash-style combination
+    with other regions (out = acc / l after merging)."""
+    b, h, d = q.shape
+    hk = k_cache.shape[1]
+    qx = q if hk == h else q.reshape(b, hk, h // hk, d)
+    if hk == h:
+        logits = jnp.einsum(
+            "bhd,bhsd->bhs", qx, k_cache, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
+        logits = jnp.where(mask, logits, _NEG_INF)
+    else:
+        logits = jnp.einsum(
+            "bkgd,bksd->bkgs", qx, k_cache, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
+        logits = jnp.where(mask[:, :, None, :], logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
+    if hk == h:
+        p = jnp.where(mask, p, 0.0)
+        l = p.sum(-1)
+        acc = jnp.einsum("bhs,bhsd->bhd", p, v_cache.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    else:
+        p = jnp.where(mask[:, :, None, :], p, 0.0)
+        l = p.sum(-1).reshape(b, h)
+        acc = jnp.einsum("bkgs,bksd->bkgd", p, v_cache.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).reshape(b, h, d)
+        m = m.reshape(b, h)
+    return acc, m, l
+
+
+def merge_attention_partials(parts):
+    """Combine flash partials [(acc, m, l), ...] -> [B, H, D] output."""
+    m_all = parts[0][1]
+    for _, m, _ in parts[1:]:
+        m_all = jnp.maximum(m_all, m)
+    num = 0.0
+    den = 0.0
+    for acc, m, l in parts:
+        w = jnp.exp(jnp.minimum(m - m_all, 0.0))
+        w = jnp.where(m <= _NEG_INF / 2, 0.0, w)
+        num = num + acc * w[..., None]
+        den = den + l * w
+    return num / jnp.maximum(den, 1e-30)[..., None]

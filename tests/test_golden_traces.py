@@ -60,6 +60,7 @@ def test_trace_matches_golden(golden, eng_factory, method):
     [
         ("snapkv_gqa", dict(method="snapkv", gqa_aggregate=True)),
         ("snapkv_kivi4", dict(method="snapkv", quant_method="kivi", nbits=4)),
+        ("snapkv_kivi2", dict(method="snapkv", quant_method="kivi", nbits=2)),
         ("snapkv_pivot", dict(method="snapkv", merge="pivot")),
     ],
 )
