@@ -355,8 +355,13 @@ class EngineSpec:
     batch_size: int = 1
     max_new_tokens: int = 512
     #: Prompts are left-padded up to the smallest bucket that fits; each
-    #: bucket compiles once.
-    prefill_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096, 8192)
+    #: bucket compiles once.  32768 covers the reference's Mistral LongBench
+    #: grid (31,500-token contexts, run_longbench.py:75-81) on one chip —
+    #: prefill memory is linear in N (per-layer transients only; K/V are
+    #: compressed inside the layer scan).
+    prefill_buckets: Tuple[int, ...] = (
+        512, 1024, 2048, 4096, 8192, 16384, 32768,
+    )
     dtype: str = "bfloat16"
     #: Mesh axis sizes: data-parallel x model(head)-parallel.
     mesh_shape: Tuple[int, int] = (1, 1)

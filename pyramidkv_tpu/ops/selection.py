@@ -347,6 +347,25 @@ def compact_kv(
         win_col = jnp.arange(n - w, n, dtype=jnp.int32)[None, None, :]
         win_mask = jnp.broadcast_to(win_col >= pad, (b, h, w))
         win_pos = jnp.broadcast_to(win_col - pad, (b, h, w))
+    else:
+        win_k = win_v = win_mask = win_pos = None
+    return assemble_slots(
+        kept_k, kept_v, kept_mask, kept_pos,
+        win_k, win_v, win_mask, win_pos, decode_slots,
+    )
+
+
+def assemble_slots(
+    kept_k, kept_v, kept_mask, kept_pos,
+    win_k, win_v, win_mask, win_pos,
+    decode_slots: int,
+) -> CompactedKV:
+    """Assemble the static slot layout ``[selected | window | decode]`` from
+    already-gathered parts; shared by :func:`compact_kv` and the
+    sequence-parallel prefill (which fetches the winning rows via psum'd
+    one-hot contractions instead of a local gather)."""
+    b, h, _, d = kept_k.shape
+    if win_k is not None:
         ck = jnp.concatenate([kept_k, win_k], axis=2)
         cv = jnp.concatenate([kept_v, win_v], axis=2)
         cmask = jnp.concatenate([kept_mask, win_mask], axis=2)
@@ -355,7 +374,7 @@ def compact_kv(
         ck, cv, cmask, cpos = kept_k, kept_v, kept_mask, kept_pos
 
     if decode_slots > 0:
-        zk = jnp.zeros((b, h, decode_slots, d), dtype=k.dtype)
+        zk = jnp.zeros((b, h, decode_slots, d), dtype=ck.dtype)
         ck = jnp.concatenate([ck, zk], axis=2)
         cv = jnp.concatenate([cv, zk], axis=2)
         cmask = jnp.concatenate(

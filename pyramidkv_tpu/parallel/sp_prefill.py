@@ -37,7 +37,6 @@ from ..models.llama import (
     _logits,
     _mlp,
     _qkv,
-    _repeat_kv,
     apply_rope,
     rms_norm,
     rope_inv_freq,
@@ -273,14 +272,25 @@ def sequence_parallel_prefill(
             k = apply_rope(k, positions, inv_freq)
             attn = _ring_body(q, k, v, true_len_, axis)  # grouped ring:
             # only KV heads rotate (group_size x less ICI traffic)
-            k_rep = _repeat_kv(k, groups)
-            v_rep = _repeat_kv(v, groups)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
             hidden = hidden + attn @ wts["wo"]
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts)
 
-            hh = k_rep.shape[1]
+            hk = k.shape[1]
+            hh = q.shape[1]  # per-query-head cache (reference layout)
+            g = hh // hk
+
+            def _grouped_fetch(onehot, src):
+                """One-hot row fetch with GROUPED keys: [B,H,W,Nl] x
+                [B,KV,Nl,D] -> [B,H,W,D] without a repeat_kv buffer."""
+                wdt = onehot.shape[2]
+                oh = onehot.reshape(b, hk, g, wdt, nl)
+                out = jnp.einsum(
+                    "bkgwn,bknd->bkgwd", oh, src,
+                    preferred_element_type=jnp.float32,
+                )
+                return out.reshape(b, hh, wdt, src.shape[-1]).astype(src.dtype)
             # ---- scoring (local columns, global normalisation) ----
             if m in ("adakv", "headkv"):
                 # per-head allocation needs the global score vector: gather
@@ -298,7 +308,7 @@ def sequence_parallel_prefill(
                     axis,
                 )
                 sc_local = _sp_window_scores(
-                    qw, k_rep, axis=axis, n_global=n, window=w,
+                    qw, k, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation="mean",
                 )
@@ -320,15 +330,13 @@ def sequence_parallel_prefill(
                 sel = selection_from_allocation(alloc, width)
                 onehot_l = (
                     sel.indices[..., None] == cols[None, None, None, :]
-                ).astype(k_rep.dtype)  # [B,H,width,Nl]
+                ).astype(k.dtype)  # [B,H,width,Nl]
                 kept_k = jax.lax.psum(
-                    jnp.einsum("bhwn,bhnd->bhwd", onehot_l, k_rep,
-                               preferred_element_type=jnp.float32), axis
-                ).astype(k_rep.dtype)
+                    _grouped_fetch(onehot_l, k).astype(jnp.float32), axis
+                ).astype(k.dtype)
                 kept_v = jax.lax.psum(
-                    jnp.einsum("bhwn,bhnd->bhwd", onehot_l, v_rep,
-                               preferred_element_type=jnp.float32), axis
-                ).astype(v_rep.dtype)
+                    _grouped_fetch(onehot_l, v).astype(jnp.float32), axis
+                ).astype(v.dtype)
                 kept_cols = sel.indices
                 kept_valid = sel.valid
                 scores = None  # handled
@@ -340,7 +348,7 @@ def sequence_parallel_prefill(
                     axis,
                 )
                 scores = _sp_window_scores(
-                    qw, k_rep, axis=axis, n_global=n, window=w,
+                    qw, k, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation=agg,
                 )
@@ -361,8 +369,9 @@ def sequence_parallel_prefill(
             elif m == "l2norm":
                 colv = cols[None, :] >= pad[:, None]
                 norms = jnp.sqrt(
-                    (k_rep.astype(jnp.float32) ** 2).sum(-1)
-                )
+                    (k.astype(jnp.float32) ** 2).sum(-1)
+                )  # [B, KV, Nl]; selection identical within a GQA group
+                norms = jnp.repeat(norms, g, axis=1)
                 scores = jnp.where(colv[:, None, :], -norms, _NEG_INF)
             else:  # random
                 u = jax.random.uniform(
@@ -383,15 +392,9 @@ def sequence_parallel_prefill(
                 onehot = (
                     li[..., None]
                     == jnp.arange(nl, dtype=jnp.int32)[None, None, None, :]
-                ).astype(k_rep.dtype)
-                cand_k = jnp.einsum(
-                    "bhwn,bhnd->bhwd", onehot, k_rep,
-                    preferred_element_type=jnp.float32,
-                ).astype(k_rep.dtype)
-                cand_v = jnp.einsum(
-                    "bhwn,bhnd->bhwd", onehot, v_rep,
-                    preferred_element_type=jnp.float32,
-                ).astype(v_rep.dtype)
+                ).astype(k.dtype)
+                cand_k = _grouped_fetch(onehot, k)
+                cand_v = _grouped_fetch(onehot, v)
                 # gather candidates from all shards: [B, H, P*kw, ...]
                 allv = jax.lax.all_gather(lv, axis, axis=2, tiled=True)
                 allc = jax.lax.all_gather(gcols, axis, axis=2, tiled=True)
@@ -417,10 +420,11 @@ def sequence_parallel_prefill(
                     counts = counts[:, None]
                 kept_valid = (rank < counts[:, :, None]) & jnp.isfinite(fv)
 
-            # ---- recency window rows (last shard) broadcast ----
+            # ---- recency window rows (last shard) broadcast; assembly is
+            # shared with the single-chip path (ops.selection.assemble_slots)
             if w > 0:
-                win_k_l = k_rep[:, :, nl - w:, :]
-                win_v_l = v_rep[:, :, nl - w:, :]
+                win_k_l = jnp.repeat(k[:, :, nl - w:, :], g, axis=1)  # W rows
+                win_v_l = jnp.repeat(v[:, :, nl - w:, :], g, axis=1)
                 win_k = jax.lax.psum(
                     jnp.where(me == p - 1, win_k_l, jnp.zeros_like(win_k_l)), axis
                 )
@@ -431,30 +435,18 @@ def sequence_parallel_prefill(
                 win_valid = jnp.broadcast_to(
                     win_cols >= pad[:, None, None], (b, hh, w)
                 )
-                ck = jnp.concatenate([kept_k, win_k], axis=2)
-                cv = jnp.concatenate([kept_v, win_v], axis=2)
-                cmask = jnp.concatenate([kept_valid, win_valid], axis=2)
-                cpos = jnp.concatenate(
-                    [kept_cols - pad[:, None, None],
-                     jnp.broadcast_to(win_cols - pad[:, None, None], (b, hh, w))],
-                    axis=2,
+                win_pos = jnp.broadcast_to(
+                    win_cols - pad[:, None, None], (b, hh, w)
                 )
             else:
-                ck, cv, cmask = kept_k, kept_v, kept_valid
-                cpos = kept_cols - pad[:, None, None]
+                win_k = win_v = win_valid = win_pos = None
+            from ..ops.selection import assemble_slots
 
-            ds = plan.decode_slots
-            zkv = jnp.zeros((b, hh, ds, ck.shape[-1]), ck.dtype)
-            ck = jnp.concatenate([ck, zkv], axis=2)
-            cv = jnp.concatenate([cv, zkv], axis=2)
-            cmask = jnp.concatenate([cmask, jnp.zeros((b, hh, ds), bool)], axis=2)
-            cpos = jnp.concatenate(
-                [cpos, jnp.zeros((b, hh, ds), jnp.int32)], axis=2
+            ckv = assemble_slots(
+                kept_k, kept_v, kept_valid, kept_cols - pad[:, None, None],
+                win_k, win_v, win_valid, win_pos, plan.decode_slots,
             )
-            ck = jnp.where(cmask[..., None], ck, 0)
-            cv = jnp.where(cmask[..., None], cv, 0)
-            cpos = jnp.where(cmask, cpos, -1)
-            return hidden, (ck, cv, cmask, cpos)
+            return hidden, (ckv.k, ckv.v, ckv.mask, ckv.positions)
 
         hidden, (cks, cvs, cms, cps) = jax.lax.scan(
             layer_fn, hidden0, (params["layers"], ctxs_)
