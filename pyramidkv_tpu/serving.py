@@ -211,11 +211,18 @@ class ContinuousBatcher:
             budget = budget.at[lane].set(new_budget)
             return cache, tokens, lane_steps, done, budget
 
-        def refill():
+        # Free-lane prefills are LAUNCHED asynchronously (jax dispatch) and
+        # the lane joins the decode loop only once its prefill result is
+        # ready — decode quanta for the active lanes never block on a
+        # refill's prefill (under data-parallel meshes the prefill runs on
+        # the free lane's shard while other lanes keep decoding).
+        pending: "dict[int, tuple] " = {}  # lane -> (req, first, cache, max_new)
+
+        def retire_and_launch():
             nonlocal cache, tokens, lane_steps, done, budget
             done_np = np.asarray(done)
             for lane in range(B):
-                if not done_np[lane]:
+                if not done_np[lane] or lane in pending:
                     continue
                 # retire the finished request
                 req = lane_req[lane]
@@ -246,6 +253,15 @@ class ContinuousBatcher:
                 first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 max_new = min(req.max_new_tokens or es.max_new_tokens,
                               es.max_new_tokens)
+                pending[lane] = (req, first, new_cache, max_new)
+
+        def harvest(block: bool):
+            nonlocal cache, tokens, lane_steps, done, budget
+            for lane in list(pending):
+                req, first, new_cache, max_new = pending[lane]
+                if not block and not first.is_ready():
+                    continue
+                del pending[lane]
                 lane_req[lane] = req
                 lane_tokens[lane] = [int(first[0])]
                 cache, tokens, lane_steps, done, budget = insert_lane(
@@ -258,8 +274,9 @@ class ContinuousBatcher:
         ) or [-1]
         eos_arr = jnp.asarray(eos_union, jnp.int32)
 
-        refill()
-        while any(r is not None for r in lane_req):
+        retire_and_launch()
+        harvest(block=True)
+        while any(r is not None for r in lane_req) or pending or queue:
             prev_done = np.asarray(done)
             cache, tokens, lane_steps, done, emitted = self._quantum_fn(
                 engine.params, cache, tokens, lane_steps, done, budget, eos_arr
@@ -273,7 +290,10 @@ class ContinuousBatcher:
                     if t < 0 or t in eos_set:
                         break
                     lane_tokens[lane].append(t)
-            refill()
+            retire_and_launch()
+            # insert any prefills that finished while the quantum ran; if no
+            # lane is active, wait for one so the loop always progresses
+            harvest(block=not any(r is not None for r in lane_req))
         return results
 
 
