@@ -47,7 +47,16 @@ def depth_percents(intervals: int = 10, kind: str = "linear") -> "list[float]":
     if kind == "linear":
         return [float(x) for x in np.round(xs).astype(int)]
     if kind == "sigmoid":
-        return [float(100 / (1 + np.exp(-0.1 * (x - 50)))) for x in xs]
+        # reference logistic: endpoints pinned, 3-decimal rounding
+        # (run_needle_in_haystack.py:213-218)
+        def logistic(x, L=100.0, x0=50.0, k=0.1):
+            if x == 0:
+                return 0.0
+            if x == 100:
+                return 100.0
+            return float(np.round(L / (1 + np.exp(-k * (x - x0))), 3))
+
+        return [logistic(float(x)) for x in xs]
     raise ValueError(kind)
 
 

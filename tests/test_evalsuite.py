@@ -234,6 +234,57 @@ def test_depth_percents():
     assert lin[0] == 0 and lin[-1] == 100 and len(lin) == 10
 
 
+def test_depth_percents_sigmoid_matches_reference():
+    """Exact parity with the reference's logistic (endpoints pinned, 3-dp
+    rounding — run_needle_in_haystack.py:213-218)."""
+    import numpy as np
+
+    got = depth_percents(10, "sigmoid")
+
+    def ref_logistic(x, L=100, x0=50, k=0.1):
+        if x == 0:
+            return 0
+        if x == 100:
+            return 100
+        return np.round(L / (1 + np.exp(-k * (x - x0))), 3)
+
+    want = [ref_logistic(x) for x in np.linspace(0, 100, 10, endpoint=True)]
+    assert got == [float(w) for w in want]
+    assert got[0] == 0.0 and got[-1] == 100.0
+
+
+def test_zh_metrics_jieba_paths():
+    """LongBench-ZH scoring paths (jieba-tokenized F1 / ROUGE / retrieval —
+    metrics.py:55-95, dataset2metric rows for the 5 zh tasks)."""
+    import pyramidkv_tpu.evalsuite.metrics as M
+
+    assert M.qa_f1_zh_score("北京是中国的首都", "北京是首都") > 0.3
+    assert M.rouge_zh_score("会议讨论了预算问题", "会议讨论了预算") > 0.3
+    assert M.retrieval_zh_score("答案是段落3", "段落3") == 1.0
+    assert M.retrieval_zh_score("答案是段落4", "段落3") == 0.0
+    for ds in ("multifieldqa_zh", "dureader", "vcsum", "lsht",
+               "passage_retrieval_zh"):
+        assert ds in M.DATASET_METRICS
+
+
+def test_zh_predictions_scored_end_to_end(tmp_path):
+    """A dureader-style prediction JSONL runs through the report scorer via
+    the rouge_zh (jieba) path."""
+    import json as _json
+
+    from pyramidkv_tpu.evalsuite.report import score_prediction_file
+
+    p = tmp_path / "dureader.jsonl"
+    with open(p, "w") as f:
+        f.write(_json.dumps({
+            "pred": "会议讨论了明年的预算安排",
+            "answers": ["会议讨论了明年的预算"],
+            "all_classes": None, "length": 100,
+        }, ensure_ascii=False) + "\n")
+    score = score_prediction_file(str(p), "dureader")
+    assert float(score) > 20  # rouge_zh f-measure * 100
+
+
 def test_capacity_ratio_builds_bucketed_engines(tmp_path):
     tok = WordTokenizer()
     built = []
