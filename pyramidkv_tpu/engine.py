@@ -278,26 +278,66 @@ class Engine:
 
     # -- decode-stage compression (unbounded generation) -------------------
 
-    def _get_roll(self, bucket: int, keep_recent: int):
-        key = (bucket, keep_recent)
+    def _get_roll(self, bucket: int, keep_recent: int,
+                  eviction: str = "recency"):
+        key = (bucket, keep_recent, eviction)
         fn = self._roll_fns.get(key)
         if fn is None:
             plan = self.plan_for(bucket)
             ps, ds = plan.prefill_slots, plan.decode_slots
+            if eviction == "l2norm" and plan.think_narrow:
+                raise NotImplementedError(
+                    "l2norm decode eviction with the ThinK narrow K layout"
+                )
 
             seg_ps = tuple(s[2] + plan.window for s in plan.segments)
 
             @jax.jit
             def roll_fn(cache: KVCache):
-                """Rolling decode-region compaction: keep the last
-                ``keep_recent`` decode tokens (shifted to the region start),
-                evict the older ones — StreamingLLM-style decode-stage
-                compression with the compressed prefill acting as sinks.
-                The reference lists this as an open TODO (README.md:49).
+                """Rolling decode-region compaction: keep ``keep_recent``
+                decode tokens (shifted to the region start), evict the rest —
+                decode-stage compression with the compressed prefill acting
+                as sinks.  The reference lists this as an open TODO
+                (README.md:49).  ``eviction``:
+                - "recency": keep the LAST keep_recent tokens (StreamingLLM
+                  style);
+                - "l2norm": keep the keep_recent decode tokens with the
+                  LOWEST key L2 norm per (layer, head) — the L2Norm
+                  criterion (pyramidkv_utils.py:419-421) applied to the
+                  decode region, re-scored at every roll.
 
                 With a quantized cache the k/v buffers hold ONLY the bf16
                 decode region (offset 0); the immutable quantized prefill
                 region never moves."""
+                def sel_indices(k_field, mask_field, k_off, m_off):
+                    """[L,B,H,keep] decode-slot picks: lowest key L2 norm."""
+                    dec_k = k_field[:, :, :, k_off:k_off + ds].astype(
+                        jnp.float32
+                    )
+                    valid = mask_field[:, :, :, m_off:m_off + ds]
+                    norms = jnp.sqrt((dec_k ** 2).sum(-1))
+                    score = jnp.where(valid, -norms, -jnp.inf)
+                    _, idx = jax.lax.top_k(score, keep_recent)
+                    return jnp.sort(idx, axis=-1)  # keep temporal order
+
+                def take(x, idx, fill, off):
+                    """Replace the decode region by the selected slots
+                    (shifted to the region start) + fill padding."""
+                    dec = x[:, :, :, off:off + ds]
+                    if x.ndim == 5:  # k/v: one-hot MXU gather
+                        oh = jax.nn.one_hot(idx, ds, dtype=jnp.float32)
+                        kept = jnp.einsum(
+                            "lbhks,lbhsd->lbhkd", oh, dec.astype(jnp.float32)
+                        ).astype(x.dtype)
+                    else:  # mask/positions: tiny scalar gather
+                        kept = jnp.take_along_axis(dec, idx, axis=3)
+                    pad_shape = list(x.shape)
+                    pad_shape[3] = ds - keep_recent
+                    pad = jnp.full(pad_shape, fill, x.dtype)
+                    return jnp.concatenate(
+                        [x[:, :, :, :off], kept, pad], axis=3
+                    )
+
                 def shift(x, fill, off):
                     dec = x[:, :, :, off:off + ds]
                     recent = dec[:, :, :, ds - keep_recent:]
@@ -308,11 +348,18 @@ class Engine:
                         [x[:, :, :, :off], recent, pad], axis=3
                     )
 
-                def shift_field(field, fill, offs):
+                def shift_field(field, fill, offs, idxs=None):
                     if isinstance(field, tuple):  # segmented plan
+                        if idxs is not None:
+                            return tuple(
+                                take(x, i, fill, o)
+                                for x, o, i in zip(field, offs, idxs)
+                            )
                         return tuple(
                             shift(x, fill, o) for x, o in zip(field, offs)
                         )
+                    if idxs is not None:
+                        return take(field, idxs[0], fill, offs[0])
                     return shift(field, fill, offs[0])
 
                 if cache.quant is not None:
@@ -323,11 +370,20 @@ class Engine:
                     v_offs = seg_ps
                 else:
                     k_offs = v_offs = seg_ps
+                idxs = None
+                if eviction == "l2norm":
+                    ks = cache.k if isinstance(cache.k, tuple) else (cache.k,)
+                    ms = (cache.mask if isinstance(cache.mask, tuple)
+                          else (cache.mask,))
+                    idxs = tuple(
+                        sel_indices(kf, mf, ko, mo)
+                        for kf, mf, ko, mo in zip(ks, ms, k_offs, seg_ps)
+                    )
                 return KVCache(
-                    k=shift_field(cache.k, 0, k_offs),
-                    v=shift_field(cache.v, 0, v_offs),
-                    mask=shift_field(cache.mask, False, seg_ps),
-                    positions=shift_field(cache.positions, -1, seg_ps),
+                    k=shift_field(cache.k, 0, k_offs, idxs),
+                    v=shift_field(cache.v, 0, v_offs, idxs),
+                    mask=shift_field(cache.mask, False, seg_ps, idxs),
+                    positions=shift_field(cache.positions, -1, seg_ps, idxs),
                     # keep true_len + step == total tokens so RoPE positions
                     # stay absolute after the shift
                     true_len=cache.true_len + (cache.step - keep_recent),
@@ -347,11 +403,12 @@ class Engine:
         eos_token_ids: Sequence[int] = (),
         rng_seed: int = 0,
         keep_recent: Optional[int] = None,
+        eviction: str = "recency",
     ) -> GenerationOutput:
         """Generation beyond the decode-slot allocation: when the decode
-        region fills, older decode tokens are evicted (rolling recency
-        window over the fixed-size cache) and generation continues —
-        unbounded length at constant memory."""
+        region fills, decode tokens are evicted (``eviction``: "recency"
+        keeps the newest, "l2norm" re-scores by key norm at every roll) and
+        generation continues — unbounded length at constant memory."""
         es = self.engine_spec
         seg = es.max_new_tokens
         if max_new_tokens <= seg:
@@ -381,7 +438,7 @@ class Engine:
         eos = jnp.asarray(list(eos_token_ids) or [-1], jnp.int32)
         eos_set = set(int(e) for e in eos_token_ids)
         decode_fn = self._get_decode(bucket)
-        roll_fn = self._get_roll(bucket, keep_recent)
+        roll_fn = self._get_roll(bucket, keep_recent, eviction)
         results = [[int(np.asarray(token)[i])] for i in range(b)]
         finished = [results[i][0] in eos_set for i in range(b)]
         remaining = max_new_tokens - 1

@@ -113,3 +113,49 @@ def test_generate_long_quantized():
     # int8 kivi tracks the fp run closely on the first segment
     fp8 = mk(None).generate([IDS], max_new_tokens=8).tokens[0]
     assert out.tokens[0][:8] == fp8
+
+
+def test_generate_long_l2norm_eviction():
+    """Re-scored decode eviction: keep the lowest-key-norm decode tokens at
+    each roll instead of the most recent."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(5), dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    out = eng.generate_long([IDS], max_new_tokens=25, eviction="l2norm")
+    assert len(out.tokens[0]) == 25
+    # first segment (pre-roll) identical to recency mode
+    rec = eng.generate_long([IDS], max_new_tokens=25, eviction="recency")
+    assert out.tokens[0][:8] == rec.tokens[0][:8]
+    # the roll itself keeps the lowest-norm keys: check the roll fn directly
+    import numpy as np
+
+    _, cache = eng._get_prefill(64)(
+        params, jnp.asarray([[0] * (64 - len(IDS)) + IDS], jnp.int32),
+        jnp.asarray([len(IDS)], jnp.int32), jax.random.PRNGKey(0),
+    )
+    # fill decode region with distinguishable keys
+    decode_fn = eng._get_decode(64)
+    out2, steps, cache, last, done = decode_fn(
+        params, cache, jnp.asarray([1], jnp.int32),
+        jnp.asarray([-1], jnp.int32), jax.random.PRNGKey(0), jnp.int32(7),
+    )
+    plan = eng.plan_for(64)
+    ps, ds = plan.prefill_slots, plan.decode_slots
+    keep = 4
+    rolled = eng._get_roll(64, keep, "l2norm")(cache)
+    dec_k = np.asarray(cache.k)[:, :, :, ps:ps + ds]
+    dec_m = np.asarray(cache.mask)[:, :, :, ps:ps + ds]
+    norms = np.sqrt((dec_k.astype(np.float64) ** 2).sum(-1))
+    norms[~dec_m] = np.inf
+    kept_pos = np.asarray(rolled.positions)[:, :, :, ps:ps + keep]
+    src_pos = np.asarray(cache.positions)[:, :, :, ps:ps + ds]
+    L, B, H = norms.shape[:3]
+    for l in range(L):
+        for h in range(H):
+            want = set(src_pos[l, 0, h][np.argsort(norms[l, 0, h])[:keep]])
+            got = set(kept_pos[l, 0, h].tolist())
+            assert got == want, (l, h, got, want)
