@@ -168,7 +168,8 @@ class Engine:
 
                 def body(state):
                     cache, token, out, step, done = state
-                    logits, cache = llama.decode_step(params, spec, plan, cache, token)
+                    logits, cache = llama.decode_step(params, spec, plan,
+                                                      cache, token)
                     nxt = _pick(logits, jax.random.fold_in(rng, step))
                     is_eos = jnp.any(nxt[:, None] == eos_ids[None, :], axis=-1)
                     # after EOS keep feeding EOS; mark slot invalid via done

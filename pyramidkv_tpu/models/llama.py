@@ -213,9 +213,18 @@ def prefill(
     ctxs = layer_contexts(plan, true_len, spec.num_attention_heads, rng)
     hidden0 = jnp.take(params["embed"], tokens, axis=0)  # [B, N, Dm]
 
-    def make_layer_fn(subplan):
+    def make_layer_fn(subplan, by_index=False):
         def layer_fn(hidden, xs):
-            wts, ctx = xs
+            if by_index:
+                # segmented plans scan over LAYER INDICES and load each
+                # layer's weights with a dynamic slice — materialising
+                # sliced sub-stacks would copy the weights per prefill call
+                li, ctx = xs
+                wts = jax.tree_util.tree_map(
+                    lambda x: x[li], params["layers"]
+                )
+            else:
+                wts, ctx = xs
             x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
             q, k, v = _qkv(x, wts, spec)
             q = apply_rope(q, positions, inv_freq)
@@ -274,16 +283,27 @@ def prefill(
         return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
 
     # One lax.scan per width segment (a single segment — the common case —
-    # is exactly the old full-stack scan).
+    # is exactly the old full-stack scan; multi-segment scans address the
+    # stacked weights by layer index, never copying them).
     hidden = hidden0
     seg_ckvs = []
-    for start, stop, sub in plan.segment_plans():
-        xs = (
-            _slice_layers(params["layers"], start, stop),
-            _slice_layers(ctxs, start, stop),
+    seg_plans = plan.segment_plans()
+    if len(seg_plans) == 1:
+        _, _, sub = seg_plans[0]
+        hidden, ckv = jax.lax.scan(
+            make_layer_fn(sub), hidden, (params["layers"], ctxs)
         )
-        hidden, ckv = jax.lax.scan(make_layer_fn(sub), hidden, xs)
         seg_ckvs.append(ckv)
+    else:
+        for start, stop, sub in seg_plans:
+            xs = (
+                jnp.arange(start, stop, dtype=jnp.int32),
+                _slice_layers(ctxs, start, stop),
+            )
+            hidden, ckv = jax.lax.scan(
+                make_layer_fn(sub, by_index=True), hidden, xs
+            )
+            seg_ckvs.append(ckv)
     logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
     cs = plan.spec
     if plan.think_narrow:
@@ -368,6 +388,7 @@ def decode_step(
         batching: lanes join mid-flight).  When given, each row writes its
         own decode slot; ``cache.step`` is ignored for slot arithmetic.
 
+
     Returns:
       (logits [B, vocab], cache with the new token appended).  The append is
       an O(1) slot write (vs the reference's O(cache) CUDA re-materialising
@@ -387,7 +408,7 @@ def decode_step(
     cs = plan.spec
     think = cache.think is not None
 
-    def make_layer_fn(subplan):
+    def make_layer_fn(subplan, by_index=False):
         sp = subplan.think_pruned_slots if think else 0
         if lane_steps is None:
             full_slot = subplan.prefill_slots + cache.step  # mask/positions
@@ -404,6 +425,14 @@ def decode_step(
 
         def layer_fn(hidden, xs):
             wts, layer, qreg, treg = xs
+            if by_index:
+                # wts is a layer INDEX: load this layer's weights with a
+                # dynamic slice of the stacked params.  Slicing sub-stacks
+                # inside the decode while_loop instead makes XLA re-copy
+                # the weights every token (measured 134 -> 68 tok/s, v5e).
+                wts = jax.tree_util.tree_map(
+                    lambda x: x[wts], params["layers"]
+                )
             layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
             x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
             q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
@@ -517,9 +546,8 @@ def decode_step(
             cache.k[i], cache.v[i], cache.mask[i], cache.positions[i]
         )
         hidden, layers_out = jax.lax.scan(
-            make_layer_fn(sub), hidden,
-            (_slice_layers(params["layers"], start, stop), layers_in, None,
-             None),
+            make_layer_fn(sub, by_index=True), hidden,
+            (jnp.arange(start, stop, dtype=jnp.int32), layers_in, None, None),
         )
         outs.append(layers_out)
     logits = _logits(hidden, params, spec)
