@@ -6,8 +6,8 @@ attention).  Round 1's XLA path was already one-shot (immutable prefill
 region) but still materialised a bf16 copy of the region each step, so the
 HBM traffic per step was ~2x bf16 instead of the packed-code bytes.  This
 kernel reads ONLY the packed int2/4/8 codes + per-group scales and
-dequantizes tiles in VMEM — decode traffic for the quantized region drops
-to ~nbits/16 of the bf16 cache, which is the whole point of cache
+dequantizes the region in VMEM — decode traffic for the quantized region
+drops to ~nbits/16 of the bf16 cache, which is the whole point of cache
 quantization on a bandwidth-bound decode.
 
 Layout (from ``ops.quant.quantize_kv_region``):
@@ -15,10 +15,12 @@ Layout (from ``ops.quant.quantize_kv_region``):
     scale/zero [BH, D, S/64];
   V grouped along channels: codes [BH, S, Dp/per], scale/zero [BH, S, Dp/64].
 
-The kernel emits the online-softmax partials (acc, m, l) over the quantized
-region; the caller merges them with the bf16 decode-tail partials (flash
-combine).  Outlier sidecars (KVQuant) are NOT supported here — the engine
-keeps those on the XLA dequant path.
+Each grid step processes one (batch, query-head) row's ENTIRE region in
+VMEM (Mosaic requires block minor dims to be 128-aligned or whole-array;
+region buffers are small: cap 2048 int4 keys = 128x1056 bytes).  The
+kernel emits online-softmax partials (acc, m, l); the caller flash-merges
+them with the bf16 decode-tail partials.  Outlier sidecars (KVQuant) are
+NOT supported here — the engine keeps those on the XLA dequant path.
 """
 
 from __future__ import annotations
@@ -32,6 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+#: Above this many padded region slots the engine falls back to the XLA
+#: dequant path (the one-shot VMEM working set would exceed ~12 MB).
+MAX_KERNEL_SLOTS = 8192
 
 
 def _unpack_tile(codes, nbits):
@@ -49,88 +55,61 @@ def _unpack_tile(codes, nbits):
 
 def _kernel(
     q_ref,        # [1, 8, D] f32 (query row broadcast over sublanes)
-    kc_ref,       # [1, D, Sblk/per] int8
-    ks_ref,       # [1, D, Gblk] f32
-    kz_ref,       # [1, D, Gblk] f32
-    vc_ref,       # [1, Sblk, Dp/per] int8
-    vs_ref,       # [1, Sblk, Gv] f32
-    vz_ref,       # [1, Sblk, Gv] f32
-    mask_ref,     # [1, 8, Sblk] i32 (broadcast over sublanes)
+    kc_ref,       # [1, D, S/per] int8
+    ks_ref,       # [1, D, G] f32
+    kz_ref,       # [1, D, G] f32
+    vc_ref,       # [1, S, Dp/per] int8
+    vs_ref,       # [1, S, Gv] f32
+    vz_ref,       # [1, S, Gv] f32
+    mask_ref,     # [1, 8, S] i32 (broadcast over sublanes)
     acc_out,      # [1, 8, D] f32
     m_out,        # [1, 8, 128] f32
     l_out,        # [1, 8, 128] f32
-    acc_ref,      # [8, D] f32 scratch
-    m_ref,        # [8, 128] f32
-    l_ref,        # [8, 128] f32
     *,
     nbits: int,
     group: int,
-    s_block: int,
+    s_pad: int,
     head_dim: int,
-    num_s_blocks: int,
 ):
-    si = pl.program_id(1)
-
-    @pl.when(si == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
     d = head_dim
-    gblk = s_block // group
+    g = s_pad // group
 
-    # ---- dequantize K tile in VMEM: [D, Sblk] f32 ----
-    kcodes = _unpack_tile(kc_ref[0], nbits)           # [D, Sblk] int32
-    kg = kcodes.reshape(d, gblk, group).astype(jnp.float32)
-    khat = kg * ks_ref[0][:, :, None] + kz_ref[0][:, :, None]
-    khat = khat.reshape(d, s_block)
+    # ---- dequantize K in VMEM: [D, S] f32 ----
+    kcodes = _unpack_tile(kc_ref[0], nbits)           # [D, S] int32
+    kg = kcodes.reshape(d, g, group).astype(jnp.float32)
+    khat = (kg * ks_ref[0][:, :, None] + kz_ref[0][:, :, None]).reshape(
+        d, s_pad
+    )
 
     q = q_ref[0][:1]  # [1, D] f32 (already scaled by 1/sqrt(D))
     s = jax.lax.dot_general(
         q, khat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [1, Sblk]
-    valid = mask_ref[0][:1] > 0  # [1, Sblk]
+    )  # [1, S]
+    valid = mask_ref[0][:1] > 0  # [1, S]
     s = jnp.where(valid, s, _NEG_INF)
 
-    m_prev = m_ref[:1, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2))
     p = jnp.where(valid, p, 0.0)
-    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+    l = jnp.sum(p, axis=1, keepdims=True)
 
-    # ---- dequantize V tile: [Sblk, D] f32 ----
-    vcodes = _unpack_tile(vc_ref[0], nbits)           # [Sblk, Dp] int32
+    # ---- dequantize V: [S, D] f32 ----
+    vcodes = _unpack_tile(vc_ref[0], nbits)           # [S, Dp] int32
     dp = vcodes.shape[-1]
     gv = dp // group
-    vg = vcodes.reshape(s_block, gv, group).astype(jnp.float32)
-    vhat = vg * vs_ref[0][:, :, None] + vz_ref[0][:, :, None]
-    vhat = vhat.reshape(s_block, dp)[:, :d]
+    vg = vcodes.reshape(s_pad, gv, group).astype(jnp.float32)
+    vhat = (vg * vs_ref[0][:, :, None] + vz_ref[0][:, :, None]).reshape(
+        s_pad, dp
+    )[:, :d]
 
-    l_new = alpha * l_ref[:1, :1] + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p, vhat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, D]
-    acc_ref[:] = acc_ref[:] * alpha + jnp.broadcast_to(pv, acc_ref.shape)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(si == num_s_blocks - 1)
-    def _fin():
-        acc_out[0] = acc_ref[:]
-        m_out[0] = m_ref[:]
-        l_out[0] = l_ref[:]
-
-
-def _pick_s_block(s_pad: int, group: int, target: int = 512) -> int:
-    best = group
-    for cand in range(group, min(s_pad, target) + 1, group):
-        if s_pad % cand == 0:
-            best = cand
-    return best
+    acc_out[0] = jnp.broadcast_to(pv, (8, d))
+    m_out[0] = jnp.broadcast_to(m, (8, 128))
+    l_out[0] = jnp.broadcast_to(l, (8, 128))
 
 
 @functools.partial(
@@ -163,8 +142,6 @@ def quant_decode_attention(
     g = h // hk
     per = 8 // nbits
     s_pad = kc.shape[-1] * per
-    s_block = _pick_s_block(s_pad, group_size)
-    nsb = s_pad // s_block
     dp = vc.shape[-1] * per
 
     scale = 1.0 / math.sqrt(d)
@@ -183,37 +160,31 @@ def quant_decode_attention(
     def _kv(bh):
         return (bh // h) * hk + (bh % h) // g
 
-    gblk = s_block // group_size
+    def full(shape):
+        # whole-array blocks along the non-batch dims: Mosaic accepts minor
+        # dims that equal the overall array dims regardless of alignment
+        return pl.BlockSpec((1,) + shape[1:], lambda bh: (_kv(bh), 0, 0))
+
     acc, m, l = pl.pallas_call(
         functools.partial(
-            _kernel, nbits=nbits, group=group_size, s_block=s_block,
-            head_dim=d, num_s_blocks=nsb,
+            _kernel, nbits=nbits, group=group_size, s_pad=s_pad, head_dim=d,
         ),
-        grid=(b * h, nsb),
+        grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, 8, d), lambda bh, si: (bh, 0, 0)),
-            pl.BlockSpec((1, d, s_block // per), lambda bh, si: (_kv(bh), 0, si)),
-            pl.BlockSpec((1, d, gblk), lambda bh, si: (_kv(bh), 0, si)),
-            pl.BlockSpec((1, d, gblk), lambda bh, si: (_kv(bh), 0, si)),
-            pl.BlockSpec((1, s_block, dp // per), lambda bh, si: (_kv(bh), si, 0)),
-            pl.BlockSpec((1, s_block, dp // group_size), lambda bh, si: (_kv(bh), si, 0)),
-            pl.BlockSpec((1, s_block, dp // group_size), lambda bh, si: (_kv(bh), si, 0)),
-            pl.BlockSpec((1, 8, s_block), lambda bh, si: (_kv(bh), 0, si)),
+            pl.BlockSpec((1, 8, d), lambda bh: (bh, 0, 0)),
+            full(kcr.shape), full(ksr.shape), full(kzr.shape),
+            full(vcr.shape), full(vsr.shape), full(vzr.shape),
+            full(mr.shape),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, d), lambda bh, si: (bh, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda bh, si: (bh, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda bh, si: (bh, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bh: (bh, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, 8, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 8, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, d), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(qr, kcr, ksr, kzr, vcr, vsr, vzr, mr)

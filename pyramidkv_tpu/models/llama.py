@@ -239,17 +239,16 @@ def prefill(
                     sparse_prefill_attention,
                 )
 
-                k_rep = _repeat_kv(k, groups)
-                v_rep = _repeat_kv(v, groups)
                 pattern = estimate_vertical_slash(
-                    q, k_rep, true_len=true_len,
+                    q, k, true_len=true_len,
                     vertical_size=subplan.spec.minference_vertical_size,
                     slash_size=subplan.spec.minference_slash_size,
                     last_q=subplan.spec.minference_last_q,
                 )
                 attn = sparse_prefill_attention(
-                    q, k_rep, v_rep, pattern, true_len=true_len,
+                    q, k, v, pattern, true_len=true_len,
                     tile_budget=subplan.spec.minference_tile_budget,
+                    interpret=attention_impl != "pallas",
                 )
             elif attention_impl in ("pallas", "pallas_interpret"):
                 from ..kernels import flash_causal_attention
@@ -460,9 +459,14 @@ def decode_step(
                 )
             if quantized:
                 sp_ = subplan.prefill_slots
+                from ..kernels.quant_decode import MAX_KERNEL_SLOTS
+
+                s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
                 use_kernel = (
-                    subplan.use_pallas or _FORCE_QUANT_KERNEL[0]
-                ) and cs.quant_method == "kivi"
+                    (subplan.use_pallas or _FORCE_QUANT_KERNEL[0])
+                    and cs.quant_method == "kivi"
+                    and s_pad_k <= MAX_KERNEL_SLOTS
+                )
                 if use_kernel:
                     # fused dequant-attention over the packed region: HBM
                     # traffic = codes + scales only (~nbits/16 of bf16)
@@ -472,9 +476,9 @@ def decode_step(
                         merge_attention_partials,
                     )
 
-                    s_pad = qreg.k.codes.shape[-1] * (8 // cs.nbits)
                     rmask = jnp.pad(
-                        visible[:, :, :sp_], ((0, 0), (0, 0), (0, s_pad - sp_))
+                        visible[:, :, :sp_],
+                        ((0, 0), (0, 0), (0, s_pad_k - sp_)),
                     )
                     part_r = quant_decode_attention(
                         q, qreg.k.codes,

@@ -65,13 +65,21 @@ def estimate_vertical_slash(
     the reference implementation's pattern construction.
     """
     b, h, n, d = q.shape
+    hk = k.shape[1]
     w = min(last_q, n)
     pad = (n - true_len).astype(jnp.int32)
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]  # [B, N]
 
     qw = q[:, :, n - w :, :].astype(jnp.float32)
-    logits = jnp.einsum("bhwd,bhnd->bhwn", qw, k.astype(jnp.float32)) / math.sqrt(d)
+    kf = k.astype(jnp.float32)
+    if hk == h:
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) / math.sqrt(d)
+    else:
+        g = h // hk
+        logits = jnp.einsum(
+            "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), kf
+        ).reshape(b, h, w, n) / math.sqrt(d)
     # causal inside the trailing w x w block
     i = jnp.arange(w)[:, None]
     j = jnp.arange(w)[None, :]
@@ -88,12 +96,18 @@ def estimate_vertical_slash(
     vscore = jnp.where(colv[:, None, :], vscore, -jnp.inf)
 
     # slash scores: sum along diagonals d = i - j, where row i is a window
-    # row with absolute index (n - w + r).  d ranges [0, N).
+    # row with absolute index (n - w + r).  Each window row r contributes
+    # probs[r, rows[r] - d] to offset d — a per-row shifted gather (the
+    # round-1 one-hot einsum materialised an O(w * N^2) operand).
     rows = (n - w) + jnp.arange(w, dtype=jnp.int32)  # [w]
-    diag = rows[:, None] - col[None, :]  # [w, N] values in [-(n-1), n-1]
-    diag = jnp.where((diag >= 0) & (diag < n), diag, n)  # clamp invalid -> bin n
-    oh = jax.nn.one_hot(diag, n + 1, dtype=jnp.float32)  # [w, N, n+1]
-    sscore = jnp.einsum("bhwn,wnd->bhd", probs, oh)[..., :n]  # [B, H, N]
+    src = rows[:, None] - jnp.arange(n, dtype=jnp.int32)[None, :]  # [w, N]: j for offset d
+    valid_d = src >= 0
+    idx = jnp.broadcast_to(
+        jnp.where(valid_d, src, 0)[None, None], (b, h, w, n)
+    )
+    shifted = jnp.take_along_axis(probs, idx, axis=-1)  # [B,H,w,N]
+    shifted = jnp.where(valid_d[None, None], shifted, 0.0)
+    sscore = shifted.sum(axis=2)  # [B, H, N] — index d
 
     # top-k sets
     vs = min(vertical_size + 4, n)
@@ -154,6 +168,72 @@ def _slash_tile_selection(
     return idx.astype(jnp.int32), vals > 0
 
 
+def gather_vertical_kv(k, v, vert_idx, chunk: int = 256):
+    """One-hot MXU gather of the vertical columns per QUERY head from
+    (possibly grouped) K/V: [B,Hk,N,D] + idx [B,H,Vs] -> [B,H,Vs,D].
+    Chunked over Vs so the one-hot operand stays ~O(chunk * N)."""
+    b, hk, n, d = k.shape
+    h, vs = vert_idx.shape[1], vert_idx.shape[2]
+    g = h // hk
+    outs_k, outs_v = [], []
+    for st in range(0, vs, chunk):
+        idx = vert_idx[:, :, st:st + chunk]
+        oh = (idx[..., None] ==
+              jnp.arange(n, dtype=jnp.int32)[None, None, None, :]
+              ).astype(k.dtype)  # [B,H,c,N]
+        ohg = oh.reshape(b, hk, g, idx.shape[2], n)
+        outs_k.append(jnp.einsum(
+            "bkgcn,bknd->bkgcd", ohg, k, preferred_element_type=jnp.float32
+        ).reshape(b, h, idx.shape[2], d).astype(k.dtype))
+        outs_v.append(jnp.einsum(
+            "bkgcn,bknd->bkgcd", ohg, v, preferred_element_type=jnp.float32
+        ).reshape(b, h, idx.shape[2], d).astype(v.dtype))
+    return jnp.concatenate(outs_k, 2), jnp.concatenate(outs_v, 2)
+
+
+def vertical_attention_partials(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pattern: VerticalSlashPattern,
+    *,
+    true_len: jax.Array,
+    block: int = 512,
+):
+    """Online-softmax partials of causal attention of ALL queries against
+    the vertical columns only: (acc [B,H,N,D] f32 unnormalised,
+    m [B,H,N], l [B,H,N])."""
+    b, h, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    k_vert, v_vert = gather_vertical_kv(k, v, pattern.vert_idx)
+    vcol = pattern.vert_idx  # [B,H,Vs]
+    vvalid = pattern.vert_valid
+    if n % block != 0:
+        block = math.gcd(n, block) or n
+    nb = n // block
+    q_blocks = q.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
+
+    def body(_, inputs):
+        bi, qb = inputs
+        rows = bi * block + jnp.arange(block, dtype=jnp.int32)
+        lv = jnp.einsum("bhqd,bhvd->bhqv", qb, k_vert,
+                        preferred_element_type=jnp.float32) * scale
+        mask = (vcol[:, :, None, :] <= rows[None, None, :, None])             & vvalid[:, :, None, :]
+        lv = jnp.where(mask, lv, _NEG_INF)
+        m = jnp.max(lv, axis=-1)
+        p = jnp.where(mask, jnp.exp(lv - jnp.maximum(m, _NEG_INF / 2)[..., None]), 0.0)
+        l = p.sum(-1)
+        acc = jnp.einsum("bhqv,bhvd->bhqd", p.astype(v_vert.dtype), v_vert,
+                         preferred_element_type=jnp.float32)
+        return None, (acc, m, l)
+
+    _, (accs, ms, ls) = jax.lax.scan(body, None, (jnp.arange(nb), q_blocks))
+    acc = accs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+    m = ms.transpose(1, 2, 0, 3).reshape(b, h, n)
+    l = ls.transpose(1, 2, 0, 3).reshape(b, h, n)
+    return acc, m, l
+
+
 def sparse_prefill_attention(
     q: jax.Array,
     k: jax.Array,
@@ -164,13 +244,57 @@ def sparse_prefill_attention(
     q_block: int = 128,
     k_tile: int = 128,
     tile_budget: int = 16,
+    interpret: bool = False,
     block: int | None = None,  # legacy knob, accepted and ignored
 ) -> jax.Array:
-    """Gathered block-sparse causal attention over the pattern.
+    """Block-sparse causal attention over the pattern (vertical columns
+    exact via XLA partials; slash coverage block-granular via the Pallas
+    tile kernel with scalar-prefetched tile indices).  K/V may be grouped
+    (num_kv_heads) — no repeat_kv anywhere.
 
     FLOPs ~ N * (Vs + tile_budget * k_tile) * D; the full [N, N] logits are
-    never formed.
+    never formed and no XLA gather touches K/V.
     """
+    from ..kernels.block_sparse_prefill import slash_tile_attention
+
+    b, h, n, d = q.shape
+    if n % q_block != 0:
+        q_block = math.gcd(n, q_block) or n
+    if n % k_tile != 0:
+        k_tile = math.gcd(n, k_tile) or n
+    tile_idx, tile_valid = _slash_tile_selection(
+        pattern, n, q_block, k_tile, tile_budget
+    )
+    acc_v, m_v, l_v = vertical_attention_partials(
+        q, k, v, pattern, true_len=true_len
+    )
+    acc_s, m_s, l_s = slash_tile_attention(
+        q, k, v, tile_idx, tile_valid, pattern.vert, true_len,
+        q_block=q_block, k_tile=k_tile, interpret=interpret,
+    )
+    m_all = jnp.maximum(m_v, m_s)
+    w_v = jnp.where(m_v <= _NEG_INF / 2, 0.0,
+                    jnp.exp(jnp.minimum(m_v - m_all, 0.0)))
+    w_s = jnp.where(m_s <= _NEG_INF / 2, 0.0,
+                    jnp.exp(jnp.minimum(m_s - m_all, 0.0)))
+    num = acc_v * w_v[..., None] + acc_s * w_s[..., None]
+    den = jnp.maximum(l_v * w_v + l_s * w_s, 1e-30)
+    return (num / den[..., None]).astype(q.dtype)
+
+
+def _sparse_prefill_attention_xla_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pattern: VerticalSlashPattern,
+    *,
+    true_len: jax.Array,
+    q_block: int = 128,
+    k_tile: int = 128,
+    tile_budget: int = 16,
+) -> jax.Array:
+    """Round-1-style gathered XLA path (kept as a secondary oracle; 4x
+    slower than dense on TPU because of the per-block gathers)."""
     b, h, n, d = q.shape
     if n % q_block != 0:
         q_block = math.gcd(n, q_block) or n

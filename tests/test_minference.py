@@ -17,11 +17,12 @@ from pyramidkv_tpu.ops.sparse_prefill import (
 )
 
 
-def _full_pattern(b, h, n):
+def _full_pattern(b, h, n, true_len):
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, h, n))
+    colv = idx >= (n - true_len)
     return VerticalSlashPattern(
-        vert=jnp.ones((b, h, n), bool), slash=jnp.ones((b, h, n), bool),
-        vert_idx=idx, vert_valid=jnp.ones((b, h, n), bool),
+        vert=colv, slash=jnp.ones((b, h, n), bool),
+        vert_idx=idx, vert_valid=colv,
     )
 
 
@@ -32,9 +33,10 @@ def test_dense_pattern_recovers_full_attention():
     q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
                for _ in range(3))
     tl = jnp.asarray([50], jnp.int32)
-    pattern = _full_pattern(b, h, n)
+    pattern = _full_pattern(b, h, n, 50)
     got = sparse_prefill_attention(q, k, v, pattern, true_len=tl,
-                                   q_block=16, k_tile=16, tile_budget=4)
+                                   q_block=16, k_tile=16, tile_budget=4,
+                                   interpret=True)
     want = causal_prefill_attention(q, k, v, true_len=tl, block=16)
     pad = n - 50
     np.testing.assert_allclose(
@@ -54,8 +56,10 @@ def test_gathered_matches_dense_oracle(true_len):
     tl = jnp.asarray([true_len], jnp.int32)
     pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=12,
                                   slash_size=8, last_q=8)
+    got = np.asarray(sparse_prefill_attention(
+        q, k, v, pat, true_len=tl, q_block=16, k_tile=16, tile_budget=3,
+        interpret=True))
     kw = dict(true_len=tl, q_block=16, k_tile=16, tile_budget=3)
-    got = np.asarray(sparse_prefill_attention(q, k, v, pat, **kw))
     want = np.asarray(sparse_prefill_attention_dense(q, k, v, pat, **kw))
     pad = n - true_len
     np.testing.assert_allclose(got[:, :, pad:], want[:, :, pad:],
@@ -73,7 +77,8 @@ def test_sparse_flops_scale_with_pattern():
     pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=8,
                                   slash_size=4, last_q=8)
     fn = jax.jit(lambda q, k, v: sparse_prefill_attention(
-        q, k, v, pat, true_len=tl, q_block=32, k_tile=32, tile_budget=2))
+        q, k, v, pat, true_len=tl, q_block=32, k_tile=32, tile_budget=2,
+        interpret=True))
     txt = fn.lower(q, k, v).compile().as_text()
     # the dense [q_block, N] product would be f32[1,2,32,256] per block;
     # with budget 2 the slash part is f32[1,2,32,64]
