@@ -245,7 +245,12 @@ def sequence_parallel_prefill(
     """
     m = plan.spec.method
     assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
-                 "adakv", "headkv", "h2o"), m
+                 "adakv", "headkv", "h2o", "think"), m
+    if m == "think":
+        # narrow layout only (the default); channel stats need the last 32
+        # queries on the final shard
+        assert plan.think_narrow, "SP think requires the narrow K layout"
+        assert tokens.shape[1] // mesh.shape[axis] >= 32
     b, n = tokens.shape
     p = mesh.shape[axis]
     assert n % p == 0 and n == plan.bucket_len
@@ -340,7 +345,7 @@ def sequence_parallel_prefill(
                 kept_cols = sel.indices
                 kept_valid = sel.valid
                 scores = None  # handled
-            elif m in ("snapkv", "pyramidkv"):
+            elif m in ("snapkv", "pyramidkv", "think"):
                 # window queries live on the LAST shard; broadcast them
                 qw_local = q[:, :, nl - w:, :]
                 qw = jax.lax.psum(
@@ -446,9 +451,36 @@ def sequence_parallel_prefill(
                 kept_k, kept_v, kept_valid, kept_cols - pad[:, None, None],
                 win_k, win_v, win_valid, win_pos, plan.decode_slots,
             )
+            if m == "think":
+                # ThinK: the kept rows are already REPLICATED, so the
+                # channel statistics need no extra collectives — only the
+                # last 32 queries (pyramidkv_utils.py:17), broadcast from
+                # the final shard like the observation window.
+                from ..ops.think import think_channel_selection
+
+                obs = min(32, nl)
+                q32_l = q[:, :, nl - obs:, :]
+                q32 = jax.lax.psum(
+                    jnp.where(me == p - 1, q32_l, jnp.zeros_like(q32_l)), axis
+                )
+                if plan.think_narrow:
+                    from ..ops.think import gather_channels
+
+                    sp_slots = plan.think_pruned_slots
+                    prune = think_channel_selection(
+                        ckv.k[:, :, : width + w, :], q32,
+                        ratio=plan.spec.pruning_ratio, true_len=true_len_,
+                        valid_mask=ckv.mask[:, :, : width + w],
+                    )
+                    kp = gather_channels(
+                        ckv.k[:, :, :sp_slots, :], prune.kept_channels
+                    )
+                    krest = ckv.k[:, :, sp_slots:, :]
+                    return hidden, (krest, ckv.v, ckv.mask, ckv.positions,
+                                    kp, prune.kept_channels.astype(jnp.int32))
             return hidden, (ckv.k, ckv.v, ckv.mask, ckv.positions)
 
-        hidden, (cks, cvs, cms, cps) = jax.lax.scan(
+        hidden, outs = jax.lax.scan(
             layer_fn, hidden0, (params["layers"], ctxs_)
         )
         # last real token's hidden state lives on the last shard's last col
@@ -457,16 +489,29 @@ def sequence_parallel_prefill(
             jnp.where(me == p - 1, last_local, jnp.zeros_like(last_local)), axis
         )
         logits = _logits(last, params, spec)
-        return logits, cks, cvs, cms, cps
+        return (logits,) + tuple(outs)
 
+    n_out = 7 if plan.think_narrow else 5
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(),) * n_out,
         check_vma=False,
     )
-    logits, ck, cv, cm, cp = fn(tokens, true_len, ctxs)
+    outs = fn(tokens, true_len, ctxs)
+    if plan.think_narrow:
+        from ..cache import ThinKRegion
+
+        logits, ck, cv, cm, cp, kp, kc = outs
+        cache = KVCache(
+            k=ck, v=cv, mask=cm, positions=cp,
+            true_len=true_len.astype(jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+            think=ThinKRegion(k_pruned=kp, kept_channels=kc),
+        )
+        return logits, cache
+    logits, ck, cv, cm, cp = outs
     cache = KVCache(
         k=ck, v=cv, mask=cm, positions=cp,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),

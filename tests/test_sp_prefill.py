@@ -169,3 +169,35 @@ def test_sp_prefill_headwise_methods(setup, method):
     # boundary ranks; require >= 97% kept-set agreement there, exact else.
     limit = int(0.03 * ref_mask.sum()) if method == "adakv" else 0
     assert mismatches <= limit, (method, mismatches, limit)
+
+
+def test_sp_prefill_think(setup):
+    """ThinK under sequence sharding: kept sets + channel masks + decode
+    logits match the single-device narrow path."""
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method="think", max_capacity_prompt=32,
+                           window_size=8, kernel_size=1, recent_size=16,
+                           pruning_ratio=0.5)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    assert plan.think_narrow
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    assert got_cache.think is not None
+    np.testing.assert_array_equal(
+        np.asarray(got_cache.think.kept_channels),
+        np.asarray(ref_cache.think.kept_channels),
+    )
+    # decode step parity (exercises the narrow decode against the SP cache)
+    t0 = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    l_ref, _ = jl.decode_step(params, spec, plan, ref_cache, t0)
+    l_got, _ = jl.decode_step(params, spec, plan, got_cache, t0)
+    np.testing.assert_allclose(
+        np.asarray(l_got), np.asarray(l_ref), rtol=3e-4, atol=3e-4
+    )
