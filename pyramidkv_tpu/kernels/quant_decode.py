@@ -40,16 +40,45 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 MAX_KERNEL_SLOTS = 8192
 
 
-def _unpack_tile(codes, nbits):
-    """int8-packed [..., W] -> int32 [..., W*per] (per = 8 // nbits)."""
+def _unpack_f32(codes, nbits):
+    """int8-packed [R, W] -> f32 [R, W*per] WITHOUT reshapes.
+
+    Mosaic rejects both minor-dim inserts on i8 vectors and 2D->3D shape
+    casts, so the interleave (position j = i*per + (j mod per)) is done as
+    ``per`` static 0/1 scatter MATMULS: out = sum_p vals_p @ P_p where
+    P_p[i, j] = (j == i*per + p) is built from 2D iotas in VREGs."""
+    r, wdt = codes.shape
     if nbits == 8:
-        return codes.astype(jnp.uint8).astype(jnp.int32)
+        # uint8 semantics on an int8 carrier, 32-bit ops only
+        u = codes.astype(jnp.int32)
+        return jnp.where(u < 0, u + 256, u).astype(jnp.float32)
     per = 8 // nbits
-    u = codes.astype(jnp.uint8)
-    shifts = (jnp.arange(per, dtype=jnp.uint8) * nbits)[(None,) * u.ndim]
-    vals = (u[..., None] >> shifts) & ((1 << nbits) - 1)
-    return vals.reshape(*codes.shape[:-1], codes.shape[-1] * per).astype(
-        jnp.int32
+    u = codes.astype(jnp.int32)
+    u = jnp.where(u < 0, u + 256, u)
+    n_out = wdt * per
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (wdt, n_out), 0)
+    cols_j = jax.lax.broadcasted_iota(jnp.int32, (wdt, n_out), 1)
+    out = jnp.zeros((r, n_out), jnp.float32)
+    for p in range(per):
+        vals = ((u >> (p * nbits)) & ((1 << nbits) - 1)).astype(jnp.float32)
+        scatter = (cols_j == rows_i * per + p).astype(jnp.float32)
+        out = out + jax.lax.dot_general(
+            vals, scatter, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
+def _expand_groups(scales, group, n_out):
+    """[R, G] per-group values -> [R, n_out] broadcast over each group of
+    ``group`` positions, via a static 0/1 expansion matmul (no reshape)."""
+    r, g = scales.shape
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (g, n_out), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, n_out), 1)
+    e = (cols // group == rows_g).astype(jnp.float32)
+    return jax.lax.dot_general(
+        scales, e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -72,14 +101,11 @@ def _kernel(
     head_dim: int,
 ):
     d = head_dim
-    g = s_pad // group
 
-    # ---- dequantize K in VMEM: [D, S] f32 ----
-    kcodes = _unpack_tile(kc_ref[0], nbits)           # [D, S] int32
-    kg = kcodes.reshape(d, g, group).astype(jnp.float32)
-    khat = (kg * ks_ref[0][:, :, None] + kz_ref[0][:, :, None]).reshape(
-        d, s_pad
-    )
+    # ---- dequantize K in VMEM: [D, S] f32 (all 2D ops) ----
+    kcodes = _unpack_f32(kc_ref[0], nbits)            # [D, S] f32
+    khat = (kcodes * _expand_groups(ks_ref[0], group, s_pad)
+            + _expand_groups(kz_ref[0], group, s_pad))
 
     q = q_ref[0][:1]  # [1, D] f32 (already scaled by 1/sqrt(D))
     s = jax.lax.dot_general(
@@ -95,13 +121,10 @@ def _kernel(
     l = jnp.sum(p, axis=1, keepdims=True)
 
     # ---- dequantize V: [S, D] f32 ----
-    vcodes = _unpack_tile(vc_ref[0], nbits)           # [S, Dp] int32
+    vcodes = _unpack_f32(vc_ref[0], nbits)            # [S, Dp] f32
     dp = vcodes.shape[-1]
-    gv = dp // group
-    vg = vcodes.reshape(s_pad, gv, group).astype(jnp.float32)
-    vhat = (vg * vs_ref[0][:, :, None] + vz_ref[0][:, :, None]).reshape(
-        s_pad, dp
-    )[:, :d]
+    vhat = (vcodes * _expand_groups(vs_ref[0], group, dp)
+            + _expand_groups(vz_ref[0], group, dp))[:, :d]
 
     pv = jax.lax.dot_general(
         p, vhat, (((1,), (0,)), ((), ())),
