@@ -66,6 +66,11 @@ class ModelSpec:
     tie_word_embeddings: bool = False
     sliding_window: Optional[int] = None  # Mistral-v0.1 style sliding window
     attention_bias: bool = False
+    #: Mixtral-style MoE: number of local experts (0 = dense MLP) and
+    #: active experts per token (top-k routing).  The reference lists
+    #: Mixtral as an unchecked TODO (README.md:45).
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     # Llama-3.1+ rope scaling ("llama3" frequency scaling); None = plain RoPE.
     rope_scaling_type: Optional[str] = None
     rope_scaling_factor: float = 1.0
@@ -101,6 +106,8 @@ class ModelSpec:
             tie_word_embeddings=config.get("tie_word_embeddings", False),
             sliding_window=config.get("sliding_window"),
             attention_bias=config.get("attention_bias", False),
+            num_local_experts=config.get("num_local_experts", 0) or 0,
+            num_experts_per_tok=config.get("num_experts_per_tok", 2),
             rope_scaling_type=rope_scaling.get("rope_type") or rope_scaling.get("type"),
             rope_scaling_factor=rope_scaling.get("factor", 1.0),
             rope_low_freq_factor=rope_scaling.get("low_freq_factor", 1.0),
@@ -142,6 +149,14 @@ class ModelSpec:
                 num_attention_heads=32, num_key_value_heads=8, head_dim=128,
                 rope_theta=10000.0, max_position_embeddings=32768,
                 sliding_window=4096, rms_norm_eps=1e-5,
+            ),
+            "mixtral-8x7b": dict(
+                name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+                intermediate_size=14336, num_hidden_layers=32,
+                num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+                rope_theta=1000000.0, max_position_embeddings=32768,
+                rms_norm_eps=1e-5, num_local_experts=8,
+                num_experts_per_tok=2,
             ),
         }
         base = dict(presets[name])

@@ -55,20 +55,29 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         scale = scale or 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
         return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dtype)
 
+    layers = {
+        "wq": w(ks[1], (L, Dm, H * Dh)),
+        "wk": w(ks[2], (L, Dm, KV * Dh)),
+        "wv": w(ks[3], (L, Dm, KV * Dh)),
+        "wo": w(ks[4], (L, H * Dh, Dm)),
+        "attn_norm": jnp.ones((L, Dm), dtype=dtype),
+        "mlp_norm": jnp.ones((L, Dm), dtype=dtype),
+    }
+    E = spec.num_local_experts
+    if E:
+        # Mixtral-style MoE (the reference's unchecked TODO, README.md:45)
+        layers["router"] = w(ks[9], (L, Dm, E))
+        layers["w_gate"] = w(ks[5], (L, E, Dm, I))
+        layers["w_up"] = w(ks[6], (L, E, Dm, I))
+        layers["w_down"] = w(ks[7], (L, E, I, Dm))
+    else:
+        layers["w_gate"] = w(ks[5], (L, Dm, I))
+        layers["w_up"] = w(ks[6], (L, Dm, I))
+        layers["w_down"] = w(ks[7], (L, I, Dm))
     params = {
         "embed": w(ks[0], (V, Dm), scale=0.02),
         "final_norm": jnp.ones((Dm,), dtype=dtype),
-        "layers": {
-            "wq": w(ks[1], (L, Dm, H * Dh)),
-            "wk": w(ks[2], (L, Dm, KV * Dh)),
-            "wv": w(ks[3], (L, Dm, KV * Dh)),
-            "wo": w(ks[4], (L, H * Dh, Dm)),
-            "w_gate": w(ks[5], (L, Dm, I)),
-            "w_up": w(ks[6], (L, Dm, I)),
-            "w_down": w(ks[7], (L, I, Dm)),
-            "attn_norm": jnp.ones((L, Dm), dtype=dtype),
-            "mlp_norm": jnp.ones((L, Dm), dtype=dtype),
-        },
+        "layers": layers,
     }
     if not spec.tie_word_embeddings:
         params["lm_head"] = w(ks[8], (Dm, V), scale=0.02)
@@ -157,9 +166,64 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
     return q, k, v
 
 
-def _mlp(x: jax.Array, wts: dict) -> jax.Array:
+def _mlp(x: jax.Array, wts: dict, top_k: int = 2) -> jax.Array:
+    if "router" in wts:
+        return _moe_mlp(x, wts, top_k=top_k)
     return (jax.nn.silu((x @ wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
             * (x @ wts["w_up"])) @ wts["w_down"]
+
+
+def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
+             chunk: int = 512) -> jax.Array:
+    """Mixtral sparse-MoE block with EXACT HF numerics under static shapes.
+
+    HF routing (MixtralSparseMoeBlock): full softmax over router logits,
+    top-k, renormalise the k weights, weighted sum of the chosen experts'
+    SwiGLU outputs.  TPU-native formulation: compute ALL experts densely
+    and weight by the (zero-padded) routing weights — bit-equivalent (a
+    zero weight contributes exactly 0), fully static, and it shards
+    naturally: with the expert axis sharded over the mesh each device
+    computes only its local experts and the weighted sum becomes one psum
+    (inference expert-parallelism without any dispatch/combine gathers).
+    Token chunking bounds the [T_c, E, I] transient during prefill.
+    """
+    orig_shape = x.shape
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, None, :]  # decode: [B, Dm] -> [B, 1, Dm]
+    b, t, dm = x.shape
+    e = wts["router"].shape[-1]
+    k = top_k
+
+    logits = jax.lax.dot_general(
+        x, wts["router"], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(probs, k)
+    wnorm = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-20)
+    weight = (jax.nn.one_hot(idx, e, dtype=jnp.float32)
+              * wnorm[..., None]).sum(-2)  # [B, T, E]
+
+    def ffn(xc, wc):
+        # xc [B, Tc, Dm]; wc [B, Tc, E]
+        g = jnp.einsum("btd,edi->btei", xc, wts["w_gate"])
+        u = jnp.einsum("btd,edi->btei", xc, wts["w_up"])
+        a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
+        o = jnp.einsum("btei,eid->bted", a, wts["w_down"])
+        return (o.astype(jnp.float32) * wc[..., None]).sum(2).astype(xc.dtype)
+
+    if t <= chunk or t % chunk != 0:
+        out = ffn(x, weight)
+    else:
+        nb = t // chunk
+        xb = x.reshape(b, nb, chunk, dm).transpose(1, 0, 2, 3)
+        wb = weight.reshape(b, nb, chunk, e).transpose(1, 0, 2, 3)
+        _, outs = jax.lax.scan(
+            lambda _, xw: (None, ffn(xw[0], xw[1])), None, (xb, wb)
+        )
+        out = outs.transpose(1, 0, 2, 3).reshape(b, t, dm)
+    return out[:, 0, :] if squeeze else out
 
 
 def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
@@ -267,7 +331,7 @@ def prefill(
             attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
             hidden = hidden + attn @ wts["wo"]
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts)
+            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
             ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
             if subplan.think_narrow:
                 from ..policy import think_split
@@ -518,7 +582,7 @@ def decode_step(
                 attn = decode_attention(q, layer.k, layer.v, visible)
             hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts)
+            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
             return hidden, layer
 
         return layer_fn

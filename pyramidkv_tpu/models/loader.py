@@ -85,24 +85,45 @@ def load_params_from_hf(
         "self_attn.k_proj.weight": "wk",
         "self_attn.v_proj.weight": "wv",
         "self_attn.o_proj.weight": "wo",
-        "mlp.gate_proj.weight": "w_gate",
-        "mlp.up_proj.weight": "w_up",
-        "mlp.down_proj.weight": "w_down",
         "input_layernorm.weight": "attn_norm",
         "post_attention_layernorm.weight": "mlp_norm",
     }
+    E = spec.num_local_experts
+    if E:
+        # Mixtral MoE: router + per-expert SwiGLU (w1=gate, w3=up, w2=down)
+        name_map["block_sparse_moe.gate.weight"] = "router"
+        for m in range(E):
+            name_map[f"block_sparse_moe.experts.{m}.w1.weight"] = f"_e{m}_gate"
+            name_map[f"block_sparse_moe.experts.{m}.w3.weight"] = f"_e{m}_up"
+            name_map[f"block_sparse_moe.experts.{m}.w2.weight"] = f"_e{m}_down"
+    else:
+        name_map.update({
+            "mlp.gate_proj.weight": "w_gate",
+            "mlp.up_proj.weight": "w_up",
+            "mlp.down_proj.weight": "w_down",
+        })
     put = device_put_fn or (lambda path, x: jnp.asarray(x, dtype=dtype))
 
     params: dict = {"layers": {}}
+    staged_layers: dict = {}
     for hf_name, ours in name_map.items():
         if hf_name not in per_layer:
             raise ValueError(f"checkpoint missing {hf_name}")
         rows = per_layer[hf_name]
         assert len(rows) == L, (hf_name, len(rows), L)
         mats = [rows[i] for i in range(L)]
-        if hf_name.endswith("proj.weight"):
+        if (hf_name.endswith("proj.weight") or ".experts." in hf_name
+                or hf_name.endswith("gate.weight")):
             mats = [m.T for m in mats]  # torch [out,in] -> [in,out]
-        stacked = np.stack(mats, axis=0)
+        staged_layers[ours] = np.stack(mats, axis=0)
+    if E:
+        # stack the per-expert mats along a new E axis: [L, E, in, out]
+        for kind in ("gate", "up", "down"):
+            exp = np.stack(
+                [staged_layers.pop(f"_e{m}_{kind}") for m in range(E)], axis=1
+            )
+            staged_layers[f"w_{kind}"] = exp
+    for ours, stacked in staged_layers.items():
         params["layers"][ours] = put(("layers", ours), stacked)
 
     params["embed"] = put(("embed",), staging["embed"])

@@ -52,12 +52,21 @@ def param_pspecs(spec: ModelSpec) -> dict:
         "wk": P(None, None, "model"),
         "wv": P(None, None, "model"),
         "wo": P(None, "model", None),
-        "w_gate": P(None, None, "model"),
-        "w_up": P(None, None, "model"),
-        "w_down": P(None, "model", None),
         "attn_norm": P(None, None),
         "mlp_norm": P(None, None),
     }
+    if spec.num_local_experts:
+        # expert parallelism: the EXPERT axis shards over `model` — each
+        # chip computes its local experts' SwiGLU for all tokens and the
+        # routed weighted sum reduces with one psum (no dispatch gathers)
+        lp["router"] = P(None, None, None)
+        lp["w_gate"] = P(None, "model", None, None)
+        lp["w_up"] = P(None, "model", None, None)
+        lp["w_down"] = P(None, "model", None, None)
+    else:
+        lp["w_gate"] = P(None, None, "model")
+        lp["w_up"] = P(None, None, "model")
+        lp["w_down"] = P(None, "model", None)
     out = {
         "embed": P("model", None),
         "final_norm": P(None),
@@ -98,6 +107,11 @@ def validate_divisibility(spec: ModelSpec, mesh: Mesh) -> None:
     assert spec.num_attention_heads % tp == 0, (
         f"num_attention_heads {spec.num_attention_heads} not divisible by model axis {tp}"
     )
+    if spec.num_local_experts:
+        assert spec.num_local_experts % tp == 0, (
+            f"num_local_experts {spec.num_local_experts} not divisible by "
+            f"model axis {tp}"
+        )
     assert spec.num_key_value_heads % tp == 0, (
         f"num_key_value_heads {spec.num_key_value_heads} not divisible by model axis {tp}"
     )
