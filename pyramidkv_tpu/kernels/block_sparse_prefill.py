@@ -52,11 +52,13 @@ def _kernel(
     scale: float,
     batch: int,
     nq: int,
+    c0: int,
+    h: int,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     t = pl.program_id(2)
-    b = bh // (pl.num_programs(0) // batch)
+    b = (c0 + bh) // h  # global (batch*head) row -> batch index
     pad = pad_ref[b]
     flat = (bh * nq + qi) * num_tiles + t
     ti = tidx_ref[flat]
@@ -145,53 +147,180 @@ def slash_tile_attention(
     vert8 = jnp.broadcast_to(
         vert.reshape(b * h, 1, n).astype(jnp.int32), (b * h, 8, n)
     )
-    tidx = tile_idx.reshape(-1).astype(jnp.int32)
-    tval = tile_valid.reshape(-1).astype(jnp.int32)
+    tidx_all = tile_idx.reshape(b * h, nq * t).astype(jnp.int32)
+    tval_all = tile_valid.reshape(b * h, nq * t).astype(jnp.int32)
 
-    def _kv(bh):
-        return (bh // h) * hk + (bh % h) // g
+    # Prefetched scalar arrays live in SMEM (~1 MB): chunk the grid over
+    # (batch*heads) so bh_chunk * nq * T stays within budget (a 32k
+    # full-grid variant measured a scoped-SMEM exhaustion).  K/V stay
+    # whole; the kv-row index map offsets by the chunk start.
+    max_entries = 32768
+    bh_chunk = b * h
+    while bh_chunk > 1 and bh_chunk * nq * t > max_entries:
+        bh_chunk //= 2
+    accs, ms, ls = [], [], []
+    for c0 in range(0, b * h, bh_chunk):
+        nbh = min(bh_chunk, b * h - c0)
+        tidx = tidx_all[c0:c0 + nbh].reshape(-1)
+        tval = tval_all[c0:c0 + nbh].reshape(-1)
 
+        def _kv(bh, c0=c0):
+            gbh = c0 + bh
+            return (gbh // h) * hk + (gbh % h) // g
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nbh, nq, t),
+            in_specs=[
+                pl.BlockSpec((1, q_block, d),
+                             lambda bh, qi, ti, pad, tx, tv: (bh, qi, 0)),
+                pl.BlockSpec(
+                    (1, k_tile, d),
+                    lambda bh, qi, ti, pad, tx, tv:
+                    (_kv(bh), tx[(bh * nq + qi) * t + ti], 0),
+                ),
+                pl.BlockSpec(
+                    (1, k_tile, d),
+                    lambda bh, qi, ti, pad, tx, tv:
+                    (_kv(bh), tx[(bh * nq + qi) * t + ti], 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, k_tile),
+                    lambda bh, qi, ti, pad, tx, tv:
+                    (bh, 0, tx[(bh * nq + qi) * t + ti]),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q_block, d),
+                             lambda bh, qi, ti, pad, tx, tv: (bh, qi, 0)),
+                pl.BlockSpec((1, 8, q_block),
+                             lambda bh, qi, ti, pad, tx, tv: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, q_block),
+                             lambda bh, qi, ti, pad, tx, tv: (bh, 0, qi)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((q_block, d), jnp.float32),
+                pltpu.VMEM((q_block, 128), jnp.float32),
+                pltpu.VMEM((q_block, 128), jnp.float32),
+            ],
+        )
+        acc_c, m_c, l_c = pl.pallas_call(
+            functools.partial(
+                _kernel, q_block=q_block, k_tile=k_tile, num_tiles=t,
+                scale=scale, batch=b, nq=nq, c0=c0, h=h,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nbh, n, d), jnp.float32),
+                jax.ShapeDtypeStruct((nbh, 8, n), jnp.float32),
+                jax.ShapeDtypeStruct((nbh, 8, n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pad, tidx, tval, qr[c0:c0 + nbh], kr, vr, vert8[c0:c0 + nbh])
+        accs.append(acc_c)
+        ms.append(m_c)
+        ls.append(l_c)
+    acc = jnp.concatenate(accs, 0) if len(accs) > 1 else accs[0]
+    m = jnp.concatenate(ms, 0) if len(ms) > 1 else ms[0]
+    l = jnp.concatenate(ls, 0) if len(ls) > 1 else ls[0]
+    return (
+        acc.reshape(b, h, n, d),
+        m[:, 0, :].reshape(b, h, n),
+        l[:, 0, :].reshape(b, h, n),
+    )
+
+
+def _vert_kernel(
+    pad_ref,       # [B] int32
+    q_ref,         # [1, q_block, D]
+    kv_ref,        # [1, Vs, D]
+    vv_ref,        # [1, Vs, D]
+    vcol_ref,      # [1, 8, Vs] int32 column ids
+    vvalid_ref,    # [1, 8, Vs] int32
+    acc_out, m_out, l_out,
+    *,
+    q_block: int,
+    scale: float,
+    h: int,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    pad = pad_ref[bh // h]
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, kv_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [q_block, Vs]
+    rows = qi * q_block + jax.lax.broadcasted_iota(
+        jnp.int32, (q_block, s.shape[1]), 0
+    )
+    vcol = vcol_ref[0][:1]     # [1, Vs]
+    valid = vvalid_ref[0][:1] > 0
+    mask = (vcol <= rows) & valid
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.where(mask, jnp.exp(s - jnp.maximum(m, _NEG_INF / 2)), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc_out[0] = jax.lax.dot_general(
+        p.astype(vv_ref.dtype), vv_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_out[0] = jnp.broadcast_to(m[:, 0][None, :], (8, q_block))
+    l_out[0] = jnp.broadcast_to(l[:, 0][None, :], (8, q_block))
+
+
+@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+def vertical_attention_partials_kernel(
+    q: jax.Array,
+    k_vert: jax.Array,
+    v_vert: jax.Array,
+    vcol: jax.Array,
+    vvalid: jax.Array,
+    true_len: jax.Array,
+    *,
+    q_block: int = 512,
+    interpret: bool = False,
+):
+    """Pallas one-shot partials of all queries vs the gathered vertical
+    columns (the XLA scan variant measured 31 ms/layer at 8k for ~1 ms of
+    FLOPs — unfused elementwise passes).
+
+    q [B,H,N,D]; k_vert/v_vert [B,H,Vs,D]; vcol/vvalid [B,H,Vs].
+    Returns (acc [B,H,N,D] f32 unnormalised, m, l [B,H,N] f32).
+    """
+    b, h, n, d = q.shape
+    vs = k_vert.shape[2]
+    nq = n // q_block
+    scale = 1.0 / math.sqrt(d)
+    pad = (n - true_len).astype(jnp.int32)
+    qr = q.reshape(b * h, n, d)
+    kr = k_vert.reshape(b * h, vs, d)
+    vr = v_vert.reshape(b * h, vs, d)
+    vc = jnp.broadcast_to(
+        vcol.reshape(b * h, 1, vs).astype(jnp.int32), (b * h, 8, vs)
+    )
+    vv = jnp.broadcast_to(
+        vvalid.reshape(b * h, 1, vs).astype(jnp.int32), (b * h, 8, vs)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b * h, nq, t),
+        num_scalar_prefetch=1,
+        grid=(b * h, nq),
         in_specs=[
-            pl.BlockSpec((1, q_block, d),
-                         lambda bh, qi, ti, pad, tx, tv: (bh, qi, 0)),
-            pl.BlockSpec(
-                (1, k_tile, d),
-                lambda bh, qi, ti, pad, tx, tv:
-                (_kv(bh), tx[(bh * nq + qi) * t + ti], 0),
-            ),
-            pl.BlockSpec(
-                (1, k_tile, d),
-                lambda bh, qi, ti, pad, tx, tv:
-                (_kv(bh), tx[(bh * nq + qi) * t + ti], 0),
-            ),
-            pl.BlockSpec(
-                (1, 8, k_tile),
-                lambda bh, qi, ti, pad, tx, tv:
-                (bh, 0, tx[(bh * nq + qi) * t + ti]),
-            ),
+            pl.BlockSpec((1, q_block, d), lambda bh, qi, pad: (bh, qi, 0)),
+            pl.BlockSpec((1, vs, d), lambda bh, qi, pad: (bh, 0, 0)),
+            pl.BlockSpec((1, vs, d), lambda bh, qi, pad: (bh, 0, 0)),
+            pl.BlockSpec((1, 8, vs), lambda bh, qi, pad: (bh, 0, 0)),
+            pl.BlockSpec((1, 8, vs), lambda bh, qi, pad: (bh, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, q_block, d),
-                         lambda bh, qi, ti, pad, tx, tv: (bh, qi, 0)),
-            pl.BlockSpec((1, 8, q_block),
-                         lambda bh, qi, ti, pad, tx, tv: (bh, 0, qi)),
-            pl.BlockSpec((1, 8, q_block),
-                         lambda bh, qi, ti, pad, tx, tv: (bh, 0, qi)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((q_block, d), jnp.float32),
-            pltpu.VMEM((q_block, 128), jnp.float32),
-            pltpu.VMEM((q_block, 128), jnp.float32),
+            pl.BlockSpec((1, q_block, d), lambda bh, qi, pad: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, q_block), lambda bh, qi, pad: (bh, 0, qi)),
+            pl.BlockSpec((1, 8, q_block), lambda bh, qi, pad: (bh, 0, qi)),
         ],
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(
-            _kernel, q_block=q_block, k_tile=k_tile, num_tiles=t,
-            scale=scale, batch=b, nq=nq,
-        ),
+        functools.partial(_vert_kernel, q_block=q_block, scale=scale, h=h),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, d), jnp.float32),
@@ -199,7 +328,7 @@ def slash_tile_attention(
             jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),
         ],
         interpret=interpret,
-    )(pad, tidx, tval, qr, kr, vr, vert8)
+    )(pad, qr, kr, vr, vc, vv)
     return (
         acc.reshape(b, h, n, d),
         m[:, 0, :].reshape(b, h, n),

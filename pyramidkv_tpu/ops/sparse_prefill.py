@@ -267,11 +267,20 @@ def sparse_prefill_attention(
         q_block = math.gcd(n, q_block) or n
     if n % k_tile != 0:
         k_tile = math.gcd(n, k_tile) or n
+    from ..kernels.block_sparse_prefill import (
+        vertical_attention_partials_kernel,
+    )
+
     tile_idx, tile_valid = _slash_tile_selection(
         pattern, n, q_block, k_tile, tile_budget
     )
-    acc_v, m_v, l_v = vertical_attention_partials(
-        q, k, v, pattern, true_len=true_len
+    k_vert, v_vert = gather_vertical_kv(k, v, pattern.vert_idx)
+    vq_block = q_block
+    while n % vq_block != 0:
+        vq_block = math.gcd(n, vq_block) or n
+    acc_v, m_v, l_v = vertical_attention_partials_kernel(
+        q, k_vert, v_vert, pattern.vert_idx, pattern.vert_valid, true_len,
+        q_block=vq_block, interpret=interpret,
     )
     acc_s, m_s, l_s = slash_tile_attention(
         q, k, v, tile_idx, tile_valid, pattern.vert, true_len,
