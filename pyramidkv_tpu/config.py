@@ -383,6 +383,11 @@ class EngineSpec:
     mesh_axis_names: Tuple[str, str] = ("data", "model")
     #: Use the fused Pallas prefill/decode kernels when on TPU.
     use_pallas: bool = True
+    #: Opt-in: fused Pallas dequant-attention decode kernel for KIVI caches.
+    #: Compiles and matches the XLA path bit-for-bit, but measured SLOWER at
+    #: engine level on v5e (per-head 1-row matvecs are latency-bound while
+    #: XLA fuses the dequant into larger fusions) — see BASELINE.md round 2.
+    use_quant_kernel: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
     greedy: bool = True

@@ -100,13 +100,18 @@ class Engine:
         use_pallas = bool(
             self.engine_spec.use_pallas and jax.devices()[0].platform == "tpu"
         )
-        return make_plan(
+        import dataclasses
+
+        plan = make_plan(
             self.comp_spec,
             self.model_spec.num_hidden_layers,
             bucket,
             self.engine_spec.max_new_tokens,
             use_pallas=use_pallas,
         )
+        if self.engine_spec.use_quant_kernel and use_pallas:
+            plan = dataclasses.replace(plan, use_quant_kernel=True)
+        return plan
 
     def _get_prefill(self, bucket: int):
         fn = self._prefill_fns.get(bucket)

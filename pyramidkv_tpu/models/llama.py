@@ -527,7 +527,7 @@ def decode_step(
 
                 s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
                 use_kernel = (
-                    (subplan.use_pallas or _FORCE_QUANT_KERNEL[0])
+                    (subplan.use_quant_kernel or _FORCE_QUANT_KERNEL[0])
                     and cs.quant_method == "kivi"
                     and s_pad_k <= MAX_KERNEL_SLOTS
                 )

@@ -53,6 +53,8 @@ class PolicyPlan:
     window: int  #: recency slots kept verbatim
     #: use the Pallas scoring kernels (TPU hot path; set by the engine)
     use_pallas: bool = False
+    #: opt-in fused dequant decode kernel (EngineSpec.use_quant_kernel)
+    use_quant_kernel: bool = False
     #: Contiguous layer runs with their own static slot widths:
     #: ((start, stop, width), ...).  One entry == the uniform layout (the
     #: default for most methods).  Multiple entries let methods whose
