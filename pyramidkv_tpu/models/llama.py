@@ -297,7 +297,8 @@ def prefill(
             # compaction all expand GQA groups inside their contractions, so no
             # O(H*N*D) repeat_kv buffer is ever materialised (the reference
             # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
-            if subplan.spec.method == "minference":
+            if (subplan.spec.method == "minference"
+                    and n >= subplan.spec.minference_dense_below):
                 from ..ops.sparse_prefill import (
                     estimate_vertical_slash,
                     sparse_prefill_attention,
