@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..cache import (KVCache, LayerCacheView, append_token,
                      append_token_per_lane)
 from ..config import ModelSpec
+from .weights import QuantW, embed_lookup, mm
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
@@ -160,17 +161,20 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
     """x: [B, T, Dm] -> q [B, H, T, Dh], k/v [B, KV, T, Dh]."""
     b, t, _ = x.shape
     H, KV, Dh = spec.num_attention_heads, spec.num_key_value_heads, spec.head_dim
-    q = (x @ wts["wq"]).reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
-    k = (x @ wts["wk"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
-    v = (x @ wts["wv"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    q = mm(x, wts["wq"]).reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
+    k = mm(x, wts["wk"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    v = mm(x, wts["wv"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
     return q, k, v
 
 
 def _mlp(x: jax.Array, wts: dict, top_k: int = 2) -> jax.Array:
     if "router" in wts:
         return _moe_mlp(x, wts, top_k=top_k)
-    return (jax.nn.silu((x @ wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-            * (x @ wts["w_up"])) @ wts["w_down"]
+    return mm(
+        jax.nn.silu(mm(x, wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        * mm(x, wts["w_up"]),
+        wts["w_down"],
+    )
 
 
 def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
@@ -192,25 +196,35 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
     if squeeze:
         x = x[:, None, :]  # decode: [B, Dm] -> [B, 1, Dm]
     b, t, dm = x.shape
-    e = wts["router"].shape[-1]
+    router = wts["router"]
+    e = (router.codes if isinstance(router, QuantW) else router).shape[-1]
     k = top_k
 
-    logits = jax.lax.dot_general(
-        x, wts["router"], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, T, E]
+    logits = mm(x, wts["router"]).astype(jnp.float32)  # [B, T, E]
     probs = jax.nn.softmax(logits, axis=-1)
     vals, idx = jax.lax.top_k(probs, k)
     wnorm = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-20)
     weight = (jax.nn.one_hot(idx, e, dtype=jnp.float32)
               * wnorm[..., None]).sum(-2)  # [B, T, E]
 
+    def emm(xc, w, sub):
+        # [B,T,D] x [E,D,I] -> [B,T,E,I]; per-(expert, out) scales factor out
+        if isinstance(w, QuantW):
+            y = jnp.einsum(sub, xc, w.codes.astype(xc.dtype))
+            return y * w.scale[None, None].astype(y.dtype)
+        return jnp.einsum(sub, xc, w)
+
     def ffn(xc, wc):
         # xc [B, Tc, Dm]; wc [B, Tc, E]
-        g = jnp.einsum("btd,edi->btei", xc, wts["w_gate"])
-        u = jnp.einsum("btd,edi->btei", xc, wts["w_up"])
+        g = emm(xc, wts["w_gate"], "btd,edi->btei")
+        u = emm(xc, wts["w_up"], "btd,edi->btei")
         a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
-        o = jnp.einsum("btei,eid->bted", a, wts["w_down"])
+        if isinstance(wts["w_down"], QuantW):
+            o = jnp.einsum("btei,eid->bted", a,
+                           wts["w_down"].codes.astype(a.dtype))
+            o = o * wts["w_down"].scale[None, None].astype(o.dtype)
+        else:
+            o = jnp.einsum("btei,eid->bted", a, wts["w_down"])
         return (o.astype(jnp.float32) * wc[..., None]).sum(2).astype(xc.dtype)
 
     if t <= chunk or t % chunk != 0:
@@ -231,7 +245,17 @@ def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
     ``astype(fp32)`` on the [Dm, V] matrix gets hoisted out of the decode
     loop by XLA as a persistent fp32 copy (~2x the weight's HBM)."""
     h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps)
-    w = params["embed"].T if spec.tie_word_embeddings else params["lm_head"]
+    w = params["embed"] if spec.tie_word_embeddings else params.get("lm_head")
+    if isinstance(w, QuantW):
+        # tied: codes [V, Dm] (contract last); untied lm_head: [Dm, V]
+        cdim = 1 if spec.tie_word_embeddings else 0
+        out = jax.lax.dot_general(
+            h, w.codes.astype(h.dtype),
+            (((h.ndim - 1,), (cdim,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out * w.scale.astype(jnp.float32)
+    w = w.T if spec.tie_word_embeddings else w
     return jax.lax.dot_general(
         h, w, (((h.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -275,7 +299,8 @@ def prefill(
     positions = jnp.arange(n, dtype=jnp.int32)[None, :] - pad[:, None]  # [B, N]
 
     ctxs = layer_contexts(plan, true_len, spec.num_attention_heads, rng)
-    hidden0 = jnp.take(params["embed"], tokens, axis=0)  # [B, N, Dm]
+    act_dtype = params["final_norm"].dtype
+    hidden0 = embed_lookup(params["embed"], tokens, act_dtype)  # [B, N, Dm]
 
     def make_layer_fn(subplan, by_index=False):
         def layer_fn(hidden, xs):
@@ -330,7 +355,7 @@ def prefill(
                     block=prefill_block, sliding_window=spec.sliding_window,
                 )
             attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
-            hidden = hidden + attn @ wts["wo"]
+            hidden = hidden + mm(attn, wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
             ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
@@ -466,7 +491,8 @@ def decode_step(
         pos = cache.current_position()  # [B]
     else:
         pos = cache.true_len.astype(jnp.int32) + lane_steps
-    hidden0 = jnp.take(params["embed"], token, axis=0)  # [B, Dm]
+    hidden0 = embed_lookup(params["embed"], token,
+                           params["final_norm"].dtype)  # [B, Dm]
 
     store_kv = stores_kv_heads(plan.spec)
     cs = plan.spec
@@ -581,7 +607,7 @@ def decode_step(
                 )
             else:
                 attn = decode_attention(q, layer.k, layer.v, visible)
-            hidden = hidden + attn.reshape(b, -1) @ wts["wo"]
+            hidden = hidden + mm(attn.reshape(b, -1), wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
             return hidden, layer

@@ -41,6 +41,7 @@ from ..models.llama import (
     rms_norm,
     rope_inv_freq,
 )
+from ..models.weights import mm
 from ..policy import PolicyPlan, layer_contexts
 from .ring_attention import _ring_body
 
@@ -278,7 +279,7 @@ def sequence_parallel_prefill(
             attn = _ring_body(q, k, v, true_len_, axis)  # grouped ring:
             # only KV heads rotate (group_size x less ICI traffic)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
-            hidden = hidden + attn @ wts["wo"]
+            hidden = hidden + mm(attn, wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts)
 

@@ -1,0 +1,73 @@
+"""int8 weight quantization: exact factorized dequant + engine behavior."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models import llama as jl
+from pyramidkv_tpu.models.weights import (
+    QuantW,
+    _quantize_leaf,
+    mm,
+    quantize_weights,
+)
+
+
+def test_factorized_dequant_is_exact():
+    """(x @ codes) * scale == x @ (codes * scale) bit-for-bit in f32."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    qw = _quantize_leaf(w)
+    direct = x @ (qw.codes.astype(jnp.float32) * qw.scale[None, :])
+    np.testing.assert_allclose(np.asarray(mm(x, qw)), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+    # quantization error bounded by scale/2 per weight
+    err = np.abs(np.asarray(qw.codes, np.float32) * np.asarray(qw.scale)[None]
+                 - np.asarray(w))
+    assert err.max() <= np.asarray(qw.scale).max() * 0.5 + 1e-6
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_engine_runs_with_int8_weights(moe):
+    spec = ModelSpec.tiny(**(dict(num_local_experts=4) if moe else {}))
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_weights(params)
+    assert isinstance(qparams["layers"]["wq"], QuantW)
+    ids = [int(x) for x in np.random.default_rng(1).integers(0, 256, size=60)]
+    outs = {}
+    for tag, p in (("bf16", params), ("int8", qparams)):
+        eng = Engine(
+            spec,
+            CompressionSpec(method="snapkv", max_capacity_prompt=32,
+                            window_size=8),
+            EngineSpec(max_new_tokens=8, prefill_buckets=(128,)), p,
+        )
+        outs[tag] = eng.generate([ids], eos_token_ids=())
+    assert len(outs["int8"].tokens[0]) == 8
+    # int8 weights shrink the param bytes ~2x (f32 baseline here -> ~4x)
+    # and logits stay close enough that early greedy tokens agree
+    assert outs["int8"].tokens[0][:2] == outs["bf16"].tokens[0][:2]
+
+
+def test_int8_logits_close_to_full_precision():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    qparams = quantize_weights(params)
+    from pyramidkv_tpu.policy import make_plan
+
+    ids = jnp.asarray([[int(x) for x in
+                        np.random.default_rng(3).integers(0, 256, size=32)]],
+                      jnp.int32)
+    tl = jnp.asarray([32], jnp.int32)
+    plan = make_plan(CompressionSpec(method="fullkv"), spec.num_hidden_layers,
+                     32, 4)
+    ref, _ = jl.prefill(params, spec, plan, ids, tl)
+    got, _ = jl.prefill(qparams, spec, plan, ids, tl)
+    # relative error dominated by int8 weight rounding (~1e-2)
+    denom = np.maximum(np.abs(np.asarray(ref)), 1.0)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
+    assert rel.max() < 0.15 and np.median(rel) < 0.02
