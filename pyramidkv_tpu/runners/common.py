@@ -55,6 +55,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_num_examples", type=int, default=None)
+    p.add_argument("--model_max_len", type=int, default=None,
+                   help="override the model-family context cap "
+                        "(run_longbench.py:75-81 model2maxlen)")
     p.add_argument("--sample_method", type=str, default="topk")
     p.add_argument("--use_pallas", action="store_true", default=None)
 
@@ -131,5 +134,7 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
 
 
 def resolve_model_max_len(args) -> int:
+    if getattr(args, "model_max_len", None):
+        return args.model_max_len
     name = args.model_name or os.path.basename(args.model_path.rstrip("/"))
     return model_family_max_len(name)

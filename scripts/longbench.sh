@@ -8,7 +8,8 @@ METHOD=${2:-fullkv}
 CAPACITY=${3:-128}
 SAVE_DIR=${4:-results_long_bench}
 DATA_DIR=${5:-data/LongBench}
+shift $(( $# > 5 ? 5 : $# ))
 python -m pyramidkv_tpu.runners.run_longbench \
   --model_path "$MODEL_PATH" --method "$METHOD" \
   --max_capacity_prompts "$CAPACITY" \
-  --save_dir "$SAVE_DIR" --data_dir "$DATA_DIR"
+  --save_dir "$SAVE_DIR" --data_dir "$DATA_DIR" "$@"
