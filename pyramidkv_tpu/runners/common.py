@@ -50,6 +50,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gqa_aggregate", action="store_true",
                    help="store num_kv_heads cache entries (group-mean scores)")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--quant_weights", type=str, default=None,
+                   choices=[None, "int8"],
+                   help="int8 weights (per-out-channel scales; halves the "
+                        "weight HBM — fits 32-layer 8B on one 16 GB chip)")
     p.add_argument("--temperature", type=float, default=None,
                    help="enable sampling with this temperature (default: greedy)")
     p.add_argument("--top_k", type=int, default=None)
@@ -111,6 +115,10 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "float16": jnp.float16}[args.dtype]
     params = load_params_from_hf(args.model_path, spec, dtype=dtype)
+    if getattr(args, "quant_weights", None) == "int8":
+        from ..models.weights import quantize_weights
+
+        params = quantize_weights(params)
     comp = build_compression_spec(args, spec)
     # buckets: powers-of-two style ladder up to the model cap
     buckets = tuple(
