@@ -67,3 +67,46 @@ def test_engine_merge_pivot_end_to_end():
     )
     out = eng.generate([ids])
     assert len(out.tokens[0]) == 4
+
+
+def test_cam_recurrence_matches_sequential_loop(monkeypatch):
+    """The blocked triangular-solve formulation of CAM's value merge must
+    reproduce the step-by-step sequential loop exactly (same Bernoulli
+    draws, injected via a fixed uniform table)."""
+    import jax
+    import numpy as np
+    from pyramidkv_tpu.policy import _cam_merge_values
+
+    b, h, w, n, d, r = 1, 2, 4, 40, 8, 4
+    rng = np.random.default_rng(21)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    probs = jnp.asarray(rng.random((b, h, w, n)).astype(np.float32))
+    unif = rng.random((b, h, n)).astype(np.float32)
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape, **kw: jnp.asarray(unif))
+    tl = jnp.asarray([34], jnp.int32)
+    start_budget = jnp.asarray([4], jnp.int32)
+    got = np.asarray(_cam_merge_values(
+        v, probs, rng=jax.random.PRNGKey(0), start_budget=start_budget,
+        recent_budget=r, true_len=tl,
+    ))
+
+    # direct numpy transcription of the reference loop semantics
+    colmean = np.asarray(probs).mean(axis=2)
+    pad = n - 34
+    start_buf = pad + 4
+    vout = np.asarray(v, np.float64).copy()
+    for t in range(r, n):
+        src = t - r
+        pool = np.zeros(n, bool)
+        pool[pad:start_buf] = True
+        pool[max(src, 0):t] = True
+        mean_attn = np.where(pool[None, None, :], colmean, -np.inf).max(-1)
+        p = colmean[:, :, src] / mean_attn
+        p = np.nan_to_num(p, nan=0.0, posinf=1.0, neginf=0.0).clip(0, 1)
+        active = (t >= start_buf + r) and (src >= pad)
+        draw = (unif[:, :, src] < p) & active
+        add = vout[:, :, src, :] * draw[..., None] / r
+        vout[:, :, src + 1:src + r + 1, :] += add[:, :, None, :]
+    np.testing.assert_allclose(got, vout.astype(np.float32), rtol=2e-5,
+                               atol=2e-5)
