@@ -70,6 +70,11 @@ class NeedleTester:
     model_version: str = "model"
     needle: str = DEFAULT_NEEDLE
     retrieval_question: str = DEFAULT_QUESTION
+    #: Multi-needle mode (RULER-style extension; the reference inserts a
+    #: single needle): extra needles inserted at depths evenly spaced
+    #: between the anchor depth and 100%; the score becomes the MEAN
+    #: per-needle ROUGE-1 x 10.
+    extra_needles: Sequence[str] = ()
     context_lengths: Sequence[int] = (1000,)
     depths: Sequence[float] = field(default_factory=depth_percents)
     final_context_length_buffer: int = 200
@@ -112,19 +117,41 @@ class NeedleTester:
                 cands.add(ids[-1])
         return list(cands)
 
-    def build_context(self, haystack_tokens, context_length: int, depth: float) -> str:
-        needle_toks = self._encode(self.needle)
-        budget = context_length - self.final_context_length_buffer
-        ctx = list(haystack_tokens[: max(budget - len(needle_toks), 0)])
+    def _all_needles(self) -> "list[str]":
+        return [self.needle, *self.extra_needles]
+
+    def _needle_depths(self, depth: float) -> "list[float]":
+        needles = self._all_needles()
+        if len(needles) == 1:
+            return [depth]
+        # anchor + the rest evenly spaced toward 100%
+        span = 100.0 - depth
+        step = span / len(needles)
+        return [min(depth + i * step, 100.0) for i in range(len(needles))]
+
+    def _insert(self, ctx, needle_toks, depth: float):
         if depth >= 100:
-            merged = ctx + needle_toks
-        else:
-            point = int(len(ctx) * depth / 100)
-            periods = set(self._period_tokens())
-            while point > 0 and ctx[point - 1] not in periods:
-                point -= 1
-            merged = ctx[:point] + needle_toks + ctx[point:]
-        return self._decode(merged)
+            return ctx + needle_toks
+        point = int(len(ctx) * depth / 100)
+        periods = set(self._period_tokens())
+        while point > 0 and ctx[point - 1] not in periods:
+            point -= 1
+        return ctx[:point] + needle_toks + ctx[point:]
+
+    def build_context(self, haystack_tokens, context_length: int, depth: float) -> str:
+        needles = self._all_needles()
+        needle_toks = [self._encode(nd) for nd in needles]
+        total_nd = sum(len(t) for t in needle_toks)
+        budget = context_length - self.final_context_length_buffer
+        ctx = list(haystack_tokens[: max(budget - total_nd, 0)])
+        # insert deepest-first so earlier insertion points stay valid
+        order = sorted(
+            zip(needle_toks, self._needle_depths(depth)),
+            key=lambda x: -x[1],
+        )
+        for toks, dp in order:
+            ctx = self._insert(ctx, toks, dp)
+        return self._decode(ctx)
 
     def _result_path(self, context_length: int, depth: float) -> str:
         tag = f"{self.model_version.replace('.', '_')}_len_{context_length}_depth_{int(depth * 100)}"
@@ -154,7 +181,9 @@ class NeedleTester:
                     [ids], max_new_tokens=self.max_new_tokens, eos_token_ids=eos_ids
                 )
                 response = self._decode(out.tokens[0]).strip()
-                score = rouge1_needle_score(self.needle, response)
+                scores = [rouge1_needle_score(nd, response)
+                          for nd in self._all_needles()]
+                score = sum(scores) / len(scores)
                 rec = {
                     "model": self.model_version,
                     "context_length": int(context_length),

@@ -365,3 +365,29 @@ def test_longbench_real_data_schema(tmp_path):
         os.path.join(out_path, "SnapKV.json"), "multi_news"
     )
     assert score > 40  # echo of example-0's gold answer (example 1 differs)
+
+
+def test_multi_needle_insertion_and_scoring(tmp_path):
+    """Multi-needle mode: all needles inserted (deepest-first, sentence
+    boundaries), score = mean per-needle ROUGE."""
+    hay = tmp_path / "haystack"
+    os.makedirs(hay)
+    with open(hay / "essay.txt", "w") as f:
+        f.write(" ".join(f"filler{i} ." for i in range(500)))
+    tok = WordTokenizer()
+    eng = EchoEngine(tok, "sandwich in Dolores Park and coffee at Ritual")
+    h = GenerationHarness(eng, tok, "m", 4096)
+    tester = NeedleTester(
+        harness=h, haystack_dir=str(hay),
+        results_dir=str(tmp_path / "results"), model_version="m",
+        needle="eat a sandwich in Dolores Park .",
+        extra_needles=["drink coffee at Ritual ."],
+        context_lengths=[400], depths=[25.0],
+        final_context_length_buffer=20, print_status=False,
+    )
+    ctx = tester.build_context(tester.read_haystack(), 400, 25.0)
+    assert "sandwich" in ctx and "Ritual" in ctx
+    # both needles land at distinct points (25% and ~62.5%)
+    assert ctx.index("sandwich") < ctx.index("Ritual")
+    results = tester.run()
+    assert len(results) == 1 and results[0]["score"] > 0

@@ -55,6 +55,21 @@ def test_trace_matches_golden(golden, eng_factory, method):
     assert out == golden[method], (method, out, golden[method])
 
 
+def test_int8_weight_trace(golden):
+    from pyramidkv_tpu.models.weights import quantize_weights
+
+    spec = ModelSpec.tiny()
+    params = quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32))
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    out = eng.generate([golden["_prompt"]]).tokens[0]
+    assert out == golden["snapkv_int8w"], out
+
+
 @pytest.mark.parametrize(
     "name,kw",
     [
