@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--depth_interval_type", type=str, default="linear",
                    choices=["linear", "sigmoid"])
     p.add_argument("--save_contexts", action="store_true")
+    p.add_argument("--extra_needles", type=str, nargs="*", default=(),
+                   help="multi-needle mode: extras spaced toward 100%% depth")
     return p.parse_args()
 
 
@@ -48,6 +50,7 @@ def main():
         results_dir=args.results_dir,
         model_version=f"{model_name}_{args.method}_{args.max_capacity_prompts}",
         context_lengths=context_lengths,
+        extra_needles=tuple(args.extra_needles),
         depths=depth_percents(args.depth_intervals, args.depth_interval_type),
         save_contexts=args.save_contexts,
     )
