@@ -25,7 +25,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--methods", nargs="*", default=[
         "fullkv", "random", "snapkv", "streamingllm", "h2o", "pyramidkv",
-        "l2norm", "adakv",
+        "l2norm", "adakv", "headkv", "think", "cam", "minference",
     ])
     p.add_argument("--ctx", type=int, default=4096)
     p.add_argument("--cap", type=int, default=128)
@@ -63,12 +63,19 @@ def main():
     prompts = [prompt] * args.batch
 
     for method in args.methods:
+        kw = {}
+        if method == "headkv":
+            L, H = spec.num_hidden_layers, spec.num_attention_heads
+            kw["head_capacity"] = tuple(
+                tuple(max(cap // 2 + ((i * 7 + j * 13) % cap), 8)
+                      for j in range(H)) for i in range(L)
+            )
         eng = Engine(
             spec,
             CompressionSpec(method=method, max_capacity_prompt=cap,
                             window_size=args.window, kernel_size=7,
                             pooling="maxpool", quant_method=args.quant,
-                            nbits=args.nbits),
+                            nbits=args.nbits, **kw),
             EngineSpec(max_new_tokens=args.max_new, prefill_buckets=(ctx,)),
             params,
         )
