@@ -247,9 +247,10 @@ class CompressionSpec:
     minference_vertical_size: int = 1000
     minference_slash_size: int = 200
     minference_last_q: int = 64
-    #: Block-sparse slash coverage: k-tiles (of 128) gathered per q-block
-    #: (the TPU analogue of MInference's block-granular Triton kernel).
-    minference_tile_budget: int = 16
+    #: Block-sparse slash coverage: k-tiles (of 256 by default) attended
+    #: per q-block (the TPU analogue of MInference's block-granular Triton
+    #: kernel).  Coverage width = tile_budget * k_tile columns.
+    minference_tile_budget: int = 8
     #: Below this prompt bucket the engine runs EXACT dense flash attention
     #: instead of the sparse pattern: measured per-layer crossover on v5e is
     #: ~32k (8k: dense 41 ms vs sparse 54+34; 32k: par; 64k: sparse 2.1x

@@ -210,6 +210,9 @@ def slash_tile_attention(
                 scale=scale, batch=b, nq=nq, c0=c0, h=h,
             ),
             grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
             out_shape=[
                 jax.ShapeDtypeStruct((nbh, n, d), jnp.float32),
                 jax.ShapeDtypeStruct((nbh, 8, n), jnp.float32),
@@ -322,6 +325,9 @@ def vertical_attention_partials_kernel(
     acc, m, l = pl.pallas_call(
         functools.partial(_vert_kernel, q_block=q_block, scale=scale, h=h),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 8, n), jnp.float32),

@@ -246,8 +246,8 @@ def sparse_prefill_attention(
     pattern: VerticalSlashPattern,
     *,
     true_len: jax.Array,
-    q_block: int = 128,
-    k_tile: int = 128,
+    q_block: int = 512,
+    k_tile: int = 256,
     tile_budget: int = 16,
     interpret: bool = False,
     block: int | None = None,  # legacy knob, accepted and ignored
