@@ -107,3 +107,31 @@ def test_gqa_aggregate_lanes(eng):
     for r in reqs:
         want = geng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
         assert out[r.request_id].tokens == want
+
+
+@pytest.mark.parametrize("kw", [
+    dict(method="think", max_capacity_prompt=16, window_size=4,
+         recent_size=8),
+    dict(method="pyramidkv", max_capacity_prompt=16, window_size=4),
+])
+def test_cb_with_region_and_segmented_caches(kw):
+    """Lane recycling over the ThinK narrow-K region and segmented
+    (pyramidkv) cache layouts: tokens match independent generation."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(3), dtype=jnp.float32)
+    eng2 = Engine(
+        spec, CompressionSpec(**kw),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    rng = np.random.default_rng(5)
+    reqs = [
+        Request(request_id=f"r{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=5)
+        for i, n in enumerate((30, 44, 25))
+    ]
+    cb = ContinuousBatcher(eng2, lanes=2, quantum=3)
+    out = cb.run(list(reqs))
+    for r in reqs:
+        want = eng2.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
