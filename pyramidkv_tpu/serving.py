@@ -46,12 +46,21 @@ class ContinuousBatcher:
     (`models.llama.decode_step(lane_steps=...)`).
     """
 
-    def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16):
+    def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        decode LANES shard across it (multi-chip/multi-host data-parallel
+        serving; each device advances its lanes, no cross-device traffic in
+        the quantum).  ``lanes`` must divide by the data-axis size."""
         import jax
 
         self.engine = engine
         self.lanes = lanes
         self.quantum = quantum
+        self.mesh = mesh
+        if mesh is not None:
+            assert lanes % mesh.shape["data"] == 0, (
+                lanes, dict(mesh.shape))
         es = engine.engine_spec
         # lane-uniform cache shapes require bucket-independent prefill slots
         plans = [engine.plan_for(b) for b in es.prefill_buckets]
@@ -163,10 +172,29 @@ class ContinuousBatcher:
                 true_len=jnp.zeros((B,), jnp.int32),
                 step=jnp.zeros((), jnp.int32),
             )
+        if self.mesh is not None:
+            # shard the LANE axis over `data`: cache leaves are [L, B, ...]
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            lane_sh = NamedSharding(self.mesh, P("data"))
+            cache_sh = NamedSharding(self.mesh, P(None, "data"))
+            cache = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, cache_sh)
+                if getattr(x, "ndim", 0) >= 2 else x,
+                cache,
+            )
+            cache = cache._replace(
+                true_len=jax.device_put(cache.true_len, lane_sh)
+            )
         tokens = jnp.zeros((B,), jnp.int32)
         lane_steps = jnp.zeros((B,), jnp.int32)
         done = jnp.ones((B,), bool)  # all lanes start empty
         budget = jnp.zeros((B,), jnp.int32)
+        if self.mesh is not None:
+            tokens, lane_steps, done, budget = (
+                jax.device_put(x, lane_sh)
+                for x in (tokens, lane_steps, done, budget)
+            )
 
         lane_req: "list[Optional[Request]]" = [None] * B
         lane_tokens: "list[list[int]]" = [[] for _ in range(B)]

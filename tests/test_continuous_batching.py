@@ -135,3 +135,24 @@ def test_cb_with_region_and_segmented_caches(kw):
     for r in reqs:
         want = eng2.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_data_parallel_lanes(eng):
+    """Lanes sharded over the `data` mesh axis produce identical tokens —
+    multi-chip DP serving on the virtual CPU mesh."""
+    from pyramidkv_tpu.parallel import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    rng = np.random.default_rng(9)
+    reqs = [
+        Request(request_id=f"r{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=6)
+        for i, n in enumerate((12, 30, 45, 20, 28, 17))
+    ]
+    cb = ContinuousBatcher(eng, lanes=4, quantum=4, mesh=mesh)
+    with mesh:
+        out = cb.run(list(reqs))
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
