@@ -223,6 +223,11 @@ def flash_causal_attention(
             sliding_window=sliding_window,
         ),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # (batch*heads) rows are independent; the flattened tile walk
+            # carries the online-softmax accumulator -> sequential
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         interpret=interpret,
     )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),

@@ -147,6 +147,9 @@ def h2o_scores_pallas(
             _stats_kernel, block_q=block_q, block_k=block_k,
             num_k_blocks=nk, scale=scale, batch=b, n=n, w=w,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b * h, nq, nk),
@@ -176,6 +179,9 @@ def h2o_scores_pallas(
         functools.partial(
             _colsum_kernel, block_q=block_q, block_k=block_k,
             num_q_blocks=nq, scale=scale, batch=b, n=n, w=w,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -55,6 +55,11 @@ def main():
         "decode_slots": plan.decode_slots,
         "total_slots": plan.total_slots,
         "compression_ratio": round(plan.prefill_slots / args.ctx, 4),
+        "segments": [
+            {"layers": f"{a}..{b - 1}", "width": w}
+            for a, b, w in plan.segments
+        ],
+        "think_narrow": plan.think_narrow,
     }, indent=2))
 
     tl = jnp.asarray([args.ctx], jnp.int32)

@@ -244,7 +244,11 @@ class ContinuousBatcher:
         # ready — decode quanta for the active lanes never block on a
         # refill's prefill (under data-parallel meshes the prefill runs on
         # the free lane's shard while other lanes keep decoding).
-        pending: "dict[int, tuple] " = {}  # lane -> (req, first, cache, max_new)
+        import time as _time
+
+        pending: "dict[int, tuple] " = {}  # lane -> (req, first, cache, max_new, t0)
+        lane_t0: "dict[int, float]" = {}       # decode start per lane
+        lane_prefill_s: "dict[int, float]" = {}
 
         def retire_and_launch():
             nonlocal cache, tokens, lane_steps, done, budget
@@ -258,7 +262,12 @@ class ContinuousBatcher:
                     toks = lane_tokens[lane]
                     results[req.request_id] = CompletedRequest(
                         request_id=req.request_id, tokens=toks,
-                        prefill_seconds=0.0, decode_seconds=0.0,
+                        # wall-clock accounting: prefill = launch->insert
+                        # (includes async overlap with other lanes' decode),
+                        # decode = insert->retire (includes quantum slack)
+                        prefill_seconds=lane_prefill_s.pop(lane, 0.0),
+                        decode_seconds=_time.perf_counter()
+                        - lane_t0.pop(lane, _time.perf_counter()),
                     )
                     lane_req[lane] = None
                     lane_tokens[lane] = []
@@ -281,17 +290,21 @@ class ContinuousBatcher:
                 first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 max_new = min(req.max_new_tokens or es.max_new_tokens,
                               es.max_new_tokens)
-                pending[lane] = (req, first, new_cache, max_new)
+                pending[lane] = (req, first, new_cache, max_new,
+                                 _time.perf_counter())
 
         def harvest(block: bool):
             nonlocal cache, tokens, lane_steps, done, budget
             for lane in list(pending):
-                req, first, new_cache, max_new = pending[lane]
+                req, first, new_cache, max_new, t0 = pending[lane]
                 if not block and not first.is_ready():
                     continue
                 del pending[lane]
                 lane_req[lane] = req
                 lane_tokens[lane] = [int(first[0])]
+                now = _time.perf_counter()
+                lane_prefill_s[lane] = now - t0
+                lane_t0[lane] = now
                 cache, tokens, lane_steps, done, budget = insert_lane(
                     cache, tokens, lane_steps, done, budget,
                     new_cache, first, lane, max_new - 1,
