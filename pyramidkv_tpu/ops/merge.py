@@ -122,3 +122,42 @@ def pivot_merge(
     k_out = jnp.concatenate([k_sc, new_pool_k[:, :, width:, :]], axis=2)
     v_out = jnp.concatenate([v_sc, new_pool_v[:, :, width:, :]], axis=2)
     return k_out.astype(k.dtype), v_out.astype(v.dtype)
+
+
+def cam_banded_solve(v, c, r: int, u_prev, c_prev):
+    """Solve the CAM banded recurrence u[j] = v[j] + sum_{s=j-r}^{j-1} c[s] u[s]
+    over one contiguous region, given the carry from the preceding region.
+
+    Args:
+      v: [B, H, L, D] fp32 values (L a multiple of r).
+      c: [B, H, L] fp32 merge coefficients.
+      u_prev, c_prev: [B, H, r, D] / [B, H, r] — the final values and
+        coefficients of the r rows immediately BEFORE this region.
+
+    Returns (u [B,H,L,D], (u_last [B,H,r,D], c_last [B,H,r])).
+    """
+    b, h, L, d = v.shape
+    nc = L // r
+    v_chunks = v.reshape(b, h, nc, r, d).transpose(2, 0, 1, 3, 4)
+    c_chunks = c.reshape(b, h, nc, r).transpose(2, 0, 1, 3)
+    rows = jnp.arange(r)
+    lower = (rows[:, None] > rows[None, :]).astype(jnp.float32)
+    upper_inc = (rows[:, None] <= rows[None, :]).astype(jnp.float32)
+    eye = jnp.eye(r, dtype=jnp.float32)
+
+    def chunk(carry, xs):
+        u_p, c_p = carry
+        v_i, c_i = xs
+        cmat_prev = upper_inc[None, None] * c_p[:, :, None, :]
+        rhs = v_i + jnp.einsum("bhrs,bhsd->bhrd", cmat_prev, u_p)
+        lmat = lower[None, None] * c_i[:, :, None, :]
+        t_mat = eye[None, None] - lmat
+        u_i = jax.lax.linalg.triangular_solve(
+            t_mat, rhs, left_side=True, lower=True
+        )
+        return (u_i, c_i), u_i
+
+    (u_last, c_last), us = jax.lax.scan(chunk, (u_prev, c_prev),
+                                        (v_chunks, c_chunks))
+    u = us.transpose(1, 2, 0, 3, 4).reshape(b, h, L, d)
+    return u, (u_last, c_last)

@@ -11,12 +11,14 @@ top-k selection gathers only the WINNING rows — so the compressed cache
 (cap ~ 128-2048 tokens) comes out replicated and decode proceeds without
 any cross-chip traffic.
 
-Supported methods: the window-score family (snapkv, pyramidkv),
-streamingllm, l2norm, random, H2O (a dedicated two-pass ring: per-row
-stats, then rotated-row column accumulation), and the per-head allocators
-(adakv, headkv — global scores are all_gathered [N floats/head], winning
-rows fetched by local one-hot contraction + psum).  Not sharded: cam /
-think (sequential value merge / channel pruning — run them single-chip).
+Supported methods: ALL of them — the window-score family (snapkv,
+pyramidkv), streamingllm, l2norm, random, H2O (a dedicated two-pass ring:
+per-row stats, then rotated-row column accumulation), the per-head
+allocators (adakv, headkv — global scores are all_gathered [N floats/
+head], winning rows fetched by local one-hot contraction + psum), think
+(channel stats on the already-replicated kept rows), and cam (the value
+merge as a banded linear recurrence whose r-row carry crosses shards via
+a sequential ppermute chain).
 
 All collectives are XLA primitives inside one `shard_map`; the layer loop
 stays a `lax.scan`.
@@ -48,6 +50,85 @@ from .ring_attention import _ring_body
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _repeat_heads(x, g):
+    """[B, KV, Nl, D] -> [B, KV*g, Nl, D] (per-query-head CAM merge)."""
+    if g == 1:
+        return x
+    return jnp.repeat(x, g, axis=1)
+
+
+def _sp_cam_merge(v_rep, colmean_l, rng, plan, cols, true_len, axis, nl, n):
+    """CAM's value merge under sequence sharding.
+
+    The merge is the banded linear recurrence of
+    ``ops.merge.cam_banded_solve``; its coefficients are LOCAL (global
+    softmax colmeans + a halo of r-1 columns for the rolling window max and
+    a psum for the sink max), and the r-row chunk carry crosses shards via
+    a sequential ppermute chain (each shard re-runs its local solve per
+    chain step and keeps the pass whose incoming carry is real — prefill-
+    once cost, exact parity with the single-chip path including the
+    Bernoulli draws, which come from the same full-length uniform table).
+    """
+    from ..ops.merge import cam_banded_solve
+
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, h, _, d = v_rep.shape
+    r = plan.window
+    assert nl % r == 0, (nl, r)
+    pad = (n - true_len).astype(jnp.int32)
+    start_budget = jnp.ceil(
+        plan.spec.start_budget_ratio * true_len.astype(jnp.float32)
+    ).astype(jnp.int32)
+    start_buf = pad + start_budget
+
+    # sink max: global over columns [pad, start_buf)
+    sink_mask = (cols[None, :] >= pad[:, None]) & (cols[None, :] < start_buf[:, None])
+    sink_max_l = jnp.max(
+        jnp.where(sink_mask[:, None, :], colmean_l, -jnp.inf), axis=-1
+    )
+    sink_max = jax.lax.pmax(sink_max_l, axis)  # [B, H]
+
+    # rolling window max over [s, s+r): halo of r-1 columns from the right
+    halo = jax.lax.ppermute(
+        colmean_l[..., : r - 1], axis, [(i, (i - 1) % p) for i in range(p)]
+    )
+    halo = jnp.where(me == p - 1, -jnp.inf, halo)
+    cm_ext = jnp.concatenate([colmean_l, halo], axis=-1)  # [B,H,Nl+r-1]
+    win_max = cm_ext[..., :nl]
+    for k_ in range(1, r):
+        win_max = jnp.maximum(win_max, cm_ext[..., k_:k_ + nl])
+    mean_attn = jnp.maximum(sink_max[..., None], win_max)
+    prob = colmean_l / mean_attn
+    prob = jnp.nan_to_num(prob, nan=0.0, posinf=1.0, neginf=0.0)
+    prob = jnp.clip(prob, 0.0, 1.0)
+    active = (cols[None, :] >= start_buf[:, None]) & (cols[None, :] < (n - r))
+    # identical draws to the single-chip path: the SAME full-length table
+    unif_full = jax.random.uniform(rng, (b, h, n))
+    unif_l = jax.lax.dynamic_slice_in_dim(unif_full, me * nl, nl, axis=-1)
+    c_l = jnp.where((unif_l < prob) & active[:, None, :], 1.0 / r, 0.0)
+
+    # sequential chunk-carry chain over shards
+    vf = v_rep.astype(jnp.float32)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def chain(i, state):
+        cu, cc, store = state
+        u_full, (u_last, c_last) = cam_banded_solve(vf, c_l, r, cu, cc)
+        mine = (me == i)
+        store = jnp.where(mine, u_full, store)
+        sel_u = jnp.where(mine, u_last, jnp.zeros_like(u_last))
+        sel_c = jnp.where(mine, c_last, jnp.zeros_like(c_last))
+        cu = jax.lax.ppermute(sel_u, axis, perm)
+        cc = jax.lax.ppermute(sel_c, axis, perm)
+        return cu, cc, store
+
+    u0 = jnp.zeros((b, h, r, d), jnp.float32)
+    c0 = jnp.zeros((b, h, r), jnp.float32)
+    _, _, u = jax.lax.fori_loop(0, p, chain, (u0, c0, jnp.zeros_like(vf)))
+    return u
+
+
 def _sp_window_scores(
     qw: jax.Array,       # [B, H, W, D] — window queries (replicated)
     k_local: jax.Array,  # [B, H, Nl, D] — this shard's keys
@@ -59,11 +140,14 @@ def _sp_window_scores(
     kernel_size: int,
     pooling: str,
     aggregation: str,
+    return_colmean: bool = False,
 ) -> jax.Array:
     """Scores for the LOCAL columns with globally-normalised softmax.
 
     Returns [B, H, Nl] (window columns masked to -inf like the single-device
     scorer's past-column slice; the caller handles the window region).
+    With ``return_colmean`` also returns the UNPOOLED per-column mean of the
+    window softmax (CAM's merge-probability input).
     """
     p = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -131,7 +215,10 @@ def _sp_window_scores(
         s_pooled = s_pooled[..., halo:-halo]
     # valid past columns only (window columns excluded from selection)
     past_valid = colv & (cols[None, :] < (n_global - w))
-    return jnp.where(past_valid[:, None, :], s_pooled, _NEG_INF)
+    out = jnp.where(past_valid[:, None, :], s_pooled, _NEG_INF)
+    if return_colmean:
+        return out, probs.mean(axis=2)  # [B, H, Nl], unmasked colmean
+    return out
 
 
 def _h2o_ring_scores(
@@ -246,7 +333,7 @@ def sequence_parallel_prefill(
     """
     m = plan.spec.method
     assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
-                 "adakv", "headkv", "h2o", "think"), m
+                 "adakv", "headkv", "h2o", "think", "cam"), m
     if m == "think":
         # narrow layout only (the default); channel stats need the last 32
         # queries on the final shard
@@ -358,6 +445,26 @@ def sequence_parallel_prefill(
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation=agg,
                 )
+            elif m == "cam":
+                # CAM: UNPOOLED window-score selection + the stochastic
+                # value merge expressed as a banded linear recurrence
+                # (policy._cam_merge_values) — coefficients are local
+                # (colmean + a halo for the rolling window max); the chunk
+                # carry crosses shards via a sequential ppermute chain.
+                qw_local = q[:, :, nl - w:, :]
+                qw = jax.lax.psum(
+                    jnp.where(me == p - 1, qw_local, jnp.zeros_like(qw_local)),
+                    axis,
+                )
+                scores, colmean_l = _sp_window_scores(
+                    qw, k, axis=axis, n_global=n, window=w,
+                    true_len=true_len_, kernel_size=1, pooling="avgpool",
+                    aggregation="sum", return_colmean=True,
+                )
+                v_merged_l = _sp_cam_merge(
+                    _repeat_heads(v, g), colmean_l, ctx.rng, plan, cols,
+                    true_len_, axis, nl, n,
+                )
             elif m == "h2o":
                 scores = _h2o_ring_scores(
                     q, k, axis=axis, n_global=n, window=w,
@@ -400,7 +507,14 @@ def sequence_parallel_prefill(
                     == jnp.arange(nl, dtype=jnp.int32)[None, None, None, :]
                 ).astype(k.dtype)
                 cand_k = _grouped_fetch(onehot, k)
-                cand_v = _grouped_fetch(onehot, v)
+                if m == "cam":
+                    oh_full = onehot.reshape(b, hh, -1, nl)
+                    cand_v = jnp.einsum(
+                        "bhwn,bhnd->bhwd", oh_full, v_merged_l,
+                        preferred_element_type=jnp.float32,
+                    ).astype(v.dtype)
+                else:
+                    cand_v = _grouped_fetch(onehot, v)
                 # gather candidates from all shards: [B, H, P*kw, ...]
                 allv = jax.lax.all_gather(lv, axis, axis=2, tiled=True)
                 allc = jax.lax.all_gather(gcols, axis, axis=2, tiled=True)
@@ -430,7 +544,10 @@ def sequence_parallel_prefill(
             # shared with the single-chip path (ops.selection.assemble_slots)
             if w > 0:
                 win_k_l = jnp.repeat(k[:, :, nl - w:, :], g, axis=1)  # W rows
-                win_v_l = jnp.repeat(v[:, :, nl - w:, :], g, axis=1)
+                if m == "cam":
+                    win_v_l = v_merged_l[:, :, nl - w:, :].astype(v.dtype)
+                else:
+                    win_v_l = jnp.repeat(v[:, :, nl - w:, :], g, axis=1)
                 win_k = jax.lax.psum(
                     jnp.where(me == p - 1, win_k_l, jnp.zeros_like(win_k_l)), axis
                 )

@@ -328,38 +328,17 @@ def _cam_merge_values(
         & (col[None, :] < (n - r))  # merge steps run t in [r, n)
     c = jnp.where((unif < p) & active[:, None, :], 1.0 / r, 0.0)  # [B,H,N]
 
+    from .ops.merge import cam_banded_solve
+
     n_pad = ((n + r - 1) // r) * r
     vf = jnp.pad(v.astype(jnp.float32),
                  ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     cf = jnp.pad(c, ((0, 0), (0, 0), (0, n_pad - n)))
-    nc = n_pad // r
     d = v.shape[-1]
-    v_chunks = vf.reshape(b, h, nc, r, d).transpose(2, 0, 1, 3, 4)
-    c_chunks = cf.reshape(b, h, nc, r).transpose(2, 0, 1, 3)
-    rows = jnp.arange(r)
-    lower = (rows[:, None] > rows[None, :]).astype(jnp.float32)  # j > s
-    upper_inc = (rows[:, None] <= rows[None, :]).astype(jnp.float32)
-    eye = jnp.eye(r, dtype=jnp.float32)
-
-    def chunk(carry, xs):
-        u_prev, c_prev = carry  # [B,H,r,D], [B,H,r]
-        v_i, c_i = xs
-        # cross-chunk band: target row r_ gets c_prev[s_] * u_prev[s_]
-        # for r_ <= s_ (distance (i*r + r_) - ((i-1)*r + s_) <= r)
-        cmat_prev = upper_inc[None, None] * c_prev[:, :, None, :]
-        rhs = v_i + jnp.einsum("bhrs,bhsd->bhrd", cmat_prev, u_prev)
-        lmat = lower[None, None] * c_i[:, :, None, :]  # strictly lower
-        t_mat = eye[None, None] - lmat
-        u_i = jax.lax.linalg.triangular_solve(
-            t_mat, rhs, left_side=True, lower=True
-        )
-        return (u_i, c_i), u_i
-
     u0 = jnp.zeros((b, h, r, d), jnp.float32)
     c0 = jnp.zeros((b, h, r), jnp.float32)
-    _, us = jax.lax.scan(chunk, (u0, c0), (v_chunks, c_chunks))
-    vout = us.transpose(1, 2, 0, 3, 4).reshape(b, h, n_pad, d)[:, :, :n]
-    return vout.astype(v.dtype)
+    vout, _ = cam_banded_solve(vf, cf, r, u0, c0)
+    return vout[:, :, :n].astype(v.dtype)
 
 
 def _think_zero_channels(

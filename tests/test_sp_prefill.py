@@ -201,3 +201,44 @@ def test_sp_prefill_think(setup):
     np.testing.assert_allclose(
         np.asarray(l_got), np.asarray(l_ref), rtol=3e-4, atol=3e-4
     )
+
+
+def test_sp_prefill_cam(setup):
+    """CAM under sequence sharding: identical kept sets, K rows, AND merged
+    V values (the Bernoulli draws come from the same full-length uniform
+    table; the banded-recurrence carry crosses shards exactly)."""
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method="cam", max_capacity_prompt=32,
+                           window_size=8, start_budget_ratio=0.1)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    ref_pos, ref_mask = _per_layer(ref_cache)
+    got_pos, got_mask = _per_layer(got_cache)
+    H = ref_pos[0].shape[1]
+    for l in range(len(ref_pos)):
+        for h in range(H):
+            a = set(ref_pos[l][0, h][ref_mask[l][0, h]].tolist())
+            bset = set(got_pos[l][0, h][got_mask[l][0, h]].tolist())
+            assert a == bset, ("cam", l, h, sorted(a ^ bset))
+    # merged V parity at matched positions
+    ref_v = [np.asarray(x) for x in (ref_cache.v if isinstance(ref_cache.v, tuple) else (ref_cache.v,))]
+    got_v = [np.asarray(x) for x in (got_cache.v if isinstance(got_cache.v, tuple) else (got_cache.v,))]
+    rv = [x[i] for x in ref_v for i in range(x.shape[0])]
+    gv = [x[i] for x in got_v for i in range(x.shape[0])]
+    for l in range(len(ref_pos)):
+        for h in range(H):
+            rm, gm = ref_mask[l][0, h], got_mask[l][0, h]
+            ro = np.argsort(ref_pos[l][0, h][rm])
+            go = np.argsort(got_pos[l][0, h][gm])
+            np.testing.assert_allclose(
+                gv[l][0, h][gm][go], rv[l][0, h][rm][ro],
+                rtol=3e-4, atol=3e-4,
+            )
