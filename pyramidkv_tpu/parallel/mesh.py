@@ -86,8 +86,33 @@ def param_shardings(spec: ModelSpec, mesh: Mesh) -> dict:
 
 
 def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
-    shardings = param_shardings(spec, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    """Place a param pytree on the mesh.  int8-quantized leaves
+    (models.weights.QuantW) shard their codes with the weight's spec and
+    the per-output-channel scale with the spec's LAST axis (per-row for the
+    embedding, whose scales follow the vocab axis)."""
+    from ..models.weights import QuantW
+
+    pspecs = param_pspecs(spec)
+
+    def place(path, v, p):
+        if isinstance(v, QuantW):
+            axes = list(p)
+            if path and path[0] == "embed":
+                scale_p = P(axes[0])          # per-row (vocab) scales
+            else:
+                scale_p = P(*axes[:-2], axes[-1])  # per-out-channel scales
+            return QuantW(
+                codes=jax.device_put(v.codes, NamedSharding(mesh, p)),
+                scale=jax.device_put(v.scale, NamedSharding(mesh, scale_p)),
+            )
+        return jax.device_put(v, NamedSharding(mesh, p))
+
+    def walk(path, pv, pp):
+        if isinstance(pv, dict):
+            return {k: walk(path + (k,), pv[k], pp[k]) for k in pv}
+        return place(path, pv, pp)
+
+    return walk((), params, pspecs)
 
 
 def cache_pspec() -> P:

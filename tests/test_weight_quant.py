@@ -71,3 +71,33 @@ def test_int8_logits_close_to_full_precision():
     denom = np.maximum(np.abs(np.asarray(ref)), 1.0)
     rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
     assert rel.max() < 0.15 and np.median(rel) < 0.02
+
+
+def test_int8_weights_shard_over_mesh():
+    """int8 weights compose with TP (and EP for MoE): sharded logits ==
+    single-device logits."""
+    from jax.sharding import PartitionSpec  # noqa: F401
+
+    from pyramidkv_tpu.parallel import make_mesh, shard_params
+    from pyramidkv_tpu.policy import make_plan
+
+    for moe in (False, True):
+        spec = ModelSpec.tiny(**(dict(num_local_experts=4) if moe else {}))
+        params = quantize_weights(
+            jl.init_params(spec, jax.random.PRNGKey(4), dtype=jnp.float32))
+        ids = jnp.asarray(
+            [[int(x) for x in
+              np.random.default_rng(5).integers(0, 256, size=48)]], jnp.int32)
+        tl = jnp.asarray([48], jnp.int32)
+        plan = make_plan(
+            CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                            window_size=4),
+            spec.num_hidden_layers, 48, 4)
+        ref, _ = jl.prefill(params, spec, plan, ids, tl)
+        mesh = make_mesh((4, 2), ("data", "model"))
+        sp = shard_params(params, spec, mesh)
+        with mesh:
+            got, _ = jax.jit(lambda p, i, t: jl.prefill(p, spec, plan, i, t))(
+                sp, ids, tl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)
