@@ -11,7 +11,7 @@ their KV head row), FLOPs = N * T * k_tile * D.
 
 Emits online-softmax PARTIALS (unnormalised acc, m, l) over the slash
 coverage; the caller flash-merges them with the vertical-column partials
-(``ops.sparse_prefill.vertical_attention_partials``) and normalises.
+(``vertical_attention_partials_kernel`` below) and normalises.
 Columns covered by a vertical are masked out here (dedup), exactly like
 the XLA path.
 """

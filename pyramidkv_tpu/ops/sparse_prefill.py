@@ -196,49 +196,6 @@ def gather_vertical_kv(k, v, vert_idx, chunk: int = 256):
     return jnp.concatenate(outs_k, 2), jnp.concatenate(outs_v, 2)
 
 
-def vertical_attention_partials(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    pattern: VerticalSlashPattern,
-    *,
-    true_len: jax.Array,
-    block: int = 512,
-):
-    """Online-softmax partials of causal attention of ALL queries against
-    the vertical columns only: (acc [B,H,N,D] f32 unnormalised,
-    m [B,H,N], l [B,H,N])."""
-    b, h, n, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    k_vert, v_vert = gather_vertical_kv(k, v, pattern.vert_idx)
-    vcol = pattern.vert_idx  # [B,H,Vs]
-    vvalid = pattern.vert_valid
-    if n % block != 0:
-        block = math.gcd(n, block) or n
-    nb = n // block
-    q_blocks = q.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
-
-    def body(_, inputs):
-        bi, qb = inputs
-        rows = bi * block + jnp.arange(block, dtype=jnp.int32)
-        lv = jnp.einsum("bhqd,bhvd->bhqv", qb, k_vert,
-                        preferred_element_type=jnp.float32) * scale
-        mask = (vcol[:, :, None, :] <= rows[None, None, :, None])             & vvalid[:, :, None, :]
-        lv = jnp.where(mask, lv, _NEG_INF)
-        m = jnp.max(lv, axis=-1)
-        p = jnp.where(mask, jnp.exp(lv - jnp.maximum(m, _NEG_INF / 2)[..., None]), 0.0)
-        l = p.sum(-1)
-        acc = jnp.einsum("bhqv,bhvd->bhqd", p.astype(v_vert.dtype), v_vert,
-                         preferred_element_type=jnp.float32)
-        return None, (acc, m, l)
-
-    _, (accs, ms, ls) = jax.lax.scan(body, None, (jnp.arange(nb), q_blocks))
-    acc = accs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
-    m = ms.transpose(1, 2, 0, 3).reshape(b, h, n)
-    l = ls.transpose(1, 2, 0, 3).reshape(b, h, n)
-    return acc, m, l
-
-
 def sparse_prefill_attention(
     q: jax.Array,
     k: jax.Array,
@@ -294,105 +251,6 @@ def sparse_prefill_attention(
     num = acc_v * w_v[..., None] + acc_s * w_s[..., None]
     den = jnp.maximum(l_v * w_v + l_s * w_s, 1e-30)
     return (num / den[..., None]).astype(q.dtype)
-
-
-def _sparse_prefill_attention_xla_reference(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    pattern: VerticalSlashPattern,
-    *,
-    true_len: jax.Array,
-    q_block: int = 128,
-    k_tile: int = 128,
-    tile_budget: int = 16,
-) -> jax.Array:
-    """Round-1-style gathered XLA path (kept as a secondary oracle; 4x
-    slower than dense on TPU because of the per-block gathers)."""
-    b, h, n, d = q.shape
-    if n % q_block != 0:
-        q_block = math.gcd(n, q_block) or n
-    if n % k_tile != 0:
-        k_tile = math.gcd(n, k_tile) or n
-    nq, nk = n // q_block, n // k_tile
-    scale = 1.0 / math.sqrt(d)
-    pad = (n - true_len).astype(jnp.int32)
-    col = jnp.arange(n, dtype=jnp.int32)
-    colv = col[None, :] >= pad[:, None]
-
-    vs = pattern.vert_idx.shape[-1]
-    # one-hot MXU gather of the vertical columns (+ their validity/colv)
-    oh_v = jax.nn.one_hot(pattern.vert_idx, n, dtype=k.dtype)  # [B,H,Vs,N]
-    k_vert = jnp.einsum("bhvn,bhnd->bhvd", oh_v, k,
-                        preferred_element_type=jnp.float32).astype(k.dtype)
-    v_vert = jnp.einsum("bhvn,bhnd->bhvd", oh_v, v,
-                        preferred_element_type=jnp.float32).astype(v.dtype)
-    vcol = pattern.vert_idx  # [B,H,Vs] absolute ids
-    vvalid = pattern.vert_valid & jnp.take_along_axis(
-        jnp.broadcast_to(colv[:, None, :], (b, h, n)), vcol, axis=-1
-    )
-
-    tile_idx, tile_valid = _slash_tile_selection(
-        pattern, n, q_block, k_tile, tile_budget
-    )  # [B,H,nq,T]
-    t = tile_idx.shape[-1]
-    k_tiles = k.reshape(b, h, nk, k_tile, d)
-    v_tiles = v.reshape(b, h, nk, k_tile, d)
-
-    q_blocks = q.reshape(b, h, nq, q_block, d).transpose(2, 0, 1, 3, 4)
-
-    def body(_, inputs):
-        qb_i, qb = inputs  # qb: [B,H,q_block,D]
-        rows = qb_i * q_block + jnp.arange(q_block, dtype=jnp.int32)
-
-        # ---- vertical part (exact columns) ----
-        lv = jnp.einsum("bhqd,bhvd->bhqv", qb, k_vert,
-                        preferred_element_type=jnp.float32) * scale
-        mv = (vcol[:, :, None, :] <= rows[None, None, :, None]) \
-            & vvalid[:, :, None, :]
-        lv = jnp.where(mv, lv, _NEG_INF)
-
-        # ---- slash part (block-granular coverage) ----
-        ti = tile_idx[:, :, qb_i]      # [B,H,T]
-        tv = tile_valid[:, :, qb_i]    # [B,H,T]
-        # gather T tiles of contiguous k_tile rows (large-slice gather)
-        bi = jnp.arange(b)[:, None, None]
-        hi = jnp.arange(h)[None, :, None]
-        kg = k_tiles[bi, hi, ti].reshape(b, h, t * k_tile, d)
-        vg = v_tiles[bi, hi, ti].reshape(b, h, t * k_tile, d)
-        gcol = (ti[..., None] * k_tile
-                + jnp.arange(k_tile, dtype=jnp.int32)[None, None, None, :]
-                ).reshape(b, h, t * k_tile)  # absolute ids
-        ls = jnp.einsum("bhqd,bhsd->bhqs", qb, kg,
-                        preferred_element_type=jnp.float32) * scale
-        gvalid = (
-            tv[..., None].repeat(k_tile, -1).reshape(b, h, t * k_tile)
-            & jnp.take_along_axis(
-                jnp.broadcast_to(colv[:, None, :], (b, h, n)), gcol, axis=-1)
-            # dedup: vertical columns already counted in the vertical part
-            & ~jnp.take_along_axis(pattern.vert, gcol, axis=-1)
-        )
-        ms = (gcol[:, :, None, :] <= rows[None, None, :, None]) \
-            & gvalid[:, :, None, :]
-        ls = jnp.where(ms, ls, _NEG_INF)
-
-        # ---- joint softmax over [verticals | gathered tiles] ----
-        logits = jnp.concatenate([lv, ls], axis=-1)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2))
-        z = jnp.maximum(e.sum(-1, keepdims=True), 1e-30)
-        probs = (e / z).astype(v.dtype)
-        out = (
-            jnp.einsum("bhqv,bhvd->bhqd", probs[..., :vs], v_vert,
-                       preferred_element_type=jnp.float32)
-            + jnp.einsum("bhqs,bhsd->bhqd", probs[..., vs:], vg,
-                         preferred_element_type=jnp.float32)
-        )
-        return None, out
-
-    _, outs = jax.lax.scan(body, None, (jnp.arange(nq), q_blocks))
-    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
-    return out.astype(q.dtype)
 
 
 def sparse_prefill_attention_dense(
