@@ -71,6 +71,18 @@ class ModelSpec:
     #: Mixtral as an unchecked TODO (README.md:45).
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    #: MoE prefill FLOP control.  None (default) = exact dense-all-experts
+    #: compute (every token runs every expert; zero routing weights
+    #: contribute exactly 0).  A float C enables capacity-factor token
+    #: dispatch: each expert processes at most
+    #: ``ceil(chunk * top_k / E * C)`` tokens per prefill chunk (one-hot
+    #: MXU dispatch/combine, no gathers) — cutting expert-FFN FLOPs by
+    #: ~``E / (top_k * C)`` vs dense.  Tokens routed to an expert past its
+    #: capacity lose that expert's contribution (standard MoE dropping;
+    #: weights are NOT renormalised).  ``C >= E / top_k`` is provably
+    #: drop-free and bit-matches the dense path.  Decode always runs dense
+    #: (a single token's expert weights dominate HBM, not FLOPs).
+    moe_capacity_factor: Optional[float] = None
     # Llama-3.1+ rope scaling ("llama3" frequency scaling); None = plain RoPE.
     rope_scaling_type: Optional[str] = None
     rope_scaling_factor: float = 1.0

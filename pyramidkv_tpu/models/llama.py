@@ -167,9 +167,12 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
     return q, k, v
 
 
-def _mlp(x: jax.Array, wts: dict, top_k: int = 2) -> jax.Array:
+def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
+         capacity_factor: Optional[float] = None,
+         valid: Optional[jax.Array] = None) -> jax.Array:
     if "router" in wts:
-        return _moe_mlp(x, wts, top_k=top_k)
+        return _moe_mlp(x, wts, top_k=top_k,
+                        capacity_factor=capacity_factor, valid=valid)
     return mm(
         jax.nn.silu(mm(x, wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
         * mm(x, wts["w_up"]),
@@ -178,7 +181,8 @@ def _mlp(x: jax.Array, wts: dict, top_k: int = 2) -> jax.Array:
 
 
 def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
-             chunk: int = 512) -> jax.Array:
+             chunk: int = 512, capacity_factor: Optional[float] = None,
+             valid: Optional[jax.Array] = None) -> jax.Array:
     """Mixtral sparse-MoE block with EXACT HF numerics under static shapes.
 
     HF routing (MixtralSparseMoeBlock): full softmax over router logits,
@@ -190,6 +194,9 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
     computes only its local experts and the weighted sum becomes one psum
     (inference expert-parallelism without any dispatch/combine gathers).
     Token chunking bounds the [T_c, E, I] transient during prefill.
+
+    ``capacity_factor`` (ModelSpec.moe_capacity_factor) switches prefill
+    to capacity-bounded token dispatch — see :func:`_moe_mlp_dispatch`.
     """
     orig_shape = x.shape
     squeeze = x.ndim == 2
@@ -206,6 +213,13 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
     wnorm = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-20)
     weight = (jax.nn.one_hot(idx, e, dtype=jnp.float32)
               * wnorm[..., None]).sum(-2)  # [B, T, E]
+
+    if capacity_factor is not None and t > 1:
+        out = _moe_mlp_dispatch(
+            x, wts, weight, e, top_k, capacity_factor,
+            valid=valid, chunk=chunk,
+        )
+        return out[:, 0, :] if squeeze else out
 
     def emm(xc, w, sub):
         # [B,T,D] x [E,D,I] -> [B,T,E,I]; per-(expert, out) scales factor out
@@ -238,6 +252,86 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
         )
         out = outs.transpose(1, 0, 2, 3).reshape(b, t, dm)
     return out[:, 0, :] if squeeze else out
+
+
+def _moe_mlp_dispatch(x: jax.Array, wts: dict, weight: jax.Array, e: int,
+                      top_k: int, capacity_factor: float,
+                      valid: Optional[jax.Array] = None,
+                      chunk: int = 512) -> jax.Array:
+    """Capacity-factor MoE prefill: each expert computes only its routed
+    tokens (up to a static per-chunk capacity) instead of every token.
+
+    TPU-native dispatch/combine: tokens reach their expert through a
+    one-hot MXU contraction (``[B,T,E,C] x [B,T,D] -> [B,E,C,D]``), never
+    a row gather (scalar-gather pathology — CLAUDE.md invariant).  The
+    slot rank of token t within expert e is an exclusive cumsum of the
+    routing one-hot over the chunk; ``one_hot(rank, C)`` is identically
+    zero for rank >= C, so over-capacity tokens silently lose that
+    expert's contribution (standard MoE token dropping, weights NOT
+    renormalised).  Expert FFN FLOPs drop from ``E * T`` token-passes
+    (dense-all-experts) to ``k * C_f * T`` — ~E/(k*C_f) less; the
+    dispatch/combine matmuls add only O(T * chunk * D) per chunk.
+
+    ``valid`` masks left-pad columns out of the routing one-hot so bucket
+    padding cannot consume capacity slots ahead of real tokens.
+
+    With ``capacity_factor >= E / top_k`` the per-chunk capacity reaches
+    chunk length: no token can drop and the result equals the dense path
+    (up to fp summation order).  Expert-parallel sharding works unchanged
+    — every einsum carries the E axis, so GSPMD keeps expert shards local
+    and inserts one psum at the combine.
+    """
+    b, t, dm = x.shape
+    if valid is None:
+        valid = jnp.ones((b, t), dtype=bool)
+    # 0/1 routing indicator [B, T, E] (top-k experts of each valid token)
+    route = (weight > 0).astype(jnp.int32) * valid[..., None].astype(jnp.int32)
+
+    tc = min(t, chunk)
+    nb = t // tc
+    if t % tc:  # ragged tail: fall back to one whole-T chunk
+        tc, nb = t, 1
+    cap = int(-(-tc * top_k * capacity_factor // e))  # ceil
+    cap = min(tc, -(-cap // 8) * 8)  # round up to a multiple of 8 lanes
+
+    def ffn_chunk(xc, wc, rc):
+        # xc [B,Tc,D]; wc [B,Tc,E] combine weights; rc [B,Tc,E] 0/1 routing
+        rank = jnp.cumsum(rc, axis=1) - rc  # exclusive rank within expert
+        disp = jax.nn.one_hot(rank, cap, dtype=xc.dtype) * (
+            rc[..., None].astype(xc.dtype)
+        )  # [B,Tc,E,C]
+        xe = jnp.einsum("btec,btd->becd", disp, xc)  # [B,E,C,D]
+
+        def emm(z, w, sub):
+            if isinstance(w, QuantW):
+                y = jnp.einsum(sub, z, w.codes.astype(z.dtype))
+                return y * w.scale[None, :, None, :].astype(y.dtype)
+            return jnp.einsum(sub, z, w)
+
+        g = emm(xe, wts["w_gate"], "becd,edi->beci")
+        u = emm(xe, wts["w_up"], "becd,edi->beci")
+        a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
+        if isinstance(wts["w_down"], QuantW):
+            oe = jnp.einsum("beci,eid->becd", a,
+                            wts["w_down"].codes.astype(a.dtype))
+            oe = oe * wts["w_down"].scale[None, :, None, :].astype(oe.dtype)
+        else:
+            oe = jnp.einsum("beci,eid->becd", a, wts["w_down"])
+        # combine: y[t] = sum_e w[t,e] * oe[slot(t,e)]  (fp32 accumulation)
+        dispw = disp.astype(jnp.float32) * wc[..., None]
+        y = jnp.einsum("btec,becd->btd", dispw, oe.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return y.astype(xc.dtype)
+
+    if nb == 1:
+        return ffn_chunk(x, weight, route)
+    xb = x.reshape(b, nb, tc, dm).transpose(1, 0, 2, 3)
+    wb = weight.reshape(b, nb, tc, e).transpose(1, 0, 2, 3)
+    rb = route.reshape(b, nb, tc, e).transpose(1, 0, 2, 3)
+    _, outs = jax.lax.scan(
+        lambda _, xwr: (None, ffn_chunk(*xwr)), None, (xb, wb, rb)
+    )
+    return outs.transpose(1, 0, 2, 3).reshape(b, t, dm)
 
 
 def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
@@ -357,7 +451,11 @@ def prefill(
             attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
             hidden = hidden + mm(attn, wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
+            hidden = hidden + _mlp(
+                x2, wts, spec.num_experts_per_tok,
+                capacity_factor=spec.moe_capacity_factor,
+                valid=positions >= 0,
+            )
             ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
             if subplan.think_narrow:
                 from ..policy import think_split

@@ -64,6 +64,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "(run_longbench.py:75-81 model2maxlen)")
     p.add_argument("--sample_method", type=str, default="topk")
     p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--moe_capacity_factor", type=float, default=None,
+                   help="MoE prefill capacity factor (None = exact dense-"
+                        "all-experts; >= E/top_k is drop-free)")
 
 
 def set_seed(seed: int) -> None:
@@ -112,6 +115,11 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
 
     model_name = args.model_name or os.path.basename(args.model_path.rstrip("/"))
     spec = spec_from_hf_dir(args.model_path)
+    if getattr(args, "moe_capacity_factor", None):
+        import dataclasses
+
+        spec = dataclasses.replace(
+            spec, moe_capacity_factor=args.moe_capacity_factor)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "float16": jnp.float16}[args.dtype]
     params = load_params_from_hf(args.model_path, spec, dtype=dtype)

@@ -101,3 +101,28 @@ def test_int8_weights_shard_over_mesh():
                 sp, ids, tl)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_int8_moe_capacity_dispatch_matches_dense():
+    """The dispatch path's factored-scale einsums (QuantW experts) must
+    reproduce the dense QuantW path when drop-free."""
+    import dataclasses
+
+    from pyramidkv_tpu.policy import make_plan
+
+    spec = ModelSpec.tiny(num_local_experts=4)
+    params = quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(6), dtype=jnp.float32))
+    ids = jnp.asarray(
+        [[int(x) for x in
+          np.random.default_rng(7).integers(0, 256, size=48)]], jnp.int32)
+    tl = jnp.asarray([48], jnp.int32)
+    plan = make_plan(CompressionSpec(method="fullkv"), spec.num_hidden_layers,
+                     48, 4)
+    ref, _ = jl.prefill(params, spec, plan, ids, tl)
+    spec_c = dataclasses.replace(
+        spec, moe_capacity_factor=spec.num_local_experts
+        / spec.num_experts_per_tok)
+    got, _ = jl.prefill(params, spec_c, plan, ids, tl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
