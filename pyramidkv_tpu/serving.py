@@ -173,16 +173,28 @@ class ContinuousBatcher:
                 step=jnp.zeros((), jnp.int32),
             )
         if self.mesh is not None:
-            # shard the LANE axis over `data`: cache leaves are [L, B, ...]
+            # shard the LANE axis over `data` (DP serving) and, when the
+            # mesh carries a model axis, the HEAD axis over `model` —
+            # cache leaves are [L, B, H, ...], so TP-sharded params and the
+            # cache line up with no resharding inside the decode quantum
+            # (the multi-host topology: TP over ICI within a host, DP
+            # lanes over hosts).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             lane_sh = NamedSharding(self.mesh, P("data"))
-            cache_sh = NamedSharding(self.mesh, P(None, "data"))
-            cache = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cache_sh)
-                if getattr(x, "ndim", 0) >= 2 else x,
-                cache,
-            )
+            tp = dict(self.mesh.shape).get("model", 1)
+
+            def _sh(x):
+                nd = getattr(x, "ndim", 0)
+                if nd >= 3 and tp > 1 and x.shape[2] % tp == 0:
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, P(None, "data", "model")))
+                if nd >= 2:
+                    return jax.device_put(
+                        x, NamedSharding(self.mesh, P(None, "data")))
+                return x
+
+            cache = jax.tree_util.tree_map(_sh, cache)
             cache = cache._replace(
                 true_len=jax.device_put(cache.true_len, lane_sh)
             )

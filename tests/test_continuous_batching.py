@@ -156,3 +156,29 @@ def test_cb_data_parallel_lanes(eng):
     for r in reqs:
         want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_tensor_parallel_params(eng):
+    """TP x DP serving: params sharded over `model` (megatron shardings),
+    lanes over `data`, cache heads co-sharded over `model` — tokens
+    identical to the unsharded engine (the multi-host topology: TP within
+    a host, DP lanes across hosts)."""
+    from pyramidkv_tpu.engine import Engine as _Engine
+    from pyramidkv_tpu.parallel import make_mesh, shard_params
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sp = shard_params(eng.params, eng.model_spec, mesh)
+    eng_tp = _Engine(eng.model_spec, eng.comp_spec, eng.engine_spec, sp)
+    rng = np.random.default_rng(11)
+    reqs = [
+        Request(request_id=f"r{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=6)
+        for i, n in enumerate((14, 33, 41, 22, 27))
+    ]
+    cb = ContinuousBatcher(eng_tp, lanes=4, quantum=4, mesh=mesh)
+    with mesh:
+        out = cb.run(list(reqs))
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
