@@ -263,6 +263,10 @@ class CompressionSpec:
     #: per q-block (the TPU analogue of MInference's block-granular Triton
     #: kernel).  Coverage width = tile_budget * k_tile columns.
     minference_tile_budget: int = 8
+    #: Slash-coverage kernel: "grid" = one grid step per visited tile
+    #: (scalar-prefetched index maps), "db" = double-buffered manual-DMA
+    #: variant (tile loop inside the kernel, invalid tiles skipped).
+    minference_slash_impl: str = "grid"
     #: Below this prompt bucket the engine runs EXACT dense flash attention
     #: instead of the sparse pattern: measured per-layer crossover on v5e is
     #: ~32k (8k: dense 41 ms vs sparse 54+34; 32k: par; 64k: sparse 2.1x

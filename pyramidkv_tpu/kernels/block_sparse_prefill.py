@@ -233,6 +233,233 @@ def slash_tile_attention(
     )
 
 
+def _db_kernel(
+    # scalar prefetch
+    pad_ref,        # [B] int32
+    tidx_ref,       # [nbh * nq * T] int32 flattened tile ids
+    nval_ref,       # [nbh * nq] int32 number of VALID tiles (top_k sorts
+                    # valid-first, so tiles [0, nval) are exactly the live set)
+    # inputs
+    q_ref,          # [1, q_block, D] VMEM block
+    k_hbm,          # [B*Hk, N, D]  (ANY/HBM — sliced by manual DMA)
+    v_hbm,          # [B*Hk, N, D]
+    vert_hbm,       # [nbh, 8, N] int32
+    # outputs
+    acc_out, m_out, l_out,
+    # scratch
+    kbuf, vbuf, vertbuf,        # [2, k_tile, D] x2, [2, 8, k_tile]
+    acc_ref, m_ref, l_ref,
+    sems,                       # DMA sems [2, 3]
+    *,
+    q_block: int,
+    k_tile: int,
+    scale: float,
+    nq: int,
+    num_tiles: int,
+    h: int,
+    hk: int,
+    c0: int,
+):
+    """One grid step = one (bh, q-block); the tile loop lives INSIDE the
+    kernel with double-buffered manual DMA.  vs the grid-per-tile variant:
+    no per-tile grid-step overhead (output spec bookkeeping, revisiting),
+    invalid tiles are never visited (the loop bound is the valid count),
+    and tile t+1's K/V/vert DMA overlaps tile t's compute explicitly."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    gbh = c0 + bh
+    b = gbh // h
+    g = h // hk
+    kvrow = b * hk + (gbh % h) // g
+    pad = pad_ref[b]
+    base = (bh * nq + qi) * num_tiles
+    nval = nval_ref[bh * nq + qi]
+
+    def start(slot, t):
+        ti = tidx_ref[base + t]
+        pltpu.make_async_copy(
+            k_hbm.at[kvrow, pl.ds(ti * k_tile, k_tile), :],
+            kbuf.at[slot], sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[kvrow, pl.ds(ti * k_tile, k_tile), :],
+            vbuf.at[slot], sems.at[slot, 1],
+        ).start()
+        pltpu.make_async_copy(
+            vert_hbm.at[bh, :, pl.ds(ti * k_tile, k_tile)],
+            vertbuf.at[slot], sems.at[slot, 2],
+        ).start()
+
+    def wait(slot, t):
+        ti = tidx_ref[base + t]
+        pltpu.make_async_copy(
+            k_hbm.at[kvrow, pl.ds(ti * k_tile, k_tile), :],
+            kbuf.at[slot], sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[kvrow, pl.ds(ti * k_tile, k_tile), :],
+            vbuf.at[slot], sems.at[slot, 1],
+        ).wait()
+        pltpu.make_async_copy(
+            vert_hbm.at[bh, :, pl.ds(ti * k_tile, k_tile)],
+            vertbuf.at[slot], sems.at[slot, 2],
+        ).wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    start(0, 0)  # forced diagonal tiles guarantee nval >= 1
+
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    rows = qi * q_block + jax.lax.broadcasted_iota(
+        jnp.int32, (q_block, k_tile), 0
+    )
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (q_block, k_tile), 1)
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < nval)
+        def _prefetch():
+            start(1 - slot, t + 1)
+
+        wait(slot, t)
+        ti = tidx_ref[base + t]
+        s = jax.lax.dot_general(
+            q, kbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cols = ti * k_tile + col_iota
+        not_vert = vertbuf[slot][:1] == 0  # [1, k_tile]
+        mask = (cols <= rows) & (cols >= pad) & not_vert
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+        alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, nval, body, 0)
+    acc_out[0] = acc_ref[:]
+    m_out[0] = jnp.broadcast_to(m_ref[:, 0][None, :], (8, q_block))
+    l_out[0] = jnp.broadcast_to(l_ref[:, 0][None, :], (8, q_block))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_block", "k_tile", "interpret")
+)
+def slash_tile_attention_db(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    tile_idx: jax.Array,
+    tile_valid: jax.Array,
+    vert: jax.Array,
+    true_len: jax.Array,
+    *,
+    q_block: int = 512,
+    k_tile: int = 256,
+    interpret: bool = False,
+):
+    """Double-buffered manual-DMA variant of :func:`slash_tile_attention`
+    (same contract).  Requires ``tile_idx`` ordered valid-first per
+    q-block, which ``_slash_tile_selection``'s top_k guarantees."""
+    b, h, n, d = q.shape
+    hk = k.shape[1]
+    nq = n // q_block
+    t = tile_idx.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    pad = (n - true_len).astype(jnp.int32)
+
+    qr = q.reshape(b * h, n, d)
+    kr = k.reshape(b * hk, n, d)
+    vr = v.reshape(b * hk, n, d)
+    vert8 = jnp.broadcast_to(
+        vert.reshape(b * h, 1, n).astype(jnp.int32), (b * h, 8, n)
+    )
+    tidx_all = tile_idx.reshape(b * h, nq * t).astype(jnp.int32)
+    nval_all = jnp.sum(tile_valid, axis=-1).reshape(b * h, nq).astype(
+        jnp.int32
+    )
+
+    max_entries = 32768
+    bh_chunk = b * h
+    while bh_chunk > 1 and bh_chunk * nq * t > max_entries:
+        bh_chunk //= 2
+    accs, ms, ls = [], [], []
+    for c0 in range(0, b * h, bh_chunk):
+        nbh = min(bh_chunk, b * h - c0)
+        tidx = tidx_all[c0:c0 + nbh].reshape(-1)
+        nval = nval_all[c0:c0 + nbh].reshape(-1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nbh, nq),
+            in_specs=[
+                pl.BlockSpec((1, q_block, d),
+                             lambda bh, qi, pad, tx, nv, c0=c0:
+                             (c0 + bh, qi, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q_block, d),
+                             lambda bh, qi, pad, tx, nv: (bh, qi, 0)),
+                pl.BlockSpec((1, 8, q_block),
+                             lambda bh, qi, pad, tx, nv: (bh, 0, qi)),
+                pl.BlockSpec((1, 8, q_block),
+                             lambda bh, qi, pad, tx, nv: (bh, 0, qi)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, k_tile, d), q.dtype),
+                pltpu.VMEM((2, k_tile, d), q.dtype),
+                pltpu.VMEM((2, 8, k_tile), jnp.int32),
+                pltpu.VMEM((q_block, d), jnp.float32),
+                pltpu.VMEM((q_block, 128), jnp.float32),
+                pltpu.VMEM((q_block, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        )
+        acc_c, m_c, l_c = pl.pallas_call(
+            functools.partial(
+                _db_kernel, q_block=q_block, k_tile=k_tile, scale=scale,
+                nq=nq, num_tiles=t, h=h, hk=hk, c0=c0,
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((nbh, n, d), jnp.float32),
+                jax.ShapeDtypeStruct((nbh, 8, n), jnp.float32),
+                jax.ShapeDtypeStruct((nbh, 8, n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pad, tidx, nval, qr, kr, vr, vert8[c0:c0 + nbh])
+        accs.append(acc_c)
+        ms.append(m_c)
+        ls.append(l_c)
+    acc = jnp.concatenate(accs, 0) if len(accs) > 1 else accs[0]
+    m = jnp.concatenate(ms, 0) if len(ms) > 1 else ms[0]
+    l = jnp.concatenate(ls, 0) if len(ls) > 1 else ls[0]
+    return (
+        acc.reshape(b, h, n, d),
+        m[:, 0, :].reshape(b, h, n),
+        l[:, 0, :].reshape(b, h, n),
+    )
+
+
 def _vert_kernel(
     pad_ref,       # [B] int32
     q_ref,         # [1, q_block, D]

@@ -433,6 +433,7 @@ def prefill(
                     q, k, v, pattern, true_len=true_len,
                     tile_budget=subplan.spec.minference_tile_budget,
                     interpret=attention_impl != "pallas",
+                    slash_impl=subplan.spec.minference_slash_impl,
                 )
             elif attention_impl in ("pallas", "pallas_interpret"):
                 from ..kernels import flash_causal_attention

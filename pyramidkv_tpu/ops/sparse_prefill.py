@@ -207,6 +207,7 @@ def sparse_prefill_attention(
     k_tile: int = 256,
     tile_budget: int = 16,
     interpret: bool = False,
+    slash_impl: str = "grid",
     block: int | None = None,  # legacy knob, accepted and ignored
 ) -> jax.Array:
     """Block-sparse causal attention over the pattern (vertical columns
@@ -217,7 +218,10 @@ def sparse_prefill_attention(
     FLOPs ~ N * (Vs + tile_budget * k_tile) * D; the full [N, N] logits are
     never formed and no XLA gather touches K/V.
     """
-    from ..kernels.block_sparse_prefill import slash_tile_attention
+    from ..kernels.block_sparse_prefill import (
+        slash_tile_attention,
+        slash_tile_attention_db,
+    )
 
     b, h, n, d = q.shape
     if n % q_block != 0:
@@ -239,7 +243,9 @@ def sparse_prefill_attention(
         q, k_vert, v_vert, pattern.vert_idx, pattern.vert_valid, true_len,
         q_block=vq_block, interpret=interpret,
     )
-    acc_s, m_s, l_s = slash_tile_attention(
+    slash_fn = (slash_tile_attention_db if slash_impl == "db"
+                else slash_tile_attention)
+    acc_s, m_s, l_s = slash_fn(
         q, k, v, tile_idx, tile_valid, pattern.vert, true_len,
         q_block=q_block, k_tile=k_tile, interpret=interpret,
     )

@@ -136,3 +136,52 @@ def test_minference_close_to_dense_when_pattern_large():
                      EngineSpec(max_new_tokens=6, prefill_buckets=(64,)), params)
         outs.append(eng.generate([ids]).tokens[0])
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("true_len", [128, 100])
+def test_db_slash_kernel_matches_grid_kernel(true_len):
+    """The double-buffered manual-DMA slash kernel (grid over q-blocks,
+    dynamic tile loop inside) == the grid-per-tile kernel, GQA included."""
+    from pyramidkv_tpu.kernels.block_sparse_prefill import (
+        slash_tile_attention,
+        slash_tile_attention_db,
+    )
+    from pyramidkv_tpu.ops.sparse_prefill import _slash_tile_selection
+
+    b, h, hk, n, d = 1, 4, 2, 128, 16
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, hk, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hk, n, d)), jnp.float32)
+    tl = jnp.asarray([true_len], jnp.int32)
+    pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=12,
+                                  slash_size=8, last_q=8)
+    ti, tv = _slash_tile_selection(pat, n, 16, 16, 3)
+    ref = slash_tile_attention(q, k, v, ti, tv, pat.vert, tl,
+                               q_block=16, k_tile=16, interpret=True)
+    got = slash_tile_attention_db(q, k, v, ti, tv, pat.vert, tl,
+                                  q_block=16, k_tile=16, interpret=True)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("true_len", [128, 100])
+def test_sparse_attention_db_impl_matches_oracle(true_len):
+    """sparse_prefill_attention(slash_impl='db') == the dense-applied
+    coverage oracle (same contract as the grid impl)."""
+    b, h, n, d = 1, 2, 128, 16
+    rng = np.random.default_rng(12)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    tl = jnp.asarray([true_len], jnp.int32)
+    pat = estimate_vertical_slash(q, k, true_len=tl, vertical_size=12,
+                                  slash_size=8, last_q=8)
+    got = np.asarray(sparse_prefill_attention(
+        q, k, v, pat, true_len=tl, q_block=16, k_tile=16, tile_budget=3,
+        interpret=True, slash_impl="db"))
+    want = np.asarray(sparse_prefill_attention_dense(
+        q, k, v, pat, true_len=tl, q_block=16, k_tile=16, tile_budget=3))
+    pad = n - true_len
+    np.testing.assert_allclose(got[:, :, pad:], want[:, :, pad:],
+                               rtol=2e-4, atol=2e-4)
