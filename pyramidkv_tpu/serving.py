@@ -11,6 +11,7 @@ already handled inside the engine's decode loop.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -86,7 +87,9 @@ class ContinuousBatcher:
         spec = engine.model_spec
         q_steps = self.quantum
 
-        @jax.jit
+        # donate the cache + lane state: without donation XLA copies the
+        # full batched cache (GBs at 32-layer scale) on EVERY quantum
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
         def quantum_fn(params, cache, tokens, lane_steps, done, budget, eos_ids):
             def step_fn(carry, _):
                 cache, tokens, lane_steps, done = carry
@@ -213,7 +216,9 @@ class ContinuousBatcher:
         results: Dict[str, CompletedRequest] = {}
         eos_set: set = set()
 
-        @jax.jit
+        # donated: the pre-insert cache/lane state is dead after the call —
+        # keeps the insert an in-place lane write instead of a full copy
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
         def insert_lane(cache, tokens, lane_steps, done, budget,
                         new_cache, first_tok, lane, new_budget):
             def put(old, new):
