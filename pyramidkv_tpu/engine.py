@@ -13,6 +13,7 @@ Replaces the reference's HF ``model.generate`` loop (greedy,
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Optional, Sequence
@@ -159,7 +160,10 @@ class Engine:
                     )[:, 0].astype(jnp.int32)
                 return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
-            @jax.jit
+            # the incoming cache is dead after the call (both call sites
+            # rebind it) — donate so the while_loop carry aliases it
+            # instead of copying the full cache at decode start
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_fn(params, cache: KVCache, first_token, eos_ids, rng,
                           max_steps):
                 b = first_token.shape[0]
