@@ -409,9 +409,9 @@ def slash_tile_attention_db(
                 pl.BlockSpec((1, q_block, d),
                              lambda bh, qi, pad, tx, nv, c0=c0:
                              (c0 + bh, qi, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((1, q_block, d),
