@@ -22,6 +22,16 @@ REPORT_METHODS = (
     "PyramidKV", "CAM", "L2Norm", "ThinK",
 )
 
+#: lowercase CLI method string -> the reference's results.csv spelling,
+#: so the runners' prediction files are named exactly what the scorer
+#: scans for (eval.py:99-110). Methods beyond the reference's row list
+#: (adakv/headkv/minference) keep their CLI spelling.
+_CANONICAL = {m.lower(): m for m in REPORT_METHODS}
+
+
+def canonical_method_name(method: str) -> str:
+    return _CANONICAL.get(method.lower(), method.lower())
+
 
 def score_longbench(dataset: str, predictions, answers, all_classes) -> float:
     metric = DATASET_METRICS[dataset]

@@ -67,6 +67,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--moe_capacity_factor", type=float, default=None,
                    help="MoE prefill capacity factor (None = exact dense-"
                         "all-experts; >= E/top_k is drop-free)")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=[None, "cpu", "tpu"],
+                   help="force a jax backend BEFORE initialization (the "
+                        "axon image pins a TPU tunnel that env vars can't "
+                        "override; use cpu for pipeline smoke runs)")
 
 
 def set_seed(seed: int) -> None:
@@ -106,8 +111,19 @@ def build_compression_spec(args, model_spec: ModelSpec) -> CompressionSpec:
     return CompressionSpec(**kw)
 
 
+def apply_platform(args) -> None:
+    """Honor --platform before any jax computation runs. jax.config works
+    where the JAX_PLATFORMS env var is ignored (the axon sitecustomize
+    pre-imports jax and pins its tunnel backend)."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
     """Returns (engine, tokenizer, model_name, model_max_len)."""
+    apply_platform(args)
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 

@@ -33,14 +33,34 @@ def parse_args():
     return p.parse_args()
 
 
+def _discover_extra_methods(results_dir: str, datasets) -> "list[str]":
+    """Prediction files beyond the reference's fixed row list (eval.py:99-110)
+    — adakv / headkv / minference / quant variants — become extra rows."""
+    known = {m.lower() for m in REPORT_METHODS}
+    extra = set()
+    for ds in datasets:
+        d = os.path.join(results_dir, ds)
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if fn.endswith(".json") and fn != "metrics.json":
+                name = fn[:-5]
+                if name.lower() not in known:
+                    extra.add(name)
+    return sorted(extra)
+
+
 def main():
     args = parse_args()
-    methods = args.methods or list(REPORT_METHODS)
+    methods = args.methods
     if args.suite == "ruler":
         datasets = [
             d for d in RULER_TASKS
             if os.path.isdir(os.path.join(args.results_dir, d))
         ] or list(RULER_TASKS)
+        if methods is None:
+            methods = list(REPORT_METHODS) + _discover_extra_methods(
+                args.results_dir, datasets)
         rows = write_results_csv(
             args.results_dir, datasets, methods, scorer=score_ruler_file
         )
@@ -49,6 +69,9 @@ def main():
             d for d in LONGBENCH_EN_TASKS
             if os.path.isdir(os.path.join(args.results_dir, d))
         ] or list(LONGBENCH_EN_TASKS)
+        if methods is None:
+            methods = list(REPORT_METHODS) + _discover_extra_methods(
+                args.results_dir, datasets)
         rows = write_results_csv(
             args.results_dir, datasets, methods, scorer=score_prediction_file
         )

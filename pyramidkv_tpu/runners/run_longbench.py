@@ -18,6 +18,7 @@ import argparse
 import os
 
 from ..evalsuite.harness import GenerationHarness, read_jsonl
+from ..evalsuite.report import canonical_method_name
 from ..evalsuite.tasks import LONGBENCH_EN_TASKS, LONGBENCH_TASKS
 from .common import (
     add_engine_args,
@@ -81,7 +82,8 @@ def main():
             examples,
             template=task.prompt_template,
             max_new_tokens=task.max_gen,
-            out_path=os.path.join(out_dir, f"{args.method}.json"),
+            out_path=os.path.join(
+                out_dir, f"{canonical_method_name(args.method)}.json"),
             chat_wrap=True,
             max_examples=args.max_num_examples,
             capacity_ratio=None if ratio == -1 else ratio,

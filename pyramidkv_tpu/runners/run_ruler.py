@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import os
 
+from ..evalsuite.report import canonical_method_name
 from ..evalsuite.harness import GenerationHarness, read_jsonl
 from ..evalsuite.tasks import RULER_MAX_GEN, RULER_TASKS
 from .common import (
@@ -60,7 +61,9 @@ def main():
                 examples,
                 template="{context}",
                 max_new_tokens=RULER_MAX_GEN,
-                out_path=os.path.join(out_dir, f"{args.method}.json"),
+                out_path=os.path.join(
+                    out_dir,
+                    f"{canonical_method_name(args.method)}.json"),
                 chat_wrap=True,
                 max_examples=args.max_num_examples,
             )
