@@ -8,8 +8,9 @@ METHOD=${2:-fullkv}
 CAPACITY=${3:-128}
 S_LEN=${4:-1000}
 E_LEN=${5:-8000}
+shift $(( $# > 5 ? 5 : $# ))
 mkdir -p results_needle/logs
 python -m pyramidkv_tpu.runners.run_needle \
   --model_path "$MODEL_PATH" --method "$METHOD" \
-  --max_capacity_prompts "$CAPACITY" -s "$S_LEN" -e "$E_LEN" \
+  --max_capacity_prompts "$CAPACITY" -s "$S_LEN" -e "$E_LEN" "$@" \
   2>&1 | tee "results_needle/logs/$(basename "$MODEL_PATH")_${METHOD}_${CAPACITY}.log"

@@ -7,7 +7,8 @@ METHOD=${2:-fullkv}
 CAPACITY=${3:-128}
 CTX=${4:-4096}
 SAVE_DIR=${5:-results_ruler}
+shift $(( $# > 5 ? 5 : $# ))
 python -m pyramidkv_tpu.runners.run_ruler \
   --model_path "$MODEL_PATH" --method "$METHOD" \
   --max_capacity_prompts "$CAPACITY" --context_lengths "$CTX" \
-  --save_dir "$SAVE_DIR"
+  --save_dir "$SAVE_DIR" "$@"
