@@ -99,6 +99,9 @@ def shard_params(params: dict, spec: ModelSpec, mesh: Mesh) -> dict:
             axes = list(p)
             if path and path[0] == "embed":
                 scale_p = P(axes[0])          # per-row (vocab) scales
+            elif v.scale.ndim == v.codes.ndim:
+                # group-wise: [..., G, out] — G replicated, out follows
+                scale_p = P(*axes[:-2], None, axes[-1])
             else:
                 scale_p = P(*axes[:-2], axes[-1])  # per-out-channel scales
             return QuantW(

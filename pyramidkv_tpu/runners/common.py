@@ -51,9 +51,13 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="store num_kv_heads cache entries (group-mean scores)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--quant_weights", type=str, default=None,
-                   choices=[None, "int8"],
-                   help="int8 weights (per-out-channel scales; halves the "
-                        "weight HBM — fits 32-layer 8B on one 16 GB chip)")
+                   choices=[None, "int8", "int4"],
+                   help="quantized weights (per-out-channel scales; int8 "
+                        "halves the weight HBM — fits 32-layer 8B on one "
+                        "16 GB chip — int4 halves it again)")
+    p.add_argument("--quant_weights_group_size", type=int, default=None,
+                   help="AWQ-style group size for weight scales (e.g. 128;"
+                        " recommended with int4)")
     p.add_argument("--temperature", type=float, default=None,
                    help="enable sampling with this temperature (default: greedy)")
     p.add_argument("--top_k", type=int, default=None)
@@ -139,10 +143,12 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "float16": jnp.float16}[args.dtype]
     params = load_params_from_hf(args.model_path, spec, dtype=dtype)
-    if getattr(args, "quant_weights", None) == "int8":
+    if getattr(args, "quant_weights", None):
         from ..models.weights import quantize_weights
 
-        params = quantize_weights(params)
+        params = quantize_weights(
+            params, nbits=int(args.quant_weights.removeprefix("int")),
+            group_size=getattr(args, "quant_weights_group_size", None))
     comp = build_compression_spec(args, spec)
     # buckets: powers-of-two style ladder up to the model cap
     buckets = tuple(

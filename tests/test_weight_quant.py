@@ -126,3 +126,91 @@ def test_int8_moe_capacity_dispatch_matches_dense():
     got, _ = jl.prefill(params, spec_c, plan, ids, tl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int4_quantize_and_mm_exact_factoring():
+    """int4 per-channel: (x @ codes) * scale == x @ dequant(w); codes use
+    the symmetric [-7, 7] range of jnp.int4 storage."""
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    qw = _quantize_leaf(w, nbits=4)
+    assert qw.codes.dtype == jnp.int4
+    c = np.asarray(qw.codes, np.float32)
+    assert c.max() <= 7 and c.min() >= -7
+    direct = x @ (qw.codes.astype(jnp.float32) * qw.scale[None, :])
+    np.testing.assert_allclose(np.asarray(mm(x, qw)), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+    # rounding error bounded by scale/2 per weight
+    err = np.abs(c * np.asarray(qw.scale)[None] - np.asarray(w))
+    assert err.max() <= np.asarray(qw.scale).max() * 0.5 + 1e-6
+
+
+def test_grouped_scales_beat_per_channel_error():
+    """Group-wise scales strictly reduce int4 rounding error on weights
+    with per-group magnitude variation, and mm stays consistent with the
+    explicit per-group dequant on BOTH mm paths (einsum and fori_loop)."""
+    rng = np.random.default_rng(11)
+    # rows alternate magnitude so per-channel amax over-scales most groups
+    mags = np.repeat(rng.uniform(0.1, 4.0, size=8), 16)[:, None]
+    w = jnp.asarray((rng.normal(size=(128, 48)) * mags).astype(np.float32))
+    qc = _quantize_leaf(w, nbits=4)
+    qg = _quantize_leaf(w, nbits=4, group_size=16)
+    assert qg.scale.shape == (8, 48) and qg.scale.ndim == qg.codes.ndim
+    deq_g = (np.asarray(qg.codes, np.float32).reshape(8, 16, 48)
+             * np.asarray(qg.scale)[:, None, :]).reshape(128, 48)
+    deq_c = np.asarray(qc.codes, np.float32) * np.asarray(qc.scale)[None]
+    err_g = np.abs(deq_g - np.asarray(w)).mean()
+    err_c = np.abs(deq_c - np.asarray(w)).mean()
+    assert err_g < err_c * 0.7
+    for rows in (4, 300):  # einsum path and fori_loop path
+        x = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
+        got = mm(x, qg)
+        ref = np.asarray(x) @ deq_g
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_engine_runs_with_int4_grouped_weights():
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(12), dtype=jnp.float32)
+    qparams = quantize_weights(params, nbits=4, group_size=16)
+    assert qparams["layers"]["wq"].codes.dtype == jnp.int4
+    # dense stacked leaves got grouped scales; embed stays int8 per-row
+    wq = qparams["layers"]["wq"]
+    assert wq.scale.ndim == wq.codes.ndim
+    assert qparams["embed"].codes.dtype == jnp.int8
+    ids = [int(x) for x in np.random.default_rng(13).integers(0, 256,
+                                                              size=60)]
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=32,
+                        window_size=8),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(128,)), qparams,
+    )
+    out = eng.generate([ids], eos_token_ids=())
+    assert len(out.tokens[0]) == 8
+
+
+def test_int4_weights_shard_over_mesh():
+    from pyramidkv_tpu.parallel import make_mesh, shard_params
+    from pyramidkv_tpu.policy import make_plan
+
+    spec = ModelSpec.tiny()
+    params = quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(14), dtype=jnp.float32),
+        nbits=4, group_size=16)
+    ids = jnp.asarray(
+        [[int(x) for x in
+          np.random.default_rng(15).integers(0, 256, size=48)]], jnp.int32)
+    tl = jnp.asarray([48], jnp.int32)
+    plan = make_plan(CompressionSpec(method="fullkv"),
+                     spec.num_hidden_layers, 48, 4)
+    ref, _ = jl.prefill(params, spec, plan, ids, tl)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sp = shard_params(params, spec, mesh)
+    with mesh:
+        got, _ = jax.jit(lambda p, i, t: jl.prefill(p, spec, plan, i, t))(
+            sp, ids, tl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
