@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..cache import (KVCache, LayerCacheView, append_token,
                      append_token_per_lane)
 from ..config import ModelSpec
-from .weights import QuantW, embed_lookup, mm
+from .weights import QuantW, dq_codes, embed_lookup, mm
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
@@ -204,7 +204,9 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
         x = x[:, None, :]  # decode: [B, Dm] -> [B, 1, Dm]
     b, t, dm = x.shape
     router = wts["router"]
-    e = (router.codes if isinstance(router, QuantW) else router).shape[-1]
+    # expert count from the SCALE for QuantW (packed-int4 codes halve
+    # their last axis; the per-channel/grouped scale always ends in E)
+    e = (router.scale if isinstance(router, QuantW) else router).shape[-1]
     k = top_k
 
     logits = mm(x, wts["router"]).astype(jnp.float32)  # [B, T, E]
@@ -224,7 +226,7 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
     def emm(xc, w, sub):
         # [B,T,D] x [E,D,I] -> [B,T,E,I]; per-(expert, out) scales factor out
         if isinstance(w, QuantW):
-            y = jnp.einsum(sub, xc, w.codes.astype(xc.dtype))
+            y = jnp.einsum(sub, xc, dq_codes(w, xc.dtype))
             return y * w.scale[None, None].astype(y.dtype)
         return jnp.einsum(sub, xc, w)
 
@@ -235,7 +237,7 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
         a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
         if isinstance(wts["w_down"], QuantW):
             o = jnp.einsum("btei,eid->bted", a,
-                           wts["w_down"].codes.astype(a.dtype))
+                           dq_codes(wts["w_down"], a.dtype))
             o = o * wts["w_down"].scale[None, None].astype(o.dtype)
         else:
             o = jnp.einsum("btei,eid->bted", a, wts["w_down"])
@@ -304,7 +306,7 @@ def _moe_mlp_dispatch(x: jax.Array, wts: dict, weight: jax.Array, e: int,
 
         def emm(z, w, sub):
             if isinstance(w, QuantW):
-                y = jnp.einsum(sub, z, w.codes.astype(z.dtype))
+                y = jnp.einsum(sub, z, dq_codes(w, z.dtype))
                 return y * w.scale[None, :, None, :].astype(y.dtype)
             return jnp.einsum(sub, z, w)
 
@@ -313,7 +315,7 @@ def _moe_mlp_dispatch(x: jax.Array, wts: dict, weight: jax.Array, e: int,
         a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
         if isinstance(wts["w_down"], QuantW):
             oe = jnp.einsum("beci,eid->becd", a,
-                            wts["w_down"].codes.astype(a.dtype))
+                            dq_codes(wts["w_down"], a.dtype))
             oe = oe * wts["w_down"].scale[None, :, None, :].astype(oe.dtype)
         else:
             oe = jnp.einsum("beci,eid->becd", a, wts["w_down"])

@@ -1,18 +1,28 @@
-"""Weight quantization (int8 / int4, optional group-wise scales) for
-single-chip large-depth serving.
+"""Weight quantization (int8 / packed int4, optional group-wise scales)
+for single-chip large-depth serving.
 
 Decode is HBM-bandwidth-bound: reading int8 weights halves the dominant
-traffic term and int4 halves it again (XLA stores s4 packed two-per-byte
-in HBM), and — unlike cache quantization — the dequant never needs a
-kernel: with PER-OUTPUT-CHANNEL symmetric scales the dequant factors out
-of the matmul exactly,
+traffic term and int4 halves it again, and — unlike cache quantization —
+the dequant never needs a custom kernel: with PER-OUTPUT-CHANNEL
+symmetric scales the dequant factors out of the matmul exactly,
 
     x @ (codes * scale_col)  ==  (x @ codes) * scale_col,
 
 so the only approximation is the integer rounding of the weights
-themselves and XLA keeps the HBM reads at nbits/8 bytes/param.  This is
-what makes the full 32-layer Llama-3-8B geometry fit one 16 GB v5e
-(bf16 weights ~16 GB; int8 ~8 GB; int4 ~4 GB + int8 embeddings).
+themselves.  This is what makes the full 32-layer Llama-3-8B geometry
+fit one 16 GB v5e (bf16 weights ~16 GB; int8 ~8 GB; int4 ~4 GB + int8
+embeddings).
+
+int4 storage is two signed nibbles PACKED per int8 byte along the OUT
+axis (codes ``[..., in, out//2]``).  We deliberately do not use the
+``jnp.int4`` dtype: S4 jax arrays cannot cross this image's TPU tunnel
+as jit arguments (device_put recurses), and packed-int8 + an arithmetic
+unpack (mask/shift/sign-extend, fused by XLA into the consumer) is the
+portable TPU-native layout — the same scheme the KV-cache quantizer
+uses (`ops/quant.py::_pack`).  Packing along the out axis means the
+reshape-based pack/unpack preserves column order with no interleave
+permutation, and out-axis (column-parallel) sharding still works: each
+byte holds two adjacent columns of the same shard.
 
 int4 per-channel rounding is coarse, so ``group_size`` (AWQ/GPTQ-style,
 e.g. 128) additionally splits the CONTRACTION dimension into groups with
@@ -52,27 +62,57 @@ class QuantW(NamedTuple):
     """Quantized weight (a pytree; scan-sliceable along a leading stack
     axis).
 
-    - per-channel: ``scale.ndim == codes.ndim - 1`` (``[..., out]``; the
-      embedding's per-row variant is ``[vocab]``).
-    - group-wise:  ``scale.ndim == codes.ndim`` (``[..., G, out]`` with
-      ``G = in_dim // group_size``).
+    - int8:        ``codes`` int8 at the original shape ``[..., in, out]``.
+    - packed int4: ``codes`` int8 at ``[..., in, out//2]`` — two signed
+      nibbles per byte along the out axis (low nibble = even column).
+      Detected by ``codes.shape[-1] * 2 == <logical out>``; see
+      :func:`is_packed4`.
+    - per-channel scales: ``[..., out]`` (the embedding's per-row variant
+      is ``[vocab]``).
+    - group-wise scales: ``[..., G, out]`` with ``G = in_dim //
+      group_size``.
     """
 
-    codes: jax.Array  #: int8 or int4, original weight shape [..., in, out]
-    scale: jax.Array  #: f32, [..., out] (per-channel) or [..., G, out]
+    codes: jax.Array
+    scale: jax.Array
 
 
-def _qdtype(nbits: int):
-    if nbits == 8:
-        return 127.0, jnp.int8
-    if nbits == 4:
-        return 7.0, jnp.int4
-    raise ValueError(f"weight nbits must be 4 or 8, got {nbits}")
+def pack4(c: jax.Array) -> jax.Array:
+    """Signed int values in [-8, 7], last axis even -> int8 bytes holding
+    two two's-complement nibbles each (low nibble = even index)."""
+    u = (c.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+    v = u.reshape(*c.shape[:-1], c.shape[-1] // 2, 2)
+    return (v[..., 0] | (v[..., 1] << 4)).astype(jnp.int8)
+
+
+def unpack4(p: jax.Array) -> jax.Array:
+    """int8 bytes -> signed int8 nibble values at twice the last-axis
+    length (inverse of :func:`pack4`)."""
+    u = p.astype(jnp.uint8)
+    nib = jnp.stack([u & 0xF, u >> 4], axis=-1).astype(jnp.int8)
+    nib = jnp.where(nib > 7, nib - 16, nib)
+    return nib.reshape(*p.shape[:-1], p.shape[-1] * 2)
+
+
+def is_packed4(w: QuantW) -> bool:
+    """True when ``w.codes`` holds packed int4 nibbles (out axis halved
+    relative to the scale's out axis)."""
+    return w.codes.shape[-1] * 2 == w.scale.shape[-1]
+
+
+def dq_codes(w: QuantW, dtype) -> jax.Array:
+    """The integer codes at their LOGICAL shape, cast to the compute
+    dtype (unpacks int4 nibbles; XLA fuses the mask/shift chain into the
+    consuming matmul operand)."""
+    c = unpack4(w.codes) if is_packed4(w) else w.codes
+    return c.astype(dtype)
 
 
 def _quantize_leaf(w: jax.Array, nbits: int = 8,
                    group_size: Optional[int] = None) -> QuantW:
-    qmax, dt = _qdtype(nbits)
+    if nbits not in (8, 4):
+        raise ValueError(f"weight nbits must be 4 or 8, got {nbits}")
+    qmax = 127.0 if nbits == 8 else 7.0
     wf = w.astype(jnp.float32)
     in_dim = wf.shape[-2]
     if group_size and in_dim % group_size == 0 and in_dim > group_size:
@@ -82,11 +122,15 @@ def _quantize_leaf(w: jax.Array, nbits: int = 8,
         amax = jnp.max(jnp.abs(wg), axis=-2)          # [..., G, out]
         scale = jnp.maximum(amax, 1e-8) / qmax
         codes = jnp.clip(jnp.round(wg / scale[..., None, :]), -qmax, qmax)
-        return QuantW(codes=codes.reshape(wf.shape).astype(dt), scale=scale)
-    amax = jnp.max(jnp.abs(wf), axis=-2)              # [..., out]
-    scale = jnp.maximum(amax, 1e-8) / qmax
-    codes = jnp.clip(jnp.round(wf / scale[..., None, :]), -qmax, qmax)
-    return QuantW(codes=codes.astype(dt), scale=scale)
+        codes = codes.reshape(wf.shape).astype(jnp.int8)
+    else:
+        amax = jnp.max(jnp.abs(wf), axis=-2)          # [..., out]
+        scale = jnp.maximum(amax, 1e-8) / qmax
+        codes = jnp.clip(jnp.round(wf / scale[..., None, :]),
+                         -qmax, qmax).astype(jnp.int8)
+    if nbits == 4:
+        codes = pack4(codes)
+    return QuantW(codes=codes, scale=scale)
 
 
 #: weight leaves that flow through matmuls (norm vectors stay bf16)
@@ -104,13 +148,16 @@ def quantize_weights(params: dict, nbits: int = 8,
     scales (the expert einsums contract the whole in-dim at once).
     Embedding and lm_head are always int8 (see module docstring).
     """
-    _qdtype(nbits)  # validate early
+    if nbits not in (8, 4):
+        raise ValueError(f"weight nbits must be 4 or 8, got {nbits}")
     out = dict(params)
     out["layers"] = {
         k: (_quantize_leaf(
-                v, nbits,
-                group_size if isinstance(v, jax.Array) and v.ndim == 3
-                else None)
+                # router: [L, Dm, E] is tiny and decides expert routing —
+                # always int8, never grouped
+                v, 8 if k == "router" else nbits,
+                group_size if k != "router" and isinstance(v, jax.Array)
+                and v.ndim == 3 else None)
             if k in _MATMUL_LEAVES else v)
         for k, v in params["layers"].items()
     }
@@ -135,18 +182,23 @@ _GROUP_EINSUM_MAX_ROWS = 256
 
 
 def _mm_grouped(x: jax.Array, w: QuantW) -> jax.Array:
-    """x @ dequant(w) for group-wise scales; codes [in, out],
+    """x @ dequant(w) for group-wise scales; logical codes [in, out],
     scale [G, out]."""
-    in_dim, out_dim = w.codes.shape
+    codes = unpack4(w.codes) if is_packed4(w) else w.codes
+    in_dim, out_dim = codes.shape
     n_groups = w.scale.shape[0]
     g = in_dim // n_groups
     xr = x.reshape(*x.shape[:-1], n_groups, g)
     rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
-    codes_g = w.codes.reshape(n_groups, g, out_dim)
+    codes_g = codes.reshape(n_groups, g, out_dim)
+    # Partials stay in the operand dtype (the CPU backend rejects
+    # preferred_element_type=f32 on batched bf16 dots; TPU bf16 dots
+    # accumulate in f32 inside the MXU regardless) — only the
+    # scale-weighted cross-group reduction is explicit f32.
     if rows <= _GROUP_EINSUM_MAX_ROWS:
-        p = jnp.einsum("...Gg,Ggo->...Go", xr, codes_g.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        y = jnp.sum(p * w.scale.astype(jnp.float32), axis=-2)
+        p = jnp.einsum("...Gg,Ggo->...Go", xr, codes_g.astype(x.dtype))
+        y = jnp.sum(p.astype(jnp.float32) * w.scale.astype(jnp.float32),
+                    axis=-2)
         return y.astype(x.dtype)
 
     def body(i, acc):
@@ -155,9 +207,8 @@ def _mm_grouped(x: jax.Array, w: QuantW) -> jax.Array:
                                           keepdims=False)
         sg = jax.lax.dynamic_index_in_dim(w.scale, i, axis=0,
                                           keepdims=False)
-        p = jnp.einsum("...g,go->...o", xg, cg.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        return acc + p * sg.astype(jnp.float32)
+        p = jnp.einsum("...g,go->...o", xg, cg.astype(x.dtype))
+        return acc + p.astype(jnp.float32) * sg.astype(jnp.float32)
 
     acc = jnp.zeros((*x.shape[:-1], out_dim), jnp.float32)
     return jax.lax.fori_loop(0, n_groups, body, acc).astype(x.dtype)
@@ -168,7 +219,7 @@ def mm(x: jax.Array, w) -> jax.Array:
     if isinstance(w, QuantW):
         if w.scale.ndim == w.codes.ndim:          # group-wise scales
             return _mm_grouped(x, w)
-        y = x @ w.codes.astype(x.dtype)
+        y = x @ dq_codes(w, x.dtype)
         return y * w.scale[..., None, :].astype(y.dtype) if w.scale.ndim > 1 \
             else y * w.scale.astype(y.dtype)
     return x @ w

@@ -16,6 +16,7 @@ import os
 
 from ..evalsuite.report import (
     REPORT_METHODS,
+    canonical_method_name,
     score_prediction_file,
     score_ruler_file,
     write_results_csv,
@@ -52,7 +53,10 @@ def _discover_extra_methods(results_dir: str, datasets) -> "list[str]":
 
 def main():
     args = parse_args()
-    methods = args.methods
+    # accept CLI method strings in either casing — prediction files are
+    # written under the reference's canonical names (SnapKV.json, ...)
+    methods = ([canonical_method_name(m) for m in args.methods]
+               if args.methods else None)
     if args.suite == "ruler":
         datasets = [
             d for d in RULER_TASKS

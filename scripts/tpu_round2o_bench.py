@@ -1,0 +1,149 @@
+"""Round-2o TPU measurements (one batched process): int4 WEIGHTS on the
+full 32-layer Llama-3-8B geometry, one v5e.
+
+int8 weights made the 32-layer flagship fit at all (tpu_round2f/k:
+fullkv 67.2, snapkv 82.2, B=8 serving 399 tok/s).  int4 halves the
+dominant decode HBM term again (weights ~3.9 GB vs 7.9): these legs
+measure how much of that lands as decode throughput, what AWQ-style
+group scales (group_size=128) cost on top, and whether the freed ~4 GB
+buys a B=16 serving point that int8 could not hold.
+
+Params are random codes generated directly on device (perf only — no
+bf16 staging pytree; the d32 bf16 tree would not fit HBM), matching the
+layout `models/weights.quantize_weights` produces: PACKED int4 matmul
+leaves (two signed nibbles per int8 byte along the out axis — the
+jnp.int4 dtype cannot cross the TPU tunnel as a jit argument, see
+weights.py docstring), per-channel or grouped scales, int8 per-row
+embed, int8 lm_head.
+"""
+
+import json
+import sys
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models.weights import QuantW
+
+
+def log(m):
+    print(f"[2o] {m}", file=sys.stderr, flush=True)
+
+
+def emit(r):
+    print(json.dumps(r), flush=True)
+
+
+def spec_depth(layers):
+    return ModelSpec(
+        name=f"llama3-8b-d{layers}", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_hidden_layers=layers,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        rope_theta=500000.0, max_position_embeddings=40960,
+    )
+
+
+def random_int4_params(spec, key, group_size=None):
+    """Random int4 codes + sane scales directly on device.  Mirrors
+    quantize_weights(nbits=4, group_size=...): grouped scales on the
+    stacked dense [L, in, out] leaves, int8 per-row embed + int8 lm_head.
+    """
+    ks = iter(jax.random.split(key, 16))
+    L, Dm, I = spec.num_hidden_layers, spec.hidden_size, spec.intermediate_size
+    H, KV, Dh, V = (spec.num_attention_heads, spec.num_key_value_heads,
+                    spec.head_dim, spec.vocab_size)
+
+    def qw(shape):
+        fan_in = shape[-2]
+        # packed: any random byte is two valid nibbles
+        codes = jax.random.randint(
+            next(ks), shape[:-1] + (shape[-1] // 2,), -128, 128, jnp.int8)
+        sval = 1.0 / (7.0 * np.sqrt(fan_in))
+        if group_size and fan_in % group_size == 0 and fan_in > group_size:
+            scale = jnp.full(shape[:-2] + (fan_in // group_size, shape[-1]),
+                             sval, jnp.float32)
+        else:
+            scale = jnp.full(shape[:-2] + (shape[-1],), sval, jnp.float32)
+        return QuantW(codes=codes, scale=scale)
+
+    emb_codes = jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8)
+    lm_codes = jax.random.randint(next(ks), (Dm, V), -127, 128, jnp.int8)
+    return {
+        "embed": QuantW(codes=emb_codes,
+                        scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),
+        "final_norm": jnp.ones((Dm,), jnp.bfloat16),
+        "lm_head": QuantW(codes=lm_codes,
+                          scale=jnp.full((V,), 1.0 / (127.0 * np.sqrt(Dm)),
+                                         jnp.float32)),
+        "layers": {
+            "wq": qw((L, Dm, H * Dh)),
+            "wk": qw((L, Dm, KV * Dh)),
+            "wv": qw((L, Dm, KV * Dh)),
+            "wo": qw((L, H * Dh, Dm)),
+            "w_gate": qw((L, Dm, I)),
+            "w_up": qw((L, Dm, I)),
+            "w_down": qw((L, I, Dm)),
+            "attn_norm": jnp.ones((L, Dm), jnp.bfloat16),
+            "mlp_norm": jnp.ones((L, Dm), jnp.bfloat16),
+        },
+    }
+
+
+def run(tag, spec, params, method, ctx=4096, max_new=128, batch=1):
+    try:
+        eng = Engine(
+            spec,
+            CompressionSpec(method=method, max_capacity_prompt=128,
+                            window_size=8),
+            EngineSpec(max_new_tokens=max_new, prefill_buckets=(ctx,)),
+            params,
+        )
+        rng = np.random.default_rng(0)
+        prompts = [[int(t) for t in rng.integers(0, spec.vocab_size,
+                                                 size=ctx - 1)]
+                   for _ in range(batch)]
+        log(f"{tag}: compiling ...")
+        t0 = time.perf_counter()
+        eng.generate(prompts)
+        log(f"{tag}: compiled+first run in {time.perf_counter()-t0:.1f}s")
+        best = None
+        for _ in range(2):
+            out = eng.generate(prompts)
+            tps = batch * out.decode_steps / max(out.decode_seconds, 1e-9)
+            if best is None or tps > best[0]:
+                best = (tps, out)
+        tps, out = best
+        emit({"bench": tag, "decode_tokens_per_s": round(tps, 2),
+              "prefill_ms": round(out.prefill_seconds * 1e3, 1),
+              "kv_cache_mb": round(out.kv_cache_bytes / 1e6, 2),
+              "batch": batch, "layers": spec.num_hidden_layers})
+    except Exception:
+        emit({"bench": tag, "error": traceback.format_exc()[-1200:]})
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu"
+    d32 = spec_depth(32)
+
+    # per-channel int4: the direct int8 comparison rows
+    p4 = random_int4_params(d32, jax.random.PRNGKey(0))
+    run("int4w_d32/fullkv", d32, p4, "fullkv")
+    run("int4w_d32/snapkv", d32, p4, "snapkv")
+    # serving: does halving weight HBM lift the batched points too?
+    run("int4w_d32/snapkv_b8", d32, p4, "snapkv", ctx=2048, batch=8)
+    run("int4w_d32/snapkv_b16", d32, p4, "snapkv", ctx=2048, batch=16)
+    del p4
+
+    # grouped scales (the quality configuration): what does G cost?
+    p4g = random_int4_params(d32, jax.random.PRNGKey(1), group_size=128)
+    run("int4w_g128_d32/snapkv", d32, p4g, "snapkv")
+    log("ALL DONE")
+
+
+if __name__ == "__main__":
+    main()

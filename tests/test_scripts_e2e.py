@@ -69,7 +69,9 @@ def test_longbench_script_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     model_name = "model_32"
-    pred = save / model_name / "multifieldqa_zh" / "snapkv.json"
+    # prediction files use the reference's canonical method casing
+    # (eval.py:116 row list) — snapkv -> SnapKV.json
+    pred = save / model_name / "multifieldqa_zh" / "SnapKV.json"
     assert pred.exists(), proc.stdout[-2000:]
     lines = [json.loads(x) for x in open(pred)]
     assert len(lines) == 1 and all("pred" in r for r in lines)

@@ -128,17 +128,33 @@ def test_int8_moe_capacity_dispatch_matches_dense():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pack4_roundtrip():
+    """pack4/unpack4 are inverse on signed nibble values, any lead shape."""
+    from pyramidkv_tpu.models.weights import pack4, unpack4
+
+    rng = np.random.default_rng(9)
+    c = jnp.asarray(rng.integers(-8, 8, size=(3, 5, 16)).astype(np.int8))
+    packed = pack4(c)
+    assert packed.dtype == jnp.int8 and packed.shape == (3, 5, 8)
+    np.testing.assert_array_equal(np.asarray(unpack4(packed)),
+                                  np.asarray(c))
+
+
 def test_int4_quantize_and_mm_exact_factoring():
-    """int4 per-channel: (x @ codes) * scale == x @ dequant(w); codes use
-    the symmetric [-7, 7] range of jnp.int4 storage."""
+    """int4 per-channel: (x @ codes) * scale == x @ dequant(w).  Codes are
+    two signed nibbles packed per int8 byte along the OUT axis (NOT the
+    jnp.int4 dtype — S4 arrays cannot cross the TPU tunnel as jit args)."""
+    from pyramidkv_tpu.models.weights import dq_codes, is_packed4
+
     rng = np.random.default_rng(10)
     w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
     x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
     qw = _quantize_leaf(w, nbits=4)
-    assert qw.codes.dtype == jnp.int4
-    c = np.asarray(qw.codes, np.float32)
+    assert qw.codes.dtype == jnp.int8 and qw.codes.shape == (64, 24)
+    assert is_packed4(qw)
+    c = np.asarray(dq_codes(qw, jnp.float32))
     assert c.max() <= 7 and c.min() >= -7
-    direct = x @ (qw.codes.astype(jnp.float32) * qw.scale[None, :])
+    direct = x @ (c * np.asarray(qw.scale)[None, :])
     np.testing.assert_allclose(np.asarray(mm(x, qw)), np.asarray(direct),
                                rtol=1e-4, atol=1e-4)
     # rounding error bounded by scale/2 per weight
@@ -150,16 +166,19 @@ def test_grouped_scales_beat_per_channel_error():
     """Group-wise scales strictly reduce int4 rounding error on weights
     with per-group magnitude variation, and mm stays consistent with the
     explicit per-group dequant on BOTH mm paths (einsum and fori_loop)."""
+    from pyramidkv_tpu.models.weights import dq_codes
+
     rng = np.random.default_rng(11)
     # rows alternate magnitude so per-channel amax over-scales most groups
     mags = np.repeat(rng.uniform(0.1, 4.0, size=8), 16)[:, None]
     w = jnp.asarray((rng.normal(size=(128, 48)) * mags).astype(np.float32))
     qc = _quantize_leaf(w, nbits=4)
     qg = _quantize_leaf(w, nbits=4, group_size=16)
-    assert qg.scale.shape == (8, 48) and qg.scale.ndim == qg.codes.ndim
-    deq_g = (np.asarray(qg.codes, np.float32).reshape(8, 16, 48)
+    assert qg.scale.shape == (8, 48) and qg.codes.shape == (128, 24)
+    cg = np.asarray(dq_codes(qg, jnp.float32))
+    deq_g = (cg.reshape(8, 16, 48)
              * np.asarray(qg.scale)[:, None, :]).reshape(128, 48)
-    deq_c = np.asarray(qc.codes, np.float32) * np.asarray(qc.scale)[None]
+    deq_c = np.asarray(dq_codes(qc, jnp.float32)) * np.asarray(qc.scale)[None]
     err_g = np.abs(deq_g - np.asarray(w)).mean()
     err_c = np.abs(deq_c - np.asarray(w)).mean()
     assert err_g < err_c * 0.7
@@ -171,15 +190,23 @@ def test_grouped_scales_beat_per_channel_error():
                                    atol=2e-4)
 
 
-def test_engine_runs_with_int4_grouped_weights():
-    spec = ModelSpec.tiny()
+@pytest.mark.parametrize("moe", [False, True])
+def test_engine_runs_with_int4_grouped_weights(moe):
+    spec = ModelSpec.tiny(**(dict(num_local_experts=4) if moe else {}))
     params = jl.init_params(spec, jax.random.PRNGKey(12), dtype=jnp.float32)
     qparams = quantize_weights(params, nbits=4, group_size=16)
-    assert qparams["layers"]["wq"].codes.dtype == jnp.int4
-    # dense stacked leaves got grouped scales; embed stays int8 per-row
     wq = qparams["layers"]["wq"]
+    assert wq.codes.dtype == jnp.int8
+    # dense stacked leaves: packed out axis + grouped scales; embed int8
+    assert wq.codes.shape[-1] * 2 == wq.scale.shape[-1]
     assert wq.scale.ndim == wq.codes.ndim
     assert qparams["embed"].codes.dtype == jnp.int8
+    if moe:
+        # router stays int8 per-channel; expert leaves packed per-channel
+        router = qparams["layers"]["router"]
+        assert router.codes.shape[-1] == router.scale.shape[-1]
+        wg = qparams["layers"]["w_gate"]
+        assert wg.codes.shape[-1] * 2 == wg.scale.shape[-1]
     ids = [int(x) for x in np.random.default_rng(13).integers(0, 256,
                                                               size=60)]
     eng = Engine(
