@@ -14,9 +14,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices timeshare the host cores: under load, CPU-collective
+# rendezvous can exceed the default 40 s TERMINATION threshold and abort
+# the whole pytest process (observed on a 4-core host).
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
