@@ -70,9 +70,9 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # q arrives pre-scaled by 1/sqrt(d) from the wrapper
     s = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [q_block, k_tile]
     rows = qi * q_block + jax.lax.broadcasted_iota(
@@ -85,14 +85,15 @@ def _kernel(
     mask = (cols <= rows) & (cols >= pad) & not_vert & (tv > 0)
     s = jnp.where(mask, s, _NEG_INF)
 
-    # stats live per-ROW in the sublane dim (col 0), like flash_prefill
+    # stats live per-ROW in the sublane dim (col 0), like flash_prefill;
+    # masked entries (s == _NEG_INF) underflow to exactly 0 through the
+    # clamped subtraction — no post-exp re-mask needed (and a stale
+    # m_prev == _NEG_INF makes alpha underflow to 0 the same way)
     m_prev = m_ref[:, :1]  # [q_block, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
-    p = jnp.where(mask, p, 0.0)
     alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -141,7 +142,9 @@ def slash_tile_attention(
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
 
-    qr = q.reshape(b * h, n, d)
+    # fold the softmax scale into q once (fp32 multiply, storage-dtype
+    # rounding identical to the previous in-kernel scaling)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k.reshape(b * hk, n, d)
     vr = v.reshape(b * hk, n, d)
     vert8 = jnp.broadcast_to(
@@ -311,7 +314,7 @@ def _db_kernel(
 
     start(0, 0)  # forced diagonal tiles guarantee nval >= 1
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    q = q_ref[0]  # pre-scaled by 1/sqrt(d) in the wrapper
     rows = qi * q_block + jax.lax.broadcasted_iota(
         jnp.int32, (q_block, k_tile), 0
     )
@@ -334,13 +337,13 @@ def _db_kernel(
         not_vert = vertbuf[slot][:1] == 0  # [1, k_tile]
         mask = (cols <= rows) & (cols >= pad) & not_vert
         s = jnp.where(mask, s, _NEG_INF)
+        # masked entries underflow to exactly 0 through the clamped
+        # subtraction — no post-exp re-mask (see slash grid kernel)
         m_prev = m_ref[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
-        p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-        alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
@@ -382,7 +385,9 @@ def slash_tile_attention_db(
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
 
-    qr = q.reshape(b * h, n, d)
+    # fold the softmax scale into q once (fp32 multiply, storage-dtype
+    # rounding identical to the previous in-kernel scaling)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k.reshape(b * hk, n, d)
     vr = v.reshape(b * hk, n, d)
     vert8 = jnp.broadcast_to(
@@ -477,9 +482,9 @@ def _vert_kernel(
     qi = pl.program_id(1)
     pad = pad_ref[bh // h]
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # q arrives pre-scaled by 1/sqrt(d) from the wrapper
     s = jax.lax.dot_general(
-        q, kv_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], kv_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [q_block, Vs]
     rows = qi * q_block + jax.lax.broadcasted_iota(
@@ -490,7 +495,8 @@ def _vert_kernel(
     mask = (vcol <= rows) & valid
     s = jnp.where(mask, s, _NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.where(mask, jnp.exp(s - jnp.maximum(m, _NEG_INF / 2)), 0.0)
+    # masked entries underflow to exactly 0 through the clamped subtraction
+    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2))
     l = jnp.sum(p, axis=1, keepdims=True)
     acc_out[0] = jax.lax.dot_general(
         p.astype(vv_ref.dtype), vv_ref[0], (((1,), (0,)), ((), ())),
@@ -524,7 +530,7 @@ def vertical_attention_partials_kernel(
     nq = n // q_block
     scale = 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
-    qr = q.reshape(b * h, n, d)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k_vert.reshape(b * h, vs, d)
     vr = v_vert.reshape(b * h, vs, d)
     vc = jnp.broadcast_to(

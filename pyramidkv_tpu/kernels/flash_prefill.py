@@ -45,6 +45,7 @@ def _kernel(
     kidx_ref,           # [T] int32 — k-block index per grid step
     first_ref,          # [T] int32 — 1 iff first k-tile of this q-block
     last_ref,           # [T] int32 — 1 iff last k-tile of this q-block
+    interior_ref,       # [T] int32 — 1 iff tile is fully causal/in-band
     # inputs
     q_ref,              # [1, block_q, D]
     k_ref,              # [1, block_k, D]
@@ -58,9 +59,10 @@ def _kernel(
     *,
     block_q: int,
     block_k: int,
-    scale: float,
     batch: int,
     sliding_window: int | None,
+    fast_path: bool,
+    use_exp2: bool,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -68,6 +70,7 @@ def _kernel(
     ki = kidx_ref[t]
     b = bh // (pl.num_programs(0) // batch)
     pad = pad_ref[b]
+    exp = jnp.exp2 if use_exp2 else jnp.exp
 
     @pl.when(first_ref[t] == 1)
     def _init():
@@ -75,40 +78,63 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # keep operands in their storage dtype (bf16) so the MXU runs at full
-    # rate; accumulate in fp32 via preferred_element_type
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # operands stay in their storage dtype (bf16) so the MXU runs at full
+    # rate; accumulate in fp32 via preferred_element_type.  q arrives
+    # pre-scaled by 1/sqrt(d) (and log2(e) in exp2 mode) from the caller —
+    # scaling here would redo the multiply for every k-tile of the q-block.
     s = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bq, bk] f32
 
-    rows = qi * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
-    )
-    cols = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-    mask = (cols <= rows) & (cols >= pad)
-    if sliding_window is not None:
-        mask &= (rows - cols) < sliding_window
-    s = jnp.where(mask, s, _NEG_INF)
+    def _update(s):
+        """Online-softmax rank-1 update of (m, l, acc) with tile logits s.
 
-    m_prev = m_ref[:, :1]                      # [bq, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
-    p = jnp.where(mask, p, 0.0)
-    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+        Masked entries carry _NEG_INF: after the clamped subtraction they
+        sit at <= _NEG_INF/2, so exp underflows to exactly 0 — no post-exp
+        re-mask is needed.  A fully-masked row keeps m == _NEG_INF and
+        l == 0 (alpha == exp(0) == 1 leaves the zero acc unchanged)."""
+        m_prev = m_ref[:, :1]                      # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = exp(s - jnp.maximum(m_new, _NEG_INF / 2))
+        alpha = exp(jnp.minimum(m_prev - m_new, 0.0))
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    def _masked_update():
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = (cols <= rows) & (cols >= pad)
+        if sliding_window is not None:
+            mask &= (rows - cols) < sliding_window
+        _update(jnp.where(mask, s, _NEG_INF))
+
+    if fast_path:
+        # Tiles fully inside the causal/banded region AND past this batch
+        # row's left padding need no iota/compare/select work at all — at
+        # long context that is almost every tile (the causal edge is O(nq)
+        # of the O(nq^2/2) visited tiles).
+        fast = (interior_ref[t] == 1) & (pad <= ki * block_k)
+
+        @pl.when(fast)
+        def _fast():
+            _update(s)
+
+        @pl.when(~fast)
+        def _slow():
+            _masked_update()
+    else:
+        _masked_update()
 
     @pl.when(last_ref[t] == 1)
     def _finalize():
@@ -121,7 +147,7 @@ def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
                       sliding_window: int | None):
     """Static (q-tile, k-tile) visit order: causal upper-triangle only, and
     (with a sliding window) only tiles intersecting the band."""
-    qidx, kidx, first, last = [], [], [], []
+    qidx, kidx, first, last, interior = [], [], [], [], []
     for qi in range(nq):
         row_max = qi * block_q + block_q - 1
         row_min = qi * block_q
@@ -135,24 +161,32 @@ def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
             # (row_min - col_max) exceeds the window
             if sliding_window is not None and row_min - col_max >= sliding_window:
                 continue
-            ks.append(ki)
+            # interior = every (row, col) pair in the tile is causally
+            # visible (col_max <= row_min) and, with a window, in-band
+            inn = col_max <= row_min and (
+                sliding_window is None or row_max - col_min < sliding_window
+            )
+            ks.append((ki, inn))
         assert ks, (qi, nq, nk)
-        for j, ki in enumerate(ks):
+        for j, (ki, inn) in enumerate(ks):
             qidx.append(qi)
             kidx.append(ki)
             first.append(1 if j == 0 else 0)
             last.append(1 if j == len(ks) - 1 else 0)
+            interior.append(1 if inn else 0)
     return (
         np.asarray(qidx, np.int32),
         np.asarray(kidx, np.int32),
         np.asarray(first, np.int32),
         np.asarray(last, np.int32),
+        np.asarray(interior, np.int32),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "sliding_window", "interpret"),
+    static_argnames=("block_q", "block_k", "sliding_window", "interpret",
+                     "fast_path", "use_exp2"),
 )
 def flash_causal_attention(
     q: jax.Array,
@@ -164,11 +198,19 @@ def flash_causal_attention(
     block_k: int = 512,
     sliding_window: int | None = None,
     interpret: bool = False,
+    fast_path: bool = True,
+    use_exp2: bool = True,
 ) -> jax.Array:
     """Causal self-attention over a left-padded buffer.
 
     Args / returns match ``ops.attention.causal_prefill_attention``:
     q, k, v [B, H, N, D] -> [B, H, N, D] (padding rows undefined).
+
+    ``fast_path`` skips all mask work on tiles that are statically interior
+    to the causal/banded region (and dynamically past the batch row's left
+    pad); ``use_exp2`` runs the online softmax in the base-2 domain with
+    log2(e) folded into the q scaling (one fewer VPU multiply per logit —
+    softmax ratios are unchanged).
     """
     b, h, n, d = q.shape
     hk = k.shape[1]
@@ -178,14 +220,18 @@ def flash_causal_attention(
     assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
     nq, nk = n // block_q, n // block_k
     scale = 1.0 / math.sqrt(d)
+    if use_exp2:
+        scale *= math.log2(math.e)
     pad = (n - true_len).astype(jnp.int32)
 
-    qidx, kidx, first, last = _triangular_pairs(
+    qidx, kidx, first, last, interior = _triangular_pairs(
         nq, nk, block_q, block_k, sliding_window
     )
     T = len(qidx)
 
-    qr = q.reshape(b * h, n, d)
+    # fold the softmax scale into q ONCE (fp32 multiply, bf16 storage —
+    # same rounding as the previous in-kernel per-tile scaling)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k.reshape(b * hk, n, d)
     vr = v.reshape(b * hk, n, d)
 
@@ -195,18 +241,21 @@ def flash_causal_attention(
         return (bh // h) * hk + (bh % h) // g
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(b * h, T),
         in_specs=[
             pl.BlockSpec((1, block_q, d),
-                         lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn: (bh, qx[t], 0)),
             pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls: (_kv_row(bh), kx[t], 0)),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn:
+                         (_kv_row(bh), kx[t], 0)),
             pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls: (_kv_row(bh), kx[t], 0)),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn:
+                         (_kv_row(bh), kx[t], 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, t, pad, qx, kx, fs, ls: (bh, qx[t], 0)),
+                               lambda bh, t, pad, qx, kx, fs, ls, inn:
+                               (bh, qx[t], 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -218,9 +267,10 @@ def flash_causal_attention(
             _kernel,
             block_q=block_q,
             block_k=block_k,
-            scale=scale,
             batch=b,
             sliding_window=sliding_window,
+            fast_path=fast_path,
+            use_exp2=use_exp2,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -231,5 +281,5 @@ def flash_causal_attention(
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         interpret=interpret,
     )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
-      jnp.asarray(last), qr, kr, vr)
+      jnp.asarray(last), jnp.asarray(interior), qr, kr, vr)
     return out.reshape(b, h, n, d)

@@ -34,7 +34,7 @@ def _mask(rows, cols, pad, n, w):
 
 
 def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
-                  block_q, block_k, num_k_blocks, scale, batch, n, w):
+                  block_q, block_k, num_k_blocks, num_q_blocks, batch, n, w):
     # m_ref/l_ref blocks are [1, 8, block_q] — the stats are broadcast over
     # 8 sublanes purely to satisfy TPU tiling (see wrapper).
     bh = pl.program_id(0)
@@ -48,25 +48,43 @@ def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
         m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
         l_acc[:] = jnp.zeros_like(l_acc)
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # q arrives pre-scaled (1/sqrt(d), and log2(e) for the base-2 softmax)
     s = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    s = jnp.where(_mask(rows, cols, pad, n, w), s, _NEG_INF)
 
-    m_prev = m_acc[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - jnp.maximum(m_new, _NEG_INF / 2))
-    p = jnp.where(_mask(rows, cols, pad, n, w), p, 0.0)
-    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
-    l_acc[:] = jnp.broadcast_to(
-        alpha * l_acc[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_acc.shape
+    def _update(s):
+        m_prev = m_acc[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        # masked entries (s == _NEG_INF) underflow to exactly 0 through the
+        # clamped subtraction — no post-exp re-mask needed
+        p = jnp.exp2(s - jnp.maximum(m_new, _NEG_INF / 2))
+        alpha = jnp.exp2(jnp.minimum(m_prev - m_new, 0.0))
+        l_acc[:] = jnp.broadcast_to(
+            alpha * l_acc[:, :1] + jnp.sum(p, axis=1, keepdims=True),
+            l_acc.shape,
+        )
+        m_acc[:] = jnp.broadcast_to(m_new, m_acc.shape)
+
+    # only the trailing W x W block is causally masked (reference quirk),
+    # i.e. only the LAST (qi, ki) tile (w <= block sizes, asserted in the
+    # wrapper); every other tile past the left pad skips mask work
+    fast = ~((qi == num_q_blocks - 1) & (ki == num_k_blocks - 1)) & (
+        pad <= ki * block_k
     )
-    m_acc[:] = jnp.broadcast_to(m_new, m_acc.shape)
+
+    @pl.when(fast)
+    def _fast():
+        _update(s)
+
+    @pl.when(~fast)
+    def _slow():
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        _update(jnp.where(_mask(rows, cols, pad, n, w), s, _NEG_INF))
 
     @pl.when(ki == num_k_blocks - 1)
     def _fin():
@@ -75,7 +93,7 @@ def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
 
 
 def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
-                   block_q, block_k, num_q_blocks, scale, batch, n, w):
+                   block_q, block_k, num_q_blocks, num_k_blocks, batch, n, w):
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -86,20 +104,35 @@ def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     s = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    vis = _mask(rows, cols, pad, n, w)
     m = m_ref[0, 0][:, None]   # [bq, 1]
     l = l_ref[0, 0][:, None]
-    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2)) / jnp.maximum(l, 1e-30)
-    # zero masked entries and padding ROWS (row i < pad contributes nothing)
-    p = jnp.where(vis & (rows >= pad), p, 0.0)
-    acc[:] = acc[:] + jnp.broadcast_to(jnp.sum(p, axis=0, keepdims=True), acc.shape)
+    p0 = jnp.exp2(s - jnp.maximum(m, _NEG_INF / 2)) / jnp.maximum(l, 1e-30)
+
+    def _add(p):
+        acc[:] = acc[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=0, keepdims=True), acc.shape)
+
+    # fast iff the tile avoids the trailing W x W block, sits past the left
+    # pad (columns AND rows — padding rows contribute nothing)
+    fast = ~((qi == num_q_blocks - 1) & (ki == num_k_blocks - 1)) & (
+        pad <= ki * block_k) & (pad <= qi * block_q)
+
+    @pl.when(fast)
+    def _fast():
+        _add(p0)
+
+    @pl.when(~fast)
+    def _slow():
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        # zero masked entries and padding ROWS
+        _add(jnp.where(_mask(rows, cols, pad, n, w) & (rows >= pad), p0, 0.0))
 
     @pl.when(qi == num_q_blocks - 1)
     def _fin():
@@ -132,10 +165,14 @@ def h2o_scores_pallas(
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0
+    # the trailing W x W reference-quirk mask must live entirely in the
+    # last (qi, ki) tile for the interior fast path to be exact
+    assert w <= block_q and w <= block_k, (w, block_q, block_k)
     nq, nk = n // block_q, n // block_k
-    scale = 1.0 / math.sqrt(d)
+    # base-2 online softmax: fold 1/sqrt(d) * log2(e) into q once
+    scale = math.log2(math.e) / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
-    qr = q.reshape(b * h, n, d)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k.reshape(b * hk, n, d)
 
     def _krow(bh):
@@ -145,7 +182,7 @@ def h2o_scores_pallas(
     stats = pl.pallas_call(
         functools.partial(
             _stats_kernel, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk, scale=scale, batch=b, n=n, w=w,
+            num_k_blocks=nk, num_q_blocks=nq, batch=b, n=n, w=w,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -178,7 +215,7 @@ def h2o_scores_pallas(
     colsums = pl.pallas_call(
         functools.partial(
             _colsum_kernel, block_q=block_q, block_k=block_k,
-            num_q_blocks=nq, scale=scale, batch=b, n=n, w=w,
+            num_q_blocks=nq, num_k_blocks=nk, batch=b, n=n, w=w,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
