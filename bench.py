@@ -10,7 +10,8 @@ methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
 by fullkv decode tokens/s at a 64k-token prompt — the long-context regime
 the reference's methods (and its MInference plugin, which targets
 100k-1M) exist for.  At 64k the full cache is 2.1 GB/8 layers and decode
-collapses to ~30 tok/s; snapkv holds ~94 (see BASELINE.md round-2 table).
+collapses to ~34 tok/s; snapkv holds ~148 (see BASELINE.md round-2p
+table: 4.32x).
 """
 
 import json

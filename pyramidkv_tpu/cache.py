@@ -116,78 +116,6 @@ class LayerCacheView(NamedTuple):
     positions: jax.Array  #: [B, H, S]
 
 
-def append_token(
-    layer: LayerCacheView,
-    k_new: jax.Array,
-    v_new: jax.Array,
-    *,
-    slot: jax.Array,
-    position: jax.Array,
-    mask_slot: Optional[jax.Array] = None,
-    v_slot: Optional[jax.Array] = None,
-) -> LayerCacheView:
-    """O(1) in-place append of one decoded token into its decode slot.
-
-    Args:
-      k_new, v_new: [B, H, D] post-RoPE projections of the new token.
-      slot: int32 scalar — index into the k/v buffers.  With a quantized
-        prefill region the fp buffers hold only decode slots, so ``slot`` is
-        relative to the decode region while ``mask_slot`` (full-cache index)
-        addresses the full-length mask/positions arrays.
-      position: [B] int32 — the token's true sequence position.
-      v_slot: separate V-buffer index when K and V buffers differ in length
-        (ThinK: K holds only recent+window+decode slots, V is full-length).
-    """
-    b, h, s, d = layer.k.shape
-    if mask_slot is None:
-        mask_slot = slot
-    if v_slot is None:
-        v_slot = slot
-    k = jax.lax.dynamic_update_slice(
-        layer.k, k_new[:, :, None, :].astype(layer.k.dtype), (0, 0, slot, 0)
-    )
-    v = jax.lax.dynamic_update_slice(
-        layer.v, v_new[:, :, None, :].astype(layer.v.dtype), (0, 0, v_slot, 0)
-    )
-    mask = jax.lax.dynamic_update_slice(
-        layer.mask, jnp.ones((b, h, 1), dtype=bool), (0, 0, mask_slot)
-    )
-    positions = jax.lax.dynamic_update_slice(
-        layer.positions,
-        jnp.broadcast_to(position[:, None, None], (b, h, 1)).astype(jnp.int32),
-        (0, 0, mask_slot),
-    )
-    return LayerCacheView(k=k, v=v, mask=mask, positions=positions)
-
-
-def append_token_per_lane(
-    layer: LayerCacheView,
-    k_new: jax.Array,
-    v_new: jax.Array,
-    *,
-    slots: jax.Array,
-    positions: jax.Array,
-    mask_slots: jax.Array,
-    v_slots: Optional[jax.Array] = None,
-) -> LayerCacheView:
-    """Per-lane append: each batch row writes its own slot (continuous
-    batching, where lanes join mid-flight and have different step counts).
-
-    slots / mask_slots: [B] int32 per-row indices; positions: [B] int32.
-    """
-    b, h, s, d = layer.k.shape
-    if v_slots is None:
-        v_slots = slots
-    rows = jnp.arange(b)
-    k = layer.k.at[rows, :, slots].set(k_new.astype(layer.k.dtype))
-    v = layer.v.at[rows, :, v_slots].set(v_new.astype(layer.v.dtype))
-    mask = layer.mask.at[rows, :, mask_slots].set(True)
-    pos = layer.positions.at[rows, :, mask_slots].set(
-        jnp.broadcast_to(positions[:, None], (b, h)).astype(jnp.int32)
-    )
-    return LayerCacheView(k=k, v=v, mask=mask, positions=pos)
-
-
 def cache_memory_bytes(cache: KVCache) -> int:
     """HBM footprint of the KV buffers (the reference never measures this)."""
     total = sum(

@@ -49,7 +49,6 @@ def _kernel(
     q_block: int,
     k_tile: int,
     num_tiles: int,
-    scale: float,
     batch: int,
     nq: int,
     c0: int,
@@ -210,7 +209,7 @@ def slash_tile_attention(
         acc_c, m_c, l_c = pl.pallas_call(
             functools.partial(
                 _kernel, q_block=q_block, k_tile=k_tile, num_tiles=t,
-                scale=scale, batch=b, nq=nq, c0=c0, h=h,
+                batch=b, nq=nq, c0=c0, h=h,
             ),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -256,7 +255,6 @@ def _db_kernel(
     *,
     q_block: int,
     k_tile: int,
-    scale: float,
     nq: int,
     num_tiles: int,
     h: int,
@@ -438,7 +436,7 @@ def slash_tile_attention_db(
         )
         acc_c, m_c, l_c = pl.pallas_call(
             functools.partial(
-                _db_kernel, q_block=q_block, k_tile=k_tile, scale=scale,
+                _db_kernel, q_block=q_block, k_tile=k_tile,
                 nq=nq, num_tiles=t, h=h, hk=hk, c0=c0,
             ),
             grid_spec=grid_spec,
@@ -475,7 +473,6 @@ def _vert_kernel(
     acc_out, m_out, l_out,
     *,
     q_block: int,
-    scale: float,
     h: int,
 ):
     bh = pl.program_id(0)
@@ -556,7 +553,7 @@ def vertical_attention_partials_kernel(
         ],
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_vert_kernel, q_block=q_block, scale=scale, h=h),
+        functools.partial(_vert_kernel, q_block=q_block, h=h),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),

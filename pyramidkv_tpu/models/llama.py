@@ -28,8 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache import (KVCache, LayerCacheView, append_token,
-                     append_token_per_lane)
+from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
 from .weights import QuantW, dq_codes, embed_lookup, mm
 from ..ops.attention import causal_prefill_attention, decode_attention
@@ -599,32 +598,40 @@ def decode_step(
     cs = plan.spec
     think = cache.think is not None
 
-    def make_layer_fn(subplan, by_index=False):
+    def make_layer_fn(subplan, layer0):
+        """Scan body over layers ``[layer0, layer0 + L_seg)``.
+
+        The cache buffers ride the scan CARRY as full ``[L_seg, B, H, S, D]``
+        stacks: the append is a one-slot ``dynamic_update_slice`` (in-place
+        in the loop carry) and the attention reads the layer's slice by
+        index.  Threading the buffers through scan xs/ys instead makes XLA
+        re-stack — i.e. fully COPY — the cache every decode step: invisible
+        at 4k ctx, but at 64k the 2.1 GB full-KV cache turned a ~10 ms
+        roofline step into 29 ms (34 tok/s) on v5e.  Weights load by index
+        for the analogous reason (sliced sub-stacks re-copy per token)."""
         sp = subplan.think_pruned_slots if think else 0
         if lane_steps is None:
             full_slot = subplan.prefill_slots + cache.step  # mask/positions
             # K-buffer index: quant holds only decode slots; think holds
             # only recent+window+decode slots (narrow region excluded)
             kv_slot = cache.step if quantized else full_slot - sp
-            v_slot = full_slot if think else None  # V is always full-length
+            v_slot = full_slot if think else kv_slot  # V is full-length
             full_slots = kv_slots = v_slots = None
         else:
             full_slots = subplan.prefill_slots + lane_steps  # [B]
             kv_slots = lane_steps if quantized else full_slots - sp
-            v_slots = full_slots if think else None
+            v_slots = full_slots if think else kv_slots
             full_slot = kv_slot = v_slot = None
 
-        def layer_fn(hidden, xs):
-            wts, layer, qreg, treg = xs
-            if by_index:
-                # wts is a layer INDEX: load this layer's weights with a
-                # dynamic slice of the stacked params.  Slicing sub-stacks
-                # inside the decode while_loop instead makes XLA re-copy
-                # the weights every token (measured 134 -> 68 tok/s, v5e).
-                wts = jax.tree_util.tree_map(
-                    lambda x: x[wts], params["layers"]
-                )
-            layer = LayerCacheView(layer.k, layer.v, layer.mask, layer.positions)
+        def layer_fn(carry, i):
+            hidden, kf, vf, mf, pf = carry
+            wts = jax.tree_util.tree_map(
+                lambda x: x[layer0 + i], params["layers"]
+            )
+            qreg = (jax.tree_util.tree_map(lambda x: x[i], cache.quant)
+                    if quantized else None)
+            treg = (jax.tree_util.tree_map(lambda x: x[i], cache.think)
+                    if think else None)
             x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
             q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
             q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
@@ -634,16 +641,30 @@ def decode_step(
             else:
                 k_new = _repeat_kv(k, groups)[:, :, 0, :]  # [B, H, Dh]
                 v_new = _repeat_kv(v, groups)[:, :, 0, :]
+            hm = mf.shape[2]
             if lane_steps is None:
-                layer = append_token(
-                    layer, k_new, v_new, slot=kv_slot, position=pos,
-                    mask_slot=full_slot, v_slot=v_slot,
-                )
+                kf = jax.lax.dynamic_update_slice(
+                    kf, k_new[None, :, :, None, :].astype(kf.dtype),
+                    (i, 0, 0, kv_slot, 0))
+                vf = jax.lax.dynamic_update_slice(
+                    vf, v_new[None, :, :, None, :].astype(vf.dtype),
+                    (i, 0, 0, v_slot, 0))
+                mf = jax.lax.dynamic_update_slice(
+                    mf, jnp.ones((1, b, hm, 1), mf.dtype),
+                    (i, 0, 0, full_slot))
+                pf = jax.lax.dynamic_update_slice(
+                    pf, jnp.broadcast_to(
+                        pos[None, :, None, None], (1, b, hm, 1)
+                    ).astype(pf.dtype),
+                    (i, 0, 0, full_slot))
             else:
-                layer = append_token_per_lane(
-                    layer, k_new, v_new, slots=kv_slots, positions=pos,
-                    mask_slots=full_slots, v_slots=v_slots,
-                )
+                rows = jnp.arange(b)
+                kf = kf.at[i, rows, :, kv_slots].set(k_new.astype(kf.dtype))
+                vf = vf.at[i, rows, :, v_slots].set(v_new.astype(vf.dtype))
+                mf = mf.at[i, rows, :, full_slots].set(True)
+                pf = pf.at[i, rows, :, full_slots].set(
+                    jnp.broadcast_to(pos[:, None], (b, hm)).astype(jnp.int32))
+            layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
             visible = layer.mask
             if spec.sliding_window is not None:
                 visible = visible & (
@@ -711,46 +732,43 @@ def decode_step(
             hidden = hidden + mm(attn.reshape(b, -1), wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
-            return hidden, layer
+            return (hidden, kf, vf, mf, pf), None
 
         return layer_fn
-
-    def _slice_layers(tree, start, stop):
-        return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
 
     segs = plan.segment_plans()
     if len(segs) == 1:
         _, _, sub = segs[0]
-        layers_in = LayerCacheView(cache.k, cache.v, cache.mask, cache.positions)
-        hidden, layers_out = jax.lax.scan(
-            make_layer_fn(sub), hidden0,
-            (params["layers"], layers_in, cache.quant, cache.think),
+        carry0 = (hidden0, cache.k, cache.v, cache.mask, cache.positions)
+        (hidden, k, v, m, p), _ = jax.lax.scan(
+            make_layer_fn(sub, 0), carry0,
+            jnp.arange(spec.num_hidden_layers, dtype=jnp.int32),
         )
         logits = _logits(hidden, params, spec)
         new_cache = KVCache(
-            k=layers_out.k, v=layers_out.v, mask=layers_out.mask,
-            positions=layers_out.positions, true_len=cache.true_len,
+            k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
             step=cache.step + 1, quant=cache.quant, think=cache.think,
         )
         return logits, new_cache
 
     assert not quantized and not think  # make_plan keeps these uniform
     hidden = hidden0
-    outs = []
+    outk, outv, outm, outp = [], [], [], []
     for i, (start, stop, sub) in enumerate(segs):
-        layers_in = LayerCacheView(
-            cache.k[i], cache.v[i], cache.mask[i], cache.positions[i]
+        carry0 = (hidden, cache.k[i], cache.v[i], cache.mask[i],
+                  cache.positions[i])
+        (hidden, k1, v1, m1, p1), _ = jax.lax.scan(
+            make_layer_fn(sub, start), carry0,
+            jnp.arange(stop - start, dtype=jnp.int32),
         )
-        hidden, layers_out = jax.lax.scan(
-            make_layer_fn(sub, by_index=True), hidden,
-            (jnp.arange(start, stop, dtype=jnp.int32), layers_in, None, None),
-        )
-        outs.append(layers_out)
+        outk.append(k1)
+        outv.append(v1)
+        outm.append(m1)
+        outp.append(p1)
     logits = _logits(hidden, params, spec)
     new_cache = KVCache(
-        k=tuple(o.k for o in outs), v=tuple(o.v for o in outs),
-        mask=tuple(o.mask for o in outs),
-        positions=tuple(o.positions for o in outs),
+        k=tuple(outk), v=tuple(outv), mask=tuple(outm),
+        positions=tuple(outp),
         true_len=cache.true_len, step=cache.step + 1, quant=None,
     )
     return logits, new_cache
