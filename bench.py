@@ -9,9 +9,11 @@ full-KV decode at the same context length: the number the compression
 methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
 by fullkv decode tokens/s at a 64k-token prompt — the long-context regime
 the reference's methods (and its MInference plugin, which targets
-100k-1M) exist for.  At 64k the full cache is 2.1 GB/8 layers and decode
-collapses to ~34 tok/s; snapkv holds ~148 (see BASELINE.md round-2p
-table: 4.32x).
+100k-1M) exist for.  At 64k the full cache is 2.1 GB/8 layers: fullkv
+decode runs ~103 tok/s (85% of its HBM roofline after the round-2r
+cache-copy fix) while snapkv holds ~146 at 33 MB of cache — a 1.4x
+bandwidth win on top of the 60x cache-footprint win (see BASELINE.md
+round-2r table).
 """
 
 import json

@@ -99,11 +99,38 @@ def main():
     run_engine("engine4k/l2norm", p8, s8, "l2norm", 4096)
     del p8
 
-    # B/C. full-depth flagship with int8 weights
-    from pyramidkv_tpu.models.weights import quantize_weights
+    # B/C. full-depth flagship with int8 weights, built directly as int8
+    # codes (the 32-layer bf16 pytree would not fit HBM — same recipe as
+    # tpu_round2f_bench.random_int8_params)
+    from pyramidkv_tpu.models.weights import QuantW
     s32 = spec_depth(32)
-    p32 = quantize_weights(
-        llama.init_params(s32, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    ks = iter(jax.random.split(jax.random.PRNGKey(1), 16))
+    L, Dm, I = (s32.num_hidden_layers, s32.hidden_size,
+                s32.intermediate_size)
+    H, KV, Dh, V = (s32.num_attention_heads, s32.num_key_value_heads,
+                    s32.head_dim, s32.vocab_size)
+
+    def qw(shape):
+        codes = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
+        scale = jnp.full(shape[:-2] + (shape[-1],),
+                         1.0 / (127.0 * np.sqrt(shape[-2])), jnp.float32)
+        return QuantW(codes=codes, scale=scale)
+
+    p32 = {
+        "embed": QuantW(
+            codes=jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8),
+            scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),
+        "final_norm": jnp.ones((Dm,), jnp.bfloat16),
+        "lm_head": qw((Dm, V)),
+        "layers": {
+            "wq": qw((L, Dm, H * Dh)), "wk": qw((L, Dm, KV * Dh)),
+            "wv": qw((L, Dm, KV * Dh)), "wo": qw((L, H * Dh, Dm)),
+            "w_gate": qw((L, Dm, I)), "w_up": qw((L, Dm, I)),
+            "w_down": qw((L, I, Dm)),
+            "attn_norm": jnp.ones((L, Dm), jnp.bfloat16),
+            "mlp_norm": jnp.ones((L, Dm), jnp.bfloat16),
+        },
+    }
     run_engine("engine4k_d32int8/fullkv", p32, s32, "fullkv", 4096)
     run_engine("engine4k_d32int8/snapkv", p32, s32, "snapkv", 4096)
     run_engine("engine2k_d32int8/snapkv_B8", p32, s32, "snapkv", 2048,

@@ -34,6 +34,28 @@ def test_flash_matches_xla(true_len):
         )
 
 
+@pytest.mark.parametrize("fast_path", [True, False])
+@pytest.mark.parametrize("use_exp2", [True, False])
+def test_flash_fast_path_flags(fast_path, use_exp2):
+    """The interior-tile fast path and base-2 softmax are exact (not
+    approximations): every flag combination matches the XLA reference,
+    including a pad landing exactly on a tile boundary (pad == block_k —
+    the `pad <= ki*block_k` fast-path predicate's edge)."""
+    n = 128
+    q, k, v = _rand(n, seed=7)
+    tl = jnp.asarray([n - 32, n - 50], jnp.int32)  # pad 32 = block, pad 50
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=32)
+    got = flash_causal_attention(q, k, v, tl, block_q=32, block_k=32,
+                                 interpret=True, fast_path=fast_path,
+                                 use_exp2=use_exp2)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
 def test_flash_sliding_window():
     n = 64
     q, k, v = _rand(n, seed=3)
