@@ -34,7 +34,7 @@ def _mask(rows, cols, pad, n, w):
 
 
 def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
-                  block_q, block_k, num_k_blocks, num_q_blocks, batch, n, w):
+                  block_q, block_k, num_k_blocks, batch, n, w):
     # m_ref/l_ref blocks are [1, 8, block_q] — the stats are broadcast over
     # 8 sublanes purely to satisfy TPU tiling (see wrapper).
     bh = pl.program_id(0)
@@ -67,12 +67,12 @@ def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
         )
         m_acc[:] = jnp.broadcast_to(m_new, m_acc.shape)
 
-    # only the trailing W x W block is causally masked (reference quirk),
-    # i.e. only the LAST (qi, ki) tile (w <= block sizes, asserted in the
-    # wrapper); every other tile past the left pad skips mask work
-    fast = ~((qi == num_q_blocks - 1) & (ki == num_k_blocks - 1)) & (
-        pad <= ki * block_k
-    )
+    # only the trailing W x W block is causally masked (reference quirk):
+    # tiles touching rows >= n-w AND cols >= n-w take the masked path,
+    # every other tile past the left pad skips mask work entirely
+    q0 = (n - w) // block_q  # first q-tile whose row_max reaches n-w
+    k0 = (n - w) // block_k
+    fast = ~((qi >= q0) & (ki >= k0)) & (pad <= ki * block_k)
 
     @pl.when(fast)
     def _fast():
@@ -93,7 +93,7 @@ def _stats_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, m_acc, l_acc, *,
 
 
 def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
-                   block_q, block_k, num_q_blocks, num_k_blocks, batch, n, w):
+                   block_q, block_k, num_q_blocks, batch, n, w):
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -118,8 +118,10 @@ def _colsum_kernel(pad_ref, q_ref, k_ref, m_ref, l_ref, out_ref, acc, *,
 
     # fast iff the tile avoids the trailing W x W block, sits past the left
     # pad (columns AND rows — padding rows contribute nothing)
-    fast = ~((qi == num_q_blocks - 1) & (ki == num_k_blocks - 1)) & (
-        pad <= ki * block_k) & (pad <= qi * block_q)
+    q0 = (n - w) // block_q
+    k0 = (n - w) // block_k
+    fast = (~((qi >= q0) & (ki >= k0))
+            & (pad <= ki * block_k) & (pad <= qi * block_q))
 
     @pl.when(fast)
     def _fast():
@@ -165,9 +167,6 @@ def h2o_scores_pallas(
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0
-    # the trailing W x W reference-quirk mask must live entirely in the
-    # last (qi, ki) tile for the interior fast path to be exact
-    assert w <= block_q and w <= block_k, (w, block_q, block_k)
     nq, nk = n // block_q, n // block_k
     # base-2 online softmax: fold 1/sqrt(d) * log2(e) into q once
     scale = math.log2(math.e) / math.sqrt(d)
@@ -182,7 +181,7 @@ def h2o_scores_pallas(
     stats = pl.pallas_call(
         functools.partial(
             _stats_kernel, block_q=block_q, block_k=block_k,
-            num_k_blocks=nk, num_q_blocks=nq, batch=b, n=n, w=w,
+            num_k_blocks=nk, batch=b, n=n, w=w,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -215,7 +214,7 @@ def h2o_scores_pallas(
     colsums = pl.pallas_call(
         functools.partial(
             _colsum_kernel, block_q=block_q, block_k=block_k,
-            num_q_blocks=nq, num_k_blocks=nk, batch=b, n=n, w=w,
+            num_q_blocks=nq, batch=b, n=n, w=w,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
