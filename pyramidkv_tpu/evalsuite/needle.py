@@ -129,14 +129,17 @@ class NeedleTester:
         step = span / len(needles)
         return [min(depth + i * step, 100.0) for i in range(len(needles))]
 
-    def _insert(self, ctx, needle_toks, depth: float):
+    def _insert_point(self, ctx, depth: float) -> int:
+        """Sentence-boundary insertion offset at ``depth``% of ``ctx``
+        (reference semantics: walk back to the previous period,
+        run_needle_in_haystack.py:398-438)."""
         if depth >= 100:
-            return ctx + needle_toks
+            return len(ctx)
         point = int(len(ctx) * depth / 100)
         periods = set(self._period_tokens())
         while point > 0 and ctx[point - 1] not in periods:
             point -= 1
-        return ctx[:point] + needle_toks + ctx[point:]
+        return point
 
     def build_context(self, haystack_tokens, context_length: int, depth: float) -> str:
         needles = self._all_needles()
@@ -144,13 +147,17 @@ class NeedleTester:
         total_nd = sum(len(t) for t in needle_toks)
         budget = context_length - self.final_context_length_buffer
         ctx = list(haystack_tokens[: max(budget - total_nd, 0)])
-        # insert deepest-first so earlier insertion points stay valid
-        order = sorted(
-            zip(needle_toks, self._needle_depths(depth)),
-            key=lambda x: -x[1],
-        )
-        for toks, dp in order:
-            ctx = self._insert(ctx, toks, dp)
+        # Every insertion point is computed on the ORIGINAL context, then
+        # needles are inserted deepest-offset-first: shallower points are
+        # strictly <= the already-inserted offsets, so no point can drift
+        # into (and split) a previously inserted needle — recomputing
+        # points on the grown context could, at close depths.
+        placed = [
+            (self._insert_point(ctx, dp), toks)
+            for toks, dp in zip(needle_toks, self._needle_depths(depth))
+        ]
+        for point, toks in sorted(placed, key=lambda x: -x[0]):
+            ctx = ctx[:point] + toks + ctx[point:]
         return self._decode(ctx)
 
     def _result_path(self, context_length: int, depth: float) -> str:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
-from .weights import QuantW, dq_codes, embed_lookup, mm
+from .weights import QuantW, dq_codes, embed_lookup, expert_mm, mm
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
@@ -208,6 +208,9 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
     e = (router.scale if isinstance(router, QuantW) else router).shape[-1]
     k = top_k
 
+    # NOTE: a bf16 router rounds its logits to bf16 before the fp32
+    # softmax — exactly what HF's bf16 nn.Linear gate does (torch bf16
+    # linear accumulates fp32, rounds the output), so parity holds.
     logits = mm(x, wts["router"]).astype(jnp.float32)  # [B, T, E]
     probs = jax.nn.softmax(logits, axis=-1)
     vals, idx = jax.lax.top_k(probs, k)
@@ -222,24 +225,13 @@ def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,
         )
         return out[:, 0, :] if squeeze else out
 
-    def emm(xc, w, sub):
-        # [B,T,D] x [E,D,I] -> [B,T,E,I]; per-(expert, out) scales factor out
-        if isinstance(w, QuantW):
-            y = jnp.einsum(sub, xc, dq_codes(w, xc.dtype))
-            return y * w.scale[None, None].astype(y.dtype)
-        return jnp.einsum(sub, xc, w)
-
     def ffn(xc, wc):
-        # xc [B, Tc, Dm]; wc [B, Tc, E]
-        g = emm(xc, wts["w_gate"], "btd,edi->btei")
-        u = emm(xc, wts["w_up"], "btd,edi->btei")
+        # xc [B, Tc, Dm]; wc [B, Tc, E]; per-(expert, out-channel) QuantW
+        # scales factor out of each expert einsum (weights.expert_mm)
+        g = expert_mm(xc, wts["w_gate"], "btd,edi->btei")
+        u = expert_mm(xc, wts["w_up"], "btd,edi->btei")
         a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
-        if isinstance(wts["w_down"], QuantW):
-            o = jnp.einsum("btei,eid->bted", a,
-                           dq_codes(wts["w_down"], a.dtype))
-            o = o * wts["w_down"].scale[None, None].astype(o.dtype)
-        else:
-            o = jnp.einsum("btei,eid->bted", a, wts["w_down"])
+        o = expert_mm(a, wts["w_down"], "btei,eid->bted")
         return (o.astype(jnp.float32) * wc[..., None]).sum(2).astype(xc.dtype)
 
     if t <= chunk or t % chunk != 0:
@@ -303,21 +295,10 @@ def _moe_mlp_dispatch(x: jax.Array, wts: dict, weight: jax.Array, e: int,
         )  # [B,Tc,E,C]
         xe = jnp.einsum("btec,btd->becd", disp, xc)  # [B,E,C,D]
 
-        def emm(z, w, sub):
-            if isinstance(w, QuantW):
-                y = jnp.einsum(sub, z, dq_codes(w, z.dtype))
-                return y * w.scale[None, :, None, :].astype(y.dtype)
-            return jnp.einsum(sub, z, w)
-
-        g = emm(xe, wts["w_gate"], "becd,edi->beci")
-        u = emm(xe, wts["w_up"], "becd,edi->beci")
+        g = expert_mm(xe, wts["w_gate"], "becd,edi->beci")
+        u = expert_mm(xe, wts["w_up"], "becd,edi->beci")
         a = jax.nn.silu(g.astype(jnp.float32)).astype(xc.dtype) * u
-        if isinstance(wts["w_down"], QuantW):
-            oe = jnp.einsum("beci,eid->becd", a,
-                            dq_codes(wts["w_down"], a.dtype))
-            oe = oe * wts["w_down"].scale[None, :, None, :].astype(oe.dtype)
-        else:
-            oe = jnp.einsum("beci,eid->becd", a, wts["w_down"])
+        oe = expert_mm(a, wts["w_down"], "beci,eid->becd")
         # combine: y[t] = sum_e w[t,e] * oe[slot(t,e)]  (fp32 accumulation)
         dispw = disp.astype(jnp.float32) * wc[..., None]
         y = jnp.einsum("btec,becd->btd", dispw, oe.astype(jnp.float32),

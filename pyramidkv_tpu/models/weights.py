@@ -214,6 +214,22 @@ def _mm_grouped(x: jax.Array, w: QuantW) -> jax.Array:
     return jax.lax.fori_loop(0, n_groups, body, acc).astype(x.dtype)
 
 
+def expert_mm(z: jax.Array, w, sub: str) -> jax.Array:
+    """Expert-stacked einsum with QuantW support: ``einsum(sub, z, w)``
+    where ``w`` is ``[E, in, out]`` (or QuantW codes of it with per-
+    (expert, out-channel) scales).  The scale broadcast is derived from
+    the output subscript — 'e' marks the expert axis, the LAST output
+    letter is the out-channel axis."""
+    if not isinstance(w, QuantW):
+        return jnp.einsum(sub, z, w)
+    y = jnp.einsum(sub, z, dq_codes(w, z.dtype))
+    out = sub.split("->")[1]
+    shape = [1] * len(out)
+    shape[out.index("e")] = w.scale.shape[0]
+    shape[-1] = w.scale.shape[1]
+    return y * w.scale.reshape(shape).astype(y.dtype)
+
+
 def mm(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized weights (dequant factored out)."""
     if isinstance(w, QuantW):

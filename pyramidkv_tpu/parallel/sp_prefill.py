@@ -43,7 +43,7 @@ from ..models.llama import (
     rms_norm,
     rope_inv_freq,
 )
-from ..models.weights import mm
+from ..models.weights import embed_lookup, mm, weight_dtype
 from ..policy import PolicyPlan, layer_contexts
 from .ring_attention import _ring_body
 
@@ -355,7 +355,8 @@ def sequence_parallel_prefill(
         pad = (n - true_len_).astype(jnp.int32)
         cols = me * nl + jnp.arange(nl, dtype=jnp.int32)
         positions = cols[None, :] - pad[:, None]  # [B, Nl]
-        hidden0 = jnp.take(params["embed"], tokens_l, axis=0)
+        hidden0 = embed_lookup(params["embed"], tokens_l,
+                               weight_dtype(params))
 
         def layer_fn(hidden, xs):
             wts, ctx = xs
@@ -368,7 +369,8 @@ def sequence_parallel_prefill(
             attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
             hidden = hidden + mm(attn, wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts)
+            hidden = hidden + _mlp(x2, wts,
+                                   spec.num_experts_per_tok)
 
             hk = k.shape[1]
             hh = q.shape[1]  # per-query-head cache (reference layout)

@@ -136,7 +136,9 @@ class ContinuousBatcher:
         L, B, S, D = (
             spec.num_hidden_layers, self.lanes, plan.total_slots, spec.head_dim,
         )
-        dtype = engine.params["embed"].dtype
+        from .models.weights import weight_dtype
+
+        dtype = weight_dtype(engine.params)  # QuantW embed -> bf16
         quantized = plan.spec.quant_method is not None
         if plan.segmented:
             # per-segment slot widths depend on the bucket; one bucket only

@@ -182,3 +182,31 @@ def test_cb_tensor_parallel_params(eng):
     for r in reqs:
         want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_with_quantized_weights():
+    """CB + int8 WEIGHTS (QuantW embed has no .dtype — serving must use
+    weights.weight_dtype); tokens match independent generation."""
+    from pyramidkv_tpu.models.weights import quantize_weights
+
+    spec = ModelSpec.tiny()
+    params = quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32))
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(32,)),
+        params,
+    )
+    rng = np.random.default_rng(5)
+    reqs = [
+        Request(request_id=f"q{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=5)
+        for i, n in enumerate((12, 20, 28))
+    ]
+    cb = ContinuousBatcher(eng, lanes=2, quantum=3)
+    out = cb.run(list(reqs))
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
