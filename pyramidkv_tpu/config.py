@@ -272,7 +272,7 @@ class CompressionSpec:
     #: ~32k (8k: dense 41 ms vs sparse 54+34; 32k: par; 64k: sparse 2.1x
     #: faster) — and dense is strictly more accurate.  Set 0 to force the
     #: sparse path everywhere.
-    minference_dense_below: int = 16384
+    minference_dense_below: int = 32768
     #: Aggregate selection over GQA groups and store num_kv_heads entries
     #: instead of the reference's per-query-head selection after repeat_kv
     #: (llama_model.py:158-159).  Saves group_size x cache memory at a small

@@ -290,6 +290,11 @@ class Engine:
 
     def _get_roll(self, bucket: int, keep_recent: int,
                   eviction: str = "recency"):
+        if eviction not in ("recency", "l2norm"):
+            raise ValueError(
+                f"unknown decode eviction {eviction!r}; "
+                "expected 'recency' or 'l2norm'"
+            )
         key = (bucket, keep_recent, eviction)
         fn = self._roll_fns.get(key)
         if fn is None:

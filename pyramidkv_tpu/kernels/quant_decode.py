@@ -167,6 +167,18 @@ def quant_decode_attention(
     s_pad = kc.shape[-1] * per
     dp = vc.shape[-1] * per
 
+    # K codes are slot-padded to a group multiple by quantize_kv_region;
+    # V codes (quantized along channels) keep the raw slot count — pad
+    # them (and a raw-slot mask) up to s_pad here.  Zero codes/scales
+    # dequantize to exactly 0 and the mask keeps those slots dead.
+    if vc.shape[2] != s_pad:
+        padn = ((0, 0), (0, 0), (0, s_pad - vc.shape[2]), (0, 0))
+        vc = jnp.pad(vc, padn)
+        vs = jnp.pad(vs, padn)
+        vz = jnp.pad(vz, padn)
+    if mask.shape[-1] != s_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
+
     scale = 1.0 / math.sqrt(d)
     qr = (q.astype(jnp.float32) * scale).reshape(b * h, 1, d)
     qr = jnp.broadcast_to(qr, (b * h, 8, d))

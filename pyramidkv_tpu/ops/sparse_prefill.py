@@ -236,12 +236,9 @@ def sparse_prefill_attention(
         pattern, n, q_block, k_tile, tile_budget
     )
     k_vert, v_vert = gather_vertical_kv(k, v, pattern.vert_idx)
-    vq_block = q_block
-    while n % vq_block != 0:
-        vq_block = math.gcd(n, vq_block) or n
     acc_v, m_v, l_v = vertical_attention_partials_kernel(
         q, k_vert, v_vert, pattern.vert_idx, pattern.vert_valid, true_len,
-        q_block=vq_block, interpret=interpret,
+        q_block=q_block, interpret=interpret,  # q_block already divides n
     )
     slash_fn = (slash_tile_attention_db if slash_impl == "db"
                 else slash_tile_attention)

@@ -85,3 +85,29 @@ def test_engine_kernel_path_matches_xla_path(nbits):
             jl._FORCE_QUANT_KERNEL[0] = False
 
     assert run(True) == run(False)
+
+
+def test_engine_kernel_path_nonmultiple_slots():
+    """prefill_slots NOT a multiple of q_group_size: K codes are
+    slot-padded by the quantizer but V codes are not — the kernel wrapper
+    must pad V (and the mask) itself (regression: reshape TypeError)."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ids = [int(x) for x in np.random.default_rng(4).integers(0, 256, size=60)]
+
+    def run(force_kernel):
+        jl._FORCE_QUANT_KERNEL[0] = force_kernel
+        try:
+            eng = Engine(
+                spec,
+                CompressionSpec(method="snapkv", max_capacity_prompt=26,
+                                window_size=6, quant_method="kivi",
+                                nbits=4, q_group_size=16),
+                EngineSpec(max_new_tokens=6, prefill_buckets=(64,)),
+                params,
+            )
+            return eng.generate([ids], eos_token_ids=()).tokens[0]
+        finally:
+            jl._FORCE_QUANT_KERNEL[0] = False
+
+    assert run(True) == run(False)
