@@ -183,6 +183,33 @@ def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
     )
 
 
+#: per-grid SMEM budget for the 6 int32 scalar-prefetch tables; a
+#: 32k-entry table measured a scoped-SMEM exhaustion in the slash kernel
+_MAX_TILE_VISITS = 16384
+
+
+def _fit_blocks(n: int, block_q: int, block_k: int,
+                sliding_window: int | None):
+    """Grow the tile sizes until the ACTUAL triangular visit count fits the
+    SMEM table budget — 128k ctx lands on 1024x1024 tiles (T=8256).  Only
+    doublings that still divide n are taken (engine buckets are powers of
+    two; odd direct-call lengths keep their size)."""
+    def visits(bq, bk):
+        return len(_triangular_pairs(n // bq, n // bk, bq, bk,
+                                     sliding_window)[0])
+
+    while visits(block_q, block_k) > _MAX_TILE_VISITS:
+        if block_q <= block_k and n % (2 * block_q) == 0:
+            block_q *= 2
+        elif n % (2 * block_k) == 0:
+            block_k *= 2
+        elif n % (2 * block_q) == 0:
+            block_q *= 2
+        else:
+            break
+    return block_q, block_k
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
@@ -215,27 +242,8 @@ def flash_causal_attention(
     b, h, n, d = q.shape
     hk = k.shape[1]
     g = h // hk
-    block_q = min(block_q, n)
-    block_k = min(block_k, n)
-    # The per-tile index tables live in SMEM (6 int32 arrays of T entries);
-    # a 32k-entry table measured a scoped-SMEM exhaustion in the slash
-    # kernel.  At very long context grow the tiles until the ACTUAL visit
-    # count fits — 128k ctx lands on 1024x1024 tiles (T=8256).  Only
-    # doublings that still divide n are taken (engine buckets are powers
-    # of two; odd direct-call lengths just keep their size).
-    def _visits(bq, bk):
-        return len(_triangular_pairs(n // bq, n // bk, bq, bk,
-                                     sliding_window)[0])
-
-    while _visits(block_q, block_k) > 16384:
-        if block_q <= block_k and n % (2 * block_q) == 0:
-            block_q *= 2
-        elif n % (2 * block_k) == 0:
-            block_k *= 2
-        elif n % (2 * block_q) == 0:
-            block_q *= 2
-        else:
-            break
+    block_q, block_k = _fit_blocks(n, min(block_q, n), min(block_k, n),
+                                   sliding_window)
     assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
     nq, nk = n // block_q, n // block_k
     scale = 1.0 / math.sqrt(d)

@@ -175,3 +175,26 @@ def test_flash_grouped_kv_matches_repeated():
             np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_fit_blocks_bounds_smem_tables():
+    """Adaptive tile growth: the scalar-prefetch visit tables stay within
+    budget at every power-of-two context up to 256k, blocks always divide
+    n, and non-power-of-two n falls back gracefully."""
+    from pyramidkv_tpu.kernels.flash_prefill import (
+        _MAX_TILE_VISITS, _fit_blocks, _triangular_pairs)
+
+    for n in [4096, 32768, 65536, 131072, 262144]:
+        bq, bk = _fit_blocks(n, 512, 512, None)
+        assert n % bq == 0 and n % bk == 0
+        t = len(_triangular_pairs(n // bq, n // bk, bq, bk, None)[0])
+        assert t <= _MAX_TILE_VISITS, (n, bq, bk, t)
+    # odd multiple of 512: growth blocked by divisibility, still valid
+    n = 183 * 512
+    bq, bk = _fit_blocks(n, 512, 512, None)
+    assert n % bq == 0 and n % bk == 0
+    # sliding window shrinks the visit count, so big-n windowed cases
+    # stay at smaller (better-pipelined) tiles
+    bq, bk = _fit_blocks(131072, 512, 512, 4096)
+    t = len(_triangular_pairs(131072 // bq, 131072 // bk, bq, bk, 4096)[0])
+    assert t <= _MAX_TILE_VISITS
