@@ -13,16 +13,17 @@ themselves.  This is what makes the full 32-layer Llama-3-8B geometry
 fit one 16 GB v5e (bf16 weights ~16 GB; int8 ~8 GB; int4 ~4 GB + int8
 embeddings).
 
-int4 storage is two signed nibbles PACKED per int8 byte along the OUT
-axis (codes ``[..., in, out//2]``).  We deliberately do not use the
-``jnp.int4`` dtype: S4 jax arrays cannot cross this image's TPU tunnel
-as jit arguments (device_put recurses), and packed-int8 + an arithmetic
-unpack (mask/shift/sign-extend, fused by XLA into the consumer) is the
-portable TPU-native layout — the same scheme the KV-cache quantizer
-uses (`ops/quant.py::_pack`).  Packing along the out axis means the
-reshape-based pack/unpack preserves column order with no interleave
-permutation, and out-axis (column-parallel) sharding still works: each
-byte holds two adjacent columns of the same shard.
+int4 STORAGE is two signed nibbles PACKED per int8 byte along the OUT
+axis (codes ``[..., in, out//2]``): S4 jax arrays cannot cross this
+image's TPU tunnel as jit arguments (device_put recurses), so the
+pytree leaves stay int8.  The COMPUTE path reinterprets the bytes as
+native ``jnp.int4`` inside the jitted forward via a zero-copy
+``bitcast_convert_type`` (s4 is stored two-per-byte anyway), so the
+s4->bf16 convert fuses into the matmul operand stream like the int8
+path and decode reads 0.5 byte/param — see :func:`_logical_codes`.
+Packing along the out axis means pack/bitcast preserve column order
+with no interleave permutation, and out-axis (column-parallel) sharding
+still works: each byte holds two adjacent columns of the same shard.
 
 int4 per-channel rounding is coarse, so ``group_size`` (AWQ/GPTQ-style,
 e.g. 128) additionally splits the CONTRACTION dimension into groups with
@@ -100,12 +101,30 @@ def is_packed4(w: QuantW) -> bool:
     return w.codes.shape[-1] * 2 == w.scale.shape[-1]
 
 
+def _logical_codes(w: QuantW) -> jax.Array:
+    """Codes at their LOGICAL ``[..., in, out]`` shape, still integer.
+
+    Packed int4 leaves are reinterpreted as native ``jnp.int4`` via
+    ``bitcast_convert_type`` — XLA stores s4 packed two-per-byte, so the
+    bitcast is a zero-copy metadata change (byte layout identical to
+    :func:`pack4`: element 0 of each byte = low nibble = even column).
+    The s4->bf16 convert then fuses into the consuming matmul's operand
+    stream exactly like the int8 path, keeping decode HBM traffic at
+    0.5 byte/param.  The arithmetic unpack (:func:`unpack4`) is NOT used
+    on the compute path: its mask/shift/stack chain cannot fuse into a
+    dot operand, so XLA rematerialised full-width weight transients every
+    decode step (measured d32 Llama-3-8B: 8.6 tok/s vs int8's 79.7)."""
+    if is_packed4(w):
+        nib = jax.lax.bitcast_convert_type(w.codes, jnp.int4)
+        return nib.reshape(*w.codes.shape[:-1], w.codes.shape[-1] * 2)
+    return w.codes
+
+
 def dq_codes(w: QuantW, dtype) -> jax.Array:
     """The integer codes at their LOGICAL shape, cast to the compute
-    dtype (unpacks int4 nibbles; XLA fuses the mask/shift chain into the
-    consuming matmul operand)."""
-    c = unpack4(w.codes) if is_packed4(w) else w.codes
-    return c.astype(dtype)
+    dtype (int4 nibbles become a fusable s4->dtype convert; see
+    :func:`_logical_codes`)."""
+    return _logical_codes(w).astype(dtype)
 
 
 def _quantize_leaf(w: jax.Array, nbits: int = 8,
@@ -184,7 +203,7 @@ _GROUP_EINSUM_MAX_ROWS = 256
 def _mm_grouped(x: jax.Array, w: QuantW) -> jax.Array:
     """x @ dequant(w) for group-wise scales; logical codes [in, out],
     scale [G, out]."""
-    codes = unpack4(w.codes) if is_packed4(w) else w.codes
+    codes = _logical_codes(w)
     in_dim, out_dim = codes.shape
     n_groups = w.scale.shape[0]
     g = in_dim // n_groups
