@@ -1,0 +1,207 @@
+"""Fused dequant x@W kernel (Pallas TPU) for packed-int4 WEIGHTS.
+
+Decode is weight-HBM-bound, and XLA cannot stream sub-byte operands into
+the MXU: both the arithmetic mask/shift unpack and a zero-copy bitcast
+to native ``jnp.int4`` make XLA materialise full-width weight transients
+every step (measured d32 Llama-3-8B fullkv decode: 8.6 and 10.2 tok/s vs
+int8's 79.7 — logs/tpu_r2o.jsonl, tpu_r2v.jsonl).  This kernel reads the
+PACKED bytes (0.5 byte/param of HBM traffic), sign-extends the two
+nibbles in VMEM, and feeds the MXU directly — the int4 analogue of what
+XLA's operand-fusion already does for int8.
+
+Layout contract (``models/weights.py``): codes int8 ``[in, out//2]``,
+byte ``b`` holds columns ``2j`` (low nibble) and ``2j+1`` (high nibble),
+two's complement, i.e. ``b = lo_u + 16*hi_s`` with ``lo_u = lo_s mod 16``.
+The kernel therefore computes TWO dots per tile against the packed bytes
+— ``y_even = x @ sign_extend(b & 0xF)`` and ``y_odd = x @ (b >> 4)`` —
+and the caller interleaves the (activation-sized) outputs; no in-kernel
+column interleave is needed, sidestepping Mosaic's minor-dim reshape
+restrictions (see kernels/quant_decode.py).
+
+Scales: per-output-channel (symmetric) applied by the caller after the
+interleave; AWQ-style GROUP scales (``[G, out]``) are applied in-kernel
+per group-subtile before cross-group accumulation (the dequant factors
+out of each group's partial product — weights.py module docstring).
+
+Used for decode-shaped ``x`` (few rows) only; prefill matmuls are
+compute-bound and stay on the XLA path where the one-off dequant
+transient amortises over the whole prompt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nibbles_f32(c: jax.Array):
+    """int8 packed tile -> (lo, hi) f32 tiles, sign-extended.
+
+    byte (two's complement) = 16*hi_s + lo_u, so hi_s is an arithmetic
+    shift and lo_s re-signs the low nibble: all 32-bit VPU ops.
+    """
+    ci = c.astype(jnp.int32)
+    lo_u = ci & 15
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.float32)
+    hi = (ci >> 4).astype(jnp.float32)
+    return lo, hi
+
+
+def _kernel(x_ref, c_ref, ye_ref, yo_ref):
+    i = pl.program_id(1)
+    lo, hi = _nibbles_f32(c_ref[...])
+    x = x_ref[...].astype(jnp.float32)
+    ye = jax.lax.dot_general(
+        x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    yo = jax.lax.dot_general(
+        x, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        ye_ref[...] = ye
+        yo_ref[...] = yo
+
+    @pl.when(i > 0)
+    def _acc():
+        ye_ref[...] += ye
+        yo_ref[...] += yo
+
+
+def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
+                    groups_per_block: int, group_size: int):
+    """Group-scaled variant: the in-tile spans whole scale groups; each
+    group's partial dot is scaled before accumulation (one static loop —
+    MXU work is unchanged, just split)."""
+    i = pl.program_id(1)
+    lo, hi = _nibbles_f32(c_ref[...])
+    x = x_ref[...].astype(jnp.float32)
+    ye = jnp.zeros(ye_ref.shape, jnp.float32)
+    yo = jnp.zeros(yo_ref.shape, jnp.float32)
+    for g in range(groups_per_block):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        xg = x[:, sl]
+        pe = jax.lax.dot_general(
+            xg, lo[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        po = jax.lax.dot_general(
+            xg, hi[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ye = ye + pe * se_ref[g][None, :]
+        yo = yo + po * so_ref[g][None, :]
+
+    @pl.when(i == 0)
+    def _init():
+        ye_ref[...] = ye
+        yo_ref[...] = yo
+
+    @pl.when(i > 0)
+    def _acc():
+        ye_ref[...] += ye
+        yo_ref[...] += yo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_in", "block_out2", "group_size", "interpret"),
+)
+def int4_matmul(
+    x: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    *,
+    block_in: int = 512,
+    block_out2: int = 1024,
+    group_size: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ dequant(codes, scale)`` reading only the packed bytes.
+
+    Args:
+      x: ``[rows, in]`` (any float dtype; rows is decode-sized).
+      codes: int8 ``[in, out//2]`` packed nibbles (weights.pack4 layout).
+      scale: ``[out]`` per-channel, or ``[G, out]`` with ``group_size`` set
+        (``G = in // group_size``).
+      group_size: 0 for per-channel scales.
+
+    Returns ``[rows, out]`` in ``x.dtype``.
+    """
+    rows, in_dim = x.shape
+    out2 = codes.shape[-1]
+    bi = min(block_in, in_dim)
+    bo = min(block_out2, out2)
+    # shrink to divisors (weight dims are powers-of-two times small ints;
+    # gcd fallback keeps odd direct-call shapes correct, just slower)
+    while in_dim % bi:
+        bi //= 2
+    while out2 % bo:
+        bo //= 2
+    if group_size:
+        # every in-block must span whole groups
+        assert bi % group_size == 0, (bi, group_size)
+    n_i, n_o = in_dim // bi, out2 // bo
+
+    # pad rows to the sublane tile of x's dtype (8 f32, 16 bf16)
+    rp = max(16 if x.dtype.itemsize < 4 else 8, rows)
+    xp = jnp.pad(x, ((0, rp - rows), (0, 0))) if rp != rows else x
+
+    if group_size:
+        gpb = bi // group_size
+        se = scale[:, 0::2].astype(jnp.float32)  # [G, out2] even cols
+        so = scale[:, 1::2].astype(jnp.float32)
+        ye, yo = pl.pallas_call(
+            functools.partial(_kernel_grouped, groups_per_block=gpb,
+                              group_size=group_size),
+            grid=(n_o, n_i),
+            in_specs=[
+                pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
+                pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
+                pl.BlockSpec((gpb, bo), lambda o, i: (i, o)),
+                pl.BlockSpec((gpb, bo), lambda o, i: (i, o)),
+            ],
+            out_specs=[
+                pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+                pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+                jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(xp, codes, se, so)
+        y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
+        return y[:rows].astype(x.dtype)
+
+    ye, yo = pl.pallas_call(
+        _kernel,
+        grid=(n_o, n_i),
+        in_specs=[
+            pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
+            pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+            pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+            jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, codes)
+    y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
+    y = y * scale.astype(jnp.float32)[None, :]
+    return y[:rows].astype(x.dtype)

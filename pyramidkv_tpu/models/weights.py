@@ -249,9 +249,56 @@ def expert_mm(z: jax.Array, w, sub: str) -> jax.Array:
     return y * w.scale.reshape(shape).astype(y.dtype)
 
 
+#: Test hook: force the fused int4 matmul kernel (interpret mode) off-TPU.
+_FORCE_INT4_KERNEL = [False]
+
+#: Decode-shaped row threshold for the fused kernel; prefill-sized x is
+#: compute-bound and stays on the XLA path (one dequant transient
+#: amortised over the whole prompt).
+_INT4_KERNEL_MAX_ROWS = 32
+
+
+def _int4_kernel_mm(x: jax.Array, w: QuantW):
+    """Fused packed-int4 matmul for decode-shaped x, or None to fall back.
+
+    XLA cannot stream sub-byte operands into the MXU (both arithmetic
+    unpack and a jnp.int4 bitcast materialise full-width transients per
+    step — BASELINE.md round-2v), so bandwidth-bound decode routes packed
+    leaves through ``kernels/int4_matmul`` (0.5 byte/param HBM traffic).
+    Only for unsharded single-layer leaves on TPU: the CPU-mesh TP tests
+    and virtual-device dry-runs keep the XLA path (pallas_call does not
+    partition under GSPMD).
+    """
+    if w.codes.ndim != 2:
+        return None
+    rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
+    if rows > _INT4_KERNEL_MAX_ROWS:
+        return None
+    interpret = _FORCE_INT4_KERNEL[0]
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    from ..kernels.int4_matmul import int4_matmul
+
+    in_dim = x.shape[-1]
+    if w.scale.ndim == w.codes.ndim:              # grouped [G, out]
+        gs = in_dim // w.scale.shape[0]
+        if gs <= 0 or in_dim % gs or (min(512, in_dim) % gs):
+            return None
+        y = int4_matmul(x.reshape(rows, in_dim), w.codes, w.scale,
+                        group_size=gs, interpret=interpret)
+    else:
+        y = int4_matmul(x.reshape(rows, in_dim), w.codes, w.scale,
+                        interpret=interpret)
+    return y.reshape(*x.shape[:-1], y.shape[-1])
+
+
 def mm(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized weights (dequant factored out)."""
     if isinstance(w, QuantW):
+        if is_packed4(w):
+            y = _int4_kernel_mm(x, w)
+            if y is not None:
+                return y
         if w.scale.ndim == w.codes.ndim:          # group-wise scales
             return _mm_grouped(x, w)
         y = x @ dq_codes(w, x.dtype)

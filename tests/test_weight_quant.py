@@ -241,3 +241,99 @@ def test_int4_weights_shard_over_mesh():
             sp, ids, tl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_int4_matmul_kernel_per_channel():
+    """Fused packed-int4 kernel (interpret mode) == explicit dequant
+    matmul, including the odd-rows pad path and non-default tiles."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models.weights import dq_codes
+
+    rng = np.random.default_rng(16)
+    for rows, in_dim, out in ((1, 128, 64), (5, 256, 128), (32, 512, 96)):
+        w = jnp.asarray(rng.normal(size=(in_dim, out)).astype(np.float32))
+        qw = _quantize_leaf(w, nbits=4)
+        x = jnp.asarray(rng.normal(size=(rows, in_dim)).astype(np.float32))
+        ref = np.asarray(x) @ (np.asarray(dq_codes(qw, jnp.float32))
+                               * np.asarray(qw.scale)[None, :])
+        got = int4_matmul(x, qw.codes, qw.scale, interpret=True)
+        assert got.shape == (rows, out) and got.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+        # multi-block in both grid axes
+        got2 = int4_matmul(x, qw.codes, qw.scale, block_in=64,
+                           block_out2=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2), ref, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_int4_matmul_kernel_grouped():
+    """Grouped-scale kernel: per-group partials scaled in-kernel before
+    cross-group accumulation; matches the explicit per-group dequant."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models.weights import dq_codes
+
+    rng = np.random.default_rng(17)
+    in_dim, out, gs = 128, 64, 16
+    mags = np.repeat(rng.uniform(0.1, 4.0, size=in_dim // gs), gs)[:, None]
+    w = jnp.asarray((rng.normal(size=(in_dim, out)) * mags)
+                    .astype(np.float32))
+    qw = _quantize_leaf(w, nbits=4, group_size=gs)
+    deq = (np.asarray(dq_codes(qw, jnp.float32)).reshape(-1, gs, out)
+           * np.asarray(qw.scale)[:, None, :]).reshape(in_dim, out)
+    for rows in (1, 7):
+        x = jnp.asarray(rng.normal(size=(rows, in_dim)).astype(np.float32))
+        ref = np.asarray(x) @ deq
+        got = int4_matmul(x, qw.codes, qw.scale, group_size=gs,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+        # in-blocks spanning a strict subset of the groups
+        got2 = int4_matmul(x, qw.codes, qw.scale, group_size=gs,
+                           block_in=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2), ref, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_mm_routes_decode_rows_through_int4_kernel():
+    """mm() with _FORCE_INT4_KERNEL uses the fused kernel for decode-sized
+    x and matches the XLA dequant path (per-channel AND grouped); rows
+    above the threshold keep the XLA path."""
+    from pyramidkv_tpu.models import weights as W
+
+    rng = np.random.default_rng(18)
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    for gs in (None, 16):
+        qw = _quantize_leaf(w, nbits=4, group_size=gs)
+        for lead in ((1,), (3,), (2, 4)):
+            x = jnp.asarray(rng.normal(size=(*lead, 128)).astype(np.float32))
+            ref = np.asarray(mm(x, qw))
+            W._FORCE_INT4_KERNEL[0] = True
+            try:
+                got = np.asarray(mm(x, qw))
+            finally:
+                W._FORCE_INT4_KERNEL[0] = False
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        # prefill-sized x must NOT hit the kernel (falls back to XLA)
+        big = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        assert W._int4_kernel_mm(big, qw) is None
+
+
+def test_int4_matmul_kernel_bf16_inputs():
+    """Decode x is bf16: kernel pads to the bf16 sublane tile and matches
+    the XLA dequant path at bf16 precision."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models.weights import dq_codes
+
+    rng = np.random.default_rng(19)
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    qw = _quantize_leaf(w, nbits=4)
+    x = jnp.asarray(rng.normal(size=(3, 128)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ref = (x.astype(jnp.float32)
+           @ (dq_codes(qw, jnp.float32) * qw.scale[None, :]))
+    got = int4_matmul(x, qw.codes, qw.scale, interpret=True)
+    assert got.dtype == jnp.bfloat16 and got.shape == (3, 64)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
