@@ -53,7 +53,7 @@ def _nibbles_f32(c: jax.Array):
 
 def _kernel(x_ref, c_ref, ye_ref, yo_ref):
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...])
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
     x = x_ref[...].astype(jnp.float32)
     ye = jax.lax.dot_general(
         x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -77,9 +77,15 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
                     groups_per_block: int, group_size: int):
     """Group-scaled variant: the in-tile spans whole scale groups; each
     group's partial dot is scaled before accumulation (one static loop —
-    MXU work is unchanged, just split)."""
+    MXU work is unchanged, just split).
+
+    The scale refs hold the FULL ``[G, out2-block]`` column strip (a
+    ``(groups_per_block, bo)`` block would need >= 8 sublanes — Mosaic
+    rejects gpb < 8); rows are indexed dynamically at ``i*gpb + g``.
+    Scales are tiny, so the full-strip DMA costs nothing.
+    """
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...])
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
     x = x_ref[...].astype(jnp.float32)
     ye = jnp.zeros(ye_ref.shape, jnp.float32)
     yo = jnp.zeros(yo_ref.shape, jnp.float32)
@@ -94,8 +100,9 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
             xg, hi[sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ye = ye + pe * se_ref[g][None, :]
-        yo = yo + po * so_ref[g][None, :]
+        row = pl.ds(i * groups_per_block + g, 1)
+        ye = ye + pe * se_ref[row, :]
+        yo = yo + po * so_ref[row, :]
 
     @pl.when(i == 0)
     def _init():
@@ -108,6 +115,19 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
         yo_ref[...] += yo
 
 
+def _kernel_pref(l_ref, x_ref, c_ref, ye_ref, yo_ref):
+    del l_ref  # consumed by the index maps only
+    _kernel(x_ref, c_ref, ye_ref, yo_ref)
+
+
+def _kernel_grouped_pref(l_ref, x_ref, c_ref, se_ref, so_ref, ye_ref,
+                         yo_ref, *, groups_per_block: int, group_size: int):
+    del l_ref
+    _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref,
+                    groups_per_block=groups_per_block,
+                    group_size=group_size)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_in", "block_out2", "group_size", "interpret"),
@@ -117,6 +137,7 @@ def int4_matmul(
     codes: jax.Array,
     scale: jax.Array,
     *,
+    layer=None,
     block_in: int = 512,
     block_out2: int = 1024,
     group_size: int = 0,
@@ -126,13 +147,25 @@ def int4_matmul(
 
     Args:
       x: ``[rows, in]`` (any float dtype; rows is decode-sized).
-      codes: int8 ``[in, out//2]`` packed nibbles (weights.pack4 layout).
+      codes: int8 ``[in, out//2]`` packed nibbles (weights.pack4 layout),
+        or a STACKED ``[L, in, out//2]`` with ``layer`` set — the layer
+        index rides scalar prefetch and only that layer's tiles are
+        DMA'd, so a decode layer-scan never materialises a per-layer
+        slice of the packed bytes (the dynamic-slice copy XLA would
+        insert in front of an opaque pallas_call costs as much HBM
+        traffic as the kernel's own reads — measured d32: 64 tok/s
+        sliced vs int8's 83; see logs/tpu_r2w vs r2x).
       scale: ``[out]`` per-channel, or ``[G, out]`` with ``group_size`` set
-        (``G = in // group_size``).
+        (``G = in // group_size``); for stacked codes the caller passes
+        the CURRENT layer's scale (it is small — slicing it is free).
+      layer: int32 scalar array indexing the stack axis (traced; may come
+        from a ``lax.scan`` induction variable).
       group_size: 0 for per-channel scales.
 
     Returns ``[rows, out]`` in ``x.dtype``.
     """
+    stacked = codes.ndim == 3
+    assert stacked == (layer is not None), (codes.shape, layer)
     rows, in_dim = x.shape
     out2 = codes.shape[-1]
     bi = min(block_in, in_dim)
@@ -152,56 +185,58 @@ def int4_matmul(
     rp = max(16 if x.dtype.itemsize < 4 else 8, rows)
     xp = jnp.pad(x, ((0, rp - rows), (0, 0))) if rp != rows else x
 
+    n_groups = scale.shape[0] if group_size else 0
+    if stacked:
+        x_spec = pl.BlockSpec((rp, bi), lambda o, i, l: (0, i))
+        c_spec = pl.BlockSpec((1, bi, bo), lambda o, i, l: (l[0], i, o))
+        s_spec = pl.BlockSpec((n_groups, bo), lambda o, i, l: (0, o))
+        y_spec = pl.BlockSpec((rp, bo), lambda o, i, l: (0, o))
+    else:
+        x_spec = pl.BlockSpec((rp, bi), lambda o, i: (0, i))
+        c_spec = pl.BlockSpec((bi, bo), lambda o, i: (i, o))
+        s_spec = pl.BlockSpec((n_groups, bo), lambda o, i: (0, o))
+        y_spec = pl.BlockSpec((rp, bo), lambda o, i: (0, o))
+    out_shape = [
+        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+    )
+
+    def call(kern, kern_pref, in_specs, *operands):
+        if stacked:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o, n_i),
+                in_specs=in_specs, out_specs=[y_spec, y_spec],
+            )
+            lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+            return pl.pallas_call(
+                kern_pref, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=cparams, interpret=interpret,
+            )(lyr, *operands)
+        return pl.pallas_call(
+            kern, grid=(n_o, n_i), in_specs=in_specs,
+            out_specs=[y_spec, y_spec], out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(*operands)
+
     if group_size:
         gpb = bi // group_size
         se = scale[:, 0::2].astype(jnp.float32)  # [G, out2] even cols
         so = scale[:, 1::2].astype(jnp.float32)
-        ye, yo = pl.pallas_call(
+        ye, yo = call(
             functools.partial(_kernel_grouped, groups_per_block=gpb,
                               group_size=group_size),
-            grid=(n_o, n_i),
-            in_specs=[
-                pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
-                pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
-                pl.BlockSpec((gpb, bo), lambda o, i: (i, o)),
-                pl.BlockSpec((gpb, bo), lambda o, i: (i, o)),
-            ],
-            out_specs=[
-                pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
-                pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-                jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(xp, codes, se, so)
+            functools.partial(_kernel_grouped_pref, groups_per_block=gpb,
+                              group_size=group_size),
+            [x_spec, c_spec, s_spec, s_spec],
+            xp, codes, se, so,
+        )
         y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
         return y[:rows].astype(x.dtype)
 
-    ye, yo = pl.pallas_call(
-        _kernel,
-        grid=(n_o, n_i),
-        in_specs=[
-            pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
-            pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
-        ],
-        out_specs=[
-            pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
-            pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-            jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(xp, codes)
+    ye, yo = call(_kernel, _kernel_pref, [x_spec, c_spec], xp, codes)
     y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
     y = y * scale.astype(jnp.float32)[None, :]
     return y[:rows].astype(x.dtype)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
-from .weights import QuantW, dq_codes, embed_lookup, expert_mm, mm
+from .weights import (QuantW, dq_codes, embed_lookup, expert_mm,
+                      layer_view, mm)
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
@@ -606,9 +607,10 @@ def decode_step(
 
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
-            wts = jax.tree_util.tree_map(
-                lambda x: x[layer0 + i], params["layers"]
-            )
+            # packed-int4 codes stay STACKED (LayerView): the fused decode
+            # kernel indexes the layer via scalar prefetch instead of a
+            # materialised per-layer slice (weights.layer_view docstring)
+            wts = layer_view(params["layers"], layer0 + i)
             qreg = (jax.tree_util.tree_map(lambda x: x[i], cache.quant)
                     if quantized else None)
             treg = (jax.tree_util.tree_map(lambda x: x[i], cache.think)

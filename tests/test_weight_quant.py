@@ -337,3 +337,85 @@ def test_int4_matmul_kernel_bf16_inputs():
     assert got.dtype == jnp.bfloat16 and got.shape == (3, 64)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_int4_matmul_kernel_stacked_layer():
+    """Stacked [L, in, out//2] codes + scalar-prefetched layer index ==
+    per-layer slice through the 2D kernel (per-channel AND grouped)."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models.weights import QuantW, dq_codes
+
+    rng = np.random.default_rng(20)
+    L, in_dim, out = 3, 128, 64
+    for gs in (None, 16):
+        stack = jnp.asarray(rng.normal(size=(L, in_dim, out))
+                            .astype(np.float32))
+        qw = _quantize_leaf(stack, nbits=4, group_size=gs)
+        x = jnp.asarray(rng.normal(size=(5, in_dim)).astype(np.float32))
+        for li in range(L):
+            ref = int4_matmul(x, qw.codes[li], qw.scale[li],
+                              group_size=gs or 0, interpret=True)
+            got = int4_matmul(x, qw.codes, qw.scale[li],
+                              layer=jnp.int32(li), group_size=gs or 0,
+                              interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+            # and against the explicit dequant
+            deq = np.asarray(dq_codes(QuantW(qw.codes[li], qw.scale[li]),
+                                      jnp.float32))
+            if gs:
+                deq = (deq.reshape(-1, gs, out)
+                       * np.asarray(qw.scale[li])[:, None, :]
+                       ).reshape(in_dim, out)
+            else:
+                deq = deq * np.asarray(qw.scale[li])[None, :]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(x) @ deq,
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_layer_view_scan_matches_eager_slices():
+    """A lax.scan over layer_view with the kernel forced matches eager
+    per-layer tree_map slicing through the XLA path — the decode-loop
+    integration (packed int4 via LayerView, int8 sliced, bf16 indexed)."""
+    from pyramidkv_tpu.models import weights as W
+
+    rng = np.random.default_rng(21)
+    L, in_dim, out = 3, 128, 64
+    layers = {
+        "w4": _quantize_leaf(jnp.asarray(
+            rng.normal(size=(L, in_dim, out)).astype(np.float32)), nbits=4),
+        "w4g": _quantize_leaf(jnp.asarray(
+            rng.normal(size=(L, in_dim, out)).astype(np.float32)),
+            nbits=4, group_size=16),
+        "w8": _quantize_leaf(jnp.asarray(
+            rng.normal(size=(L, in_dim, out)).astype(np.float32)), nbits=8),
+        "norm": jnp.asarray(rng.normal(size=(L, in_dim))
+                            .astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(size=(2, in_dim)).astype(np.float32))
+
+    def step(h, i, view):
+        wts = (W.layer_view(layers, i) if view else
+               jax.tree_util.tree_map(lambda a: a[i], layers))
+        h = h * wts["norm"][None, :]
+        y = mm(h, wts["w4"]) + mm(h, wts["w4g"]) + mm(h, wts["w8"])
+        return y[:, :in_dim // 2].repeat(2, axis=1) * 0.1, None
+
+    def run(view):
+        f = lambda h, i: step(h, i, view)
+        out_h, _ = jax.lax.scan(f, x, jnp.arange(L))
+        return np.asarray(out_h)
+
+    ref = run(view=False)
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        got = run(view=True)
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # the view really defers: packed codes leaf stays stacked
+    wv = W.layer_view(layers, jnp.int32(1))
+    assert isinstance(wv["w4"].codes, W.LayerView)
+    assert isinstance(wv["w4g"].codes, W.LayerView)
+    assert wv["w4"].codes.shape == (in_dim, out // 2)
+    assert not isinstance(wv["w8"].codes, W.LayerView)
