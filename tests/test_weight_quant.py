@@ -182,7 +182,7 @@ def test_grouped_scales_beat_per_channel_error():
     err_g = np.abs(deq_g - np.asarray(w)).mean()
     err_c = np.abs(deq_c - np.asarray(w)).mean()
     assert err_g < err_c * 0.7
-    for rows in (4, 300):  # einsum path and fori_loop path
+    for rows in (4, 300):  # einsum path and one-shot dequant-matmul path
         x = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
         got = mm(x, qg)
         ref = np.asarray(x) @ deq_g
