@@ -210,3 +210,37 @@ def test_cb_with_quantized_weights():
     for r in reqs:
         want = eng.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_with_int4_weights_fused_kernel():
+    """CB + packed-int4 WEIGHTS with the fused decode kernel forced
+    (interpret mode): the LayerView stacked-codes path must survive lane
+    insertion/recycling; tokens match independent generation."""
+    from pyramidkv_tpu.models import weights as W
+
+    spec = ModelSpec.tiny()
+    params = W.quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32),
+        nbits=4)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(32,)),
+        params,
+    )
+    rng = np.random.default_rng(6)
+    reqs = [
+        Request(request_id=f"q{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=5)
+        for i, n in enumerate((10, 22, 30))
+    ]
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        cb = ContinuousBatcher(eng, lanes=2, quantum=3)
+        out = cb.run(list(reqs))
+        for r in reqs:
+            want = eng.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
+            assert out[r.request_id].tokens == want, r.request_id
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
