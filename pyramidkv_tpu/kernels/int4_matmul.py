@@ -37,6 +37,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: default contraction-axis tile; the eligibility guard in
+#: models/weights.py checks group divisibility against this (the internal
+#: halving loop only shrinks it to power-of-two divisors of in_dim, so
+#: ``min(DEFAULT_BLOCK_IN, in_dim) % group_size == 0`` guarantees every
+#: realised in-block spans whole groups).
+DEFAULT_BLOCK_IN = 512
+
 
 def _nibbles_f32(c: jax.Array):
     """int8 packed tile -> (lo, hi) f32 tiles, sign-extended.
@@ -138,7 +145,7 @@ def int4_matmul(
     scale: jax.Array,
     *,
     layer=None,
-    block_in: int = 512,
+    block_in: int = DEFAULT_BLOCK_IN,
     block_out2: int = 1024,
     group_size: int = 0,
     interpret: bool = False,

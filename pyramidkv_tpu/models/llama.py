@@ -30,8 +30,7 @@ import jax.numpy as jnp
 
 from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
-from .weights import (QuantW, dq_codes, embed_lookup, expert_mm,
-                      layer_view, mm)
+from .weights import QuantW, embed_lookup, expert_mm, layer_view, mm
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)

@@ -33,10 +33,14 @@ product:
 
     y = sum_G (x_G @ codes_G) * scale[G]
 
-which `mm` computes either as one batched einsum with a small
-``[..., G, out]`` transient (decode-sized x) or as a fori_loop of
-per-group matmul accumulations (prefill-sized x — transient stays
-``[..., out]``).
+which `mm` computes either as one batched einsum with exact f32 group
+partials (decode-sized x; ``[..., G, out]`` f32 transient) or — for
+prefill-sized x — as a ONE-SHOT dequant matmul with an ``[in, out]``
+compute-dtype transient (per-group accumulator sweeps cost ~15 GB of
+f32 accumulator traffic per 4k-row MLP matmul; measured 3.6x prefill,
+logs/tpu_r2y).  On TPU, decode-shaped x instead routes packed leaves
+through the fused Pallas kernel (`kernels/int4_matmul.py`), which scales
+each group's partial product in-kernel at f32.
 
 The embedding table quantizes per ROW (token vector): lookup dequantizes
 the selected rows; tied/untied logits reuse the same per-row scales as
@@ -285,7 +289,11 @@ def _mm_grouped(x: jax.Array, w: QuantW) -> jax.Array:
     # persistent copy; in f32 x (CPU tests) the dequant is exact.
     deq = (codes_g.astype(x.dtype)
            * w.scale[:, None, :].astype(x.dtype)).reshape(in_dim, out_dim)
-    return x @ deq
+    y = jax.lax.dot_general(
+        x.reshape(rows, in_dim), deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype).reshape(*x.shape[:-1], out_dim)
 
 
 def expert_mm(z: jax.Array, w, sub: str) -> jax.Array:
@@ -320,12 +328,13 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     unpack and a jnp.int4 bitcast materialise full-width transients per
     step — BASELINE.md round-2v), so bandwidth-bound decode routes packed
     leaves through ``kernels/int4_matmul`` (0.5 byte/param HBM traffic).
-    Only for unsharded single-layer leaves on TPU: the CPU-mesh TP tests
-    and virtual-device dry-runs keep the XLA path (pallas_call does not
-    partition under GSPMD).  Inside a decode layer-scan the codes arrive
-    as a :class:`LayerView` over the stacked ``[L, in, out//2]`` buffer
-    and the layer index rides the kernel's scalar prefetch (no per-layer
-    slice copy).
+    Only on a SINGLE TPU device: pallas_call does not partition under
+    GSPMD, so a model-axis-sharded codes stack would force a per-step
+    all-gather (or fail to compile) — multi-device processes and the
+    CPU-mesh TP tests keep the XLA bitcast path.  Inside a decode
+    layer-scan the codes arrive as a :class:`LayerView` over the stacked
+    ``[L, in, out//2]`` buffer and the layer index rides the kernel's
+    scalar prefetch (no per-layer slice copy).
     """
     codes, layer = w.codes, None
     if isinstance(codes, LayerView):
@@ -338,14 +347,15 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     if rows > _INT4_KERNEL_MAX_ROWS:
         return None
     interpret = _FORCE_INT4_KERNEL[0]
-    if not interpret and jax.default_backend() != "tpu":
+    if not interpret and (jax.default_backend() != "tpu"
+                          or len(jax.devices()) != 1):
         return None
-    from ..kernels.int4_matmul import int4_matmul
+    from ..kernels.int4_matmul import DEFAULT_BLOCK_IN, int4_matmul
 
     in_dim = x.shape[-1]
     if w.scale.ndim == 2:                         # grouped [G, out]
         gs = in_dim // w.scale.shape[0]
-        if gs <= 0 or in_dim % gs or (min(512, in_dim) % gs):
+        if gs <= 0 or in_dim % gs or (min(DEFAULT_BLOCK_IN, in_dim) % gs):
             return None
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, group_size=gs, interpret=interpret)
