@@ -90,3 +90,34 @@ def test_variant_traces(golden, name, kw):
     )
     out = eng.generate([golden["_prompt"]]).tokens[0]
     assert out == golden[name], (name, out, golden[name])
+
+
+@pytest.mark.parametrize("name,gs", [("snapkv_int4w", None),
+                                     ("snapkv_int4w_g16", 16)])
+def test_int4_weight_trace(golden, name, gs):
+    """int4 weights (per-channel + AWQ-style grouped) pin the XLA dequant
+    path AND the fused kernel (interpret): both must produce the pinned
+    tokens — the flagship serving config's end-to-end numerics."""
+    from pyramidkv_tpu.models import weights as W
+
+    spec = ModelSpec.tiny()
+    params = W.quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32),
+        nbits=4, group_size=gs)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16, window_size=4),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    assert eng.generate([golden["_prompt"]]).tokens[0] == golden[name]
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        eng2 = Engine(
+            spec,
+            CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                            window_size=4),
+            EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+        )
+        assert eng2.generate([golden["_prompt"]]).tokens[0] == golden[name]
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
