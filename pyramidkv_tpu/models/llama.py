@@ -157,12 +157,23 @@ def _repeat_kv(x: jax.Array, groups: int) -> jax.Array:
 
 
 def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """x: [B, T, Dm] -> q [B, H, T, Dh], k/v [B, KV, T, Dh]."""
+    """x: [B, T, Dm] -> q [B, H, T, Dh], k/v [B, KV, T, Dh].
+
+    ``wqkv`` (out-axis-fused packed-int4 leaf, `weights.fuse_packed_
+    matmuls`) computes all three in one matmul — one decode-kernel launch
+    instead of three — and splits statically."""
     b, t, _ = x.shape
     H, KV, Dh = spec.num_attention_heads, spec.num_key_value_heads, spec.head_dim
-    q = mm(x, wts["wq"]).reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
-    k = mm(x, wts["wk"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
-    v = mm(x, wts["wv"]).reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    if "wqkv" in wts:
+        y = mm(x, wts["wqkv"])
+        q, k, v = jnp.split(y, [H * Dh, (H + KV) * Dh], axis=-1)
+    else:
+        q = mm(x, wts["wq"])
+        k = mm(x, wts["wk"])
+        v = mm(x, wts["wv"])
+    q = q.reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -172,11 +183,12 @@ def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
     if "router" in wts:
         return _moe_mlp(x, wts, top_k=top_k,
                         capacity_factor=capacity_factor, valid=valid)
-    return mm(
-        jax.nn.silu(mm(x, wts["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        * mm(x, wts["w_up"]),
-        wts["w_down"],
-    )
+    if "w_gateup" in wts:
+        g, u = jnp.split(mm(x, wts["w_gateup"]), 2, axis=-1)
+    else:
+        g, u = mm(x, wts["w_gate"]), mm(x, wts["w_up"])
+    return mm(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+              wts["w_down"])
 
 
 def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,

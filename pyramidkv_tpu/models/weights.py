@@ -365,6 +365,79 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     return y.reshape(*x.shape[:-1], y.shape[-1])
 
 
+def _fusable(*ws) -> bool:
+    """True when every leaf is a stacked packed-int4 QuantW with matching
+    stack/in dims and scale layout, and none is partitioned over >1
+    device (concatenating sharded leaves would gather across the mesh)."""
+    if not all(isinstance(w, QuantW) and is_packed4(w)
+               and w.codes.ndim == 3 for w in ws):
+        return False
+    w0 = ws[0]
+    if not all(w.codes.shape[:2] == w0.codes.shape[:2]
+               and w.scale.ndim == w0.scale.ndim for w in ws):
+        return False
+    if w0.scale.ndim == 3 and not all(
+            w.scale.shape[1] == w0.scale.shape[1] for w in ws):
+        return False
+    for w in ws:
+        for a in (w.codes, w.scale):
+            sh = getattr(a, "sharding", None)
+            if sh is not None and not sh.is_fully_replicated:
+                return False
+    return True
+
+
+def fuse_packed_matmuls(params: dict) -> dict:
+    """Concatenate ``wq/wk/wv -> wqkv`` and ``w_gate/w_up -> w_gateup``
+    along the OUT axis for stacked packed-int4 leaves.
+
+    The fused decode kernel launches one pallas_call per matmul; at d32
+    that is 7 x 32 = 224 launches per decode step, and launch overhead is
+    a large slice of the step (91 tok/s measured vs ~140 at int8's
+    effective HBM bandwidth — logs/tpu_r2x).  QKV share the same input x,
+    as do gate/up, so fusing them cuts launches to 4/layer with
+    bit-identical math (pack4 is out-axis-major: packed bytes and scales
+    concatenate cleanly; every leaf has even out).  `models/llama.py`
+    consumes the fused names when present and splits the outputs
+    statically.
+
+    EXPLICIT opt-in (the CLI runners apply it after ``--quant_weights
+    int4``): fusing inside Engine would duplicate the weight HBM while
+    the caller still holds the unfused tree.  No-op unless a fusion
+    group is eligible (see :func:`_fusable`); MoE expert leaves
+    (4-D codes) and sharded trees are left alone — `parallel/mesh.py`
+    sharding specs target the UNFUSED names.
+    """
+    lay = params.get("layers")
+    if not isinstance(lay, dict):
+        return params
+
+    def cat(names):
+        ws = [lay[n] for n in names]
+        return QuantW(
+            codes=jnp.concatenate([w.codes for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+        )
+
+    lay = dict(lay)
+    changed = False
+    if all(n in lay for n in ("wq", "wk", "wv")) and _fusable(
+            lay["wq"], lay["wk"], lay["wv"]):
+        lay["wqkv"] = cat(("wq", "wk", "wv"))
+        del lay["wq"], lay["wk"], lay["wv"]
+        changed = True
+    if all(n in lay for n in ("w_gate", "w_up")) and _fusable(
+            lay["w_gate"], lay["w_up"]):
+        lay["w_gateup"] = cat(("w_gate", "w_up"))
+        del lay["w_gate"], lay["w_up"]
+        changed = True
+    if not changed:
+        return params
+    out = dict(params)
+    out["layers"] = lay
+    return out
+
+
 def mm(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized weights (dequant factored out)."""
     if isinstance(w, QuantW):

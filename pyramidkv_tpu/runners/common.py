@@ -146,9 +146,14 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
     if getattr(args, "quant_weights", None):
         from ..models.weights import quantize_weights
 
+        from ..models.weights import fuse_packed_matmuls
+
         params = quantize_weights(
             params, nbits=int(args.quant_weights.removeprefix("int")),
             group_size=getattr(args, "quant_weights_group_size", None))
+        # int4: QKV / gate+up out-axis fusion (one decode-kernel launch
+        # per group; bit-identical math — weights.fuse_packed_matmuls)
+        params = fuse_packed_matmuls(params)
     comp = build_compression_spec(args, spec)
     # buckets: powers-of-two style ladder up to the model cap
     buckets = tuple(

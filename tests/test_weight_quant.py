@@ -419,3 +419,62 @@ def test_layer_view_scan_matches_eager_slices():
     assert isinstance(wv["w4g"].codes, W.LayerView)
     assert wv["w4"].codes.shape == (in_dim, out // 2)
     assert not isinstance(wv["w8"].codes, W.LayerView)
+
+
+def test_fuse_packed_matmuls_bit_identical():
+    """wqkv / w_gateup fusion: identical greedy tokens to the unfused
+    tree on the XLA path AND the forced fused kernel; int8 / MoE-expert /
+    sharded-ineligible trees are left untouched."""
+    from pyramidkv_tpu.models import weights as W
+
+    spec = ModelSpec.tiny()
+    base = jl.init_params(spec, jax.random.PRNGKey(3), dtype=jnp.float32)
+    p4 = W.quantize_weights(base, nbits=4)
+    fused = W.fuse_packed_matmuls(p4)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    assert "w_gateup" in fused["layers"] and "w_up" not in fused["layers"]
+    # int8 tree: no packed leaves -> no-op (same object)
+    p8 = W.quantize_weights(base, nbits=8)
+    assert W.fuse_packed_matmuls(p8) is p8
+
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    es = EngineSpec(max_new_tokens=8, prefill_buckets=(32,))
+    ids = [int(x) for x in np.random.default_rng(2).integers(0, 256,
+                                                             size=28)]
+    want = Engine(spec, cs, es, p4).generate([ids]).tokens[0]
+    got = Engine(spec, cs, es, fused).generate([ids]).tokens[0]
+    assert got == want
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        got_k = Engine(spec, cs, es, fused).generate([ids]).tokens[0]
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
+    assert got_k == want
+
+
+def test_fuse_packed_matmuls_grouped_and_moe():
+    """Grouped scales fuse along out; MoE expert leaves (4D codes) keep
+    gate/up unfused while QKV still fuses."""
+    from pyramidkv_tpu.models import weights as W
+
+    spec = ModelSpec.tiny()
+    base = jl.init_params(spec, jax.random.PRNGKey(4), dtype=jnp.float32)
+    p4g = W.fuse_packed_matmuls(
+        W.quantize_weights(base, nbits=4, group_size=16))
+    assert "wqkv" in p4g["layers"]
+    assert p4g["layers"]["wqkv"].scale.ndim == 3
+
+    mspec = ModelSpec.tiny(num_local_experts=4)
+    mbase = jl.init_params(mspec, jax.random.PRNGKey(5), dtype=jnp.float32)
+    m4 = W.fuse_packed_matmuls(W.quantize_weights(mbase, nbits=4))
+    assert "wqkv" in m4["layers"]
+    assert "w_gate" in m4["layers"] and "w_gateup" not in m4["layers"]
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    es = EngineSpec(max_new_tokens=6, prefill_buckets=(32,))
+    ids = [int(x) for x in np.random.default_rng(6).integers(0, 256,
+                                                             size=20)]
+    want = Engine(mspec, cs, es,
+                  W.quantize_weights(mbase, nbits=4)).generate([ids]).tokens[0]
+    assert Engine(mspec, cs, es, m4).generate([ids]).tokens[0] == want
