@@ -45,34 +45,23 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_IN = 512
 
 
-def _nibbles(c: jax.Array, dt):
-    """int8 packed tile -> (lo, hi) tiles in the MXU operand dtype,
-    sign-extended.
+def _nibbles_f32(c: jax.Array):
+    """int8 packed tile -> (lo, hi) f32 tiles, sign-extended.
 
     byte (two's complement) = 16*hi_s + lo_u, so hi_s is an arithmetic
     shift and lo_s re-signs the low nibble: all 32-bit VPU ops.
     """
     ci = c.astype(jnp.int32)
     lo_u = ci & 15
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(dt)
-    hi = (ci >> 4).astype(dt)
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.float32)
+    hi = (ci >> 4).astype(jnp.float32)
     return lo, hi
-
-
-def _dot_dt(x_ref):
-    """MXU operand dtype: bf16 x keeps bf16 operands (nibbles are small
-    integers — exact in bf16; accumulation is f32 via
-    preferred_element_type, so results are bit-identical to f32 operands
-    while the MXU runs at its 4x bf16 rate — the f32 dots were ~2 ms of
-    pure compute per d32 decode step on 16 padded rows)."""
-    return jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
 
 
 def _kernel(x_ref, c_ref, ye_ref, yo_ref):
     i = pl.program_id(1)
-    dt = _dot_dt(x_ref)
-    lo, hi = _nibbles(c_ref[...] if c_ref.ndim == 2 else c_ref[0], dt)
-    x = x_ref[...].astype(dt)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
+    x = x_ref[...].astype(jnp.float32)
     ye = jax.lax.dot_general(
         x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -103,9 +92,8 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
     Scales are tiny, so the full-strip DMA costs nothing.
     """
     i = pl.program_id(1)
-    dt = _dot_dt(x_ref)
-    lo, hi = _nibbles(c_ref[...] if c_ref.ndim == 2 else c_ref[0], dt)
-    x = x_ref[...].astype(dt)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
+    x = x_ref[...].astype(jnp.float32)
     ye = jnp.zeros(ye_ref.shape, jnp.float32)
     yo = jnp.zeros(yo_ref.shape, jnp.float32)
     for g in range(groups_per_block):
