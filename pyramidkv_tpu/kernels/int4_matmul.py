@@ -188,7 +188,14 @@ def int4_matmul(
         assert bi % group_size == 0, (bi, group_size)
     n_i, n_o = in_dim // bi, out2 // bo
 
-    # pad rows to the sublane tile of x's dtype (8 f32, 16 bf16)
+    # pad rows to the sublane tile of x's dtype (8 f32, 16 bf16).  The
+    # kernel computes f32 dots anyway (bf16 MXU operands measured SLOWER
+    # — the int32->bf16 nibble converts outweigh the dot savings, r2ad),
+    # so sub-tile bf16 x is upcast OUTSIDE: an 8-row f32 tile is half the
+    # MXU work of a 16-row bf16 pad at B<=8 decode.
+    out_dtype = x.dtype
+    if x.dtype.itemsize < 4 and rows <= 8:
+        x = x.astype(jnp.float32)
     rp = max(16 if x.dtype.itemsize < 4 else 8, rows)
     xp = jnp.pad(x, ((0, rp - rows), (0, 0))) if rp != rows else x
 
@@ -241,9 +248,9 @@ def int4_matmul(
             xp, codes, se, so,
         )
         y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
-        return y[:rows].astype(x.dtype)
+        return y[:rows].astype(out_dtype)
 
     ye, yo = call(_kernel, _kernel_pref, [x_spec, c_spec], xp, codes)
     y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
     y = y * scale.astype(jnp.float32)[None, :]
-    return y[:rows].astype(x.dtype)
+    return y[:rows].astype(out_dtype)
