@@ -14,6 +14,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # demo-sized; never claim the TPU
+
 import jax.numpy as jnp
 
 from pyramidkv_tpu.config import ModelSpec
