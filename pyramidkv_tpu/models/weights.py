@@ -320,6 +320,10 @@ _FORCE_INT4_KERNEL = [False]
 #: amortised over the whole prompt).
 _INT4_KERNEL_MAX_ROWS = 32
 
+#: (block_in, block_out2) for the fused kernel — module-level so benches
+#: can tune; None = kernel defaults (512, 1024).
+_INT4_KERNEL_BLOCKS = [None]
+
 
 def _int4_kernel_mm(x: jax.Array, w: QuantW):
     """Fused packed-int4 matmul for decode-shaped x, or None to fall back.
@@ -352,16 +356,21 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
         return None
     from ..kernels.int4_matmul import DEFAULT_BLOCK_IN, int4_matmul
 
+    kw = {}
+    if _INT4_KERNEL_BLOCKS[0] is not None:
+        kw = dict(zip(("block_in", "block_out2"), _INT4_KERNEL_BLOCKS[0]))
+    bin_eff = kw.get("block_in", DEFAULT_BLOCK_IN)
     in_dim = x.shape[-1]
     if w.scale.ndim == 2:                         # grouped [G, out]
         gs = in_dim // w.scale.shape[0]
-        if gs <= 0 or in_dim % gs or (min(DEFAULT_BLOCK_IN, in_dim) % gs):
+        if gs <= 0 or in_dim % gs or (min(bin_eff, in_dim) % gs):
             return None
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
-                        layer=layer, group_size=gs, interpret=interpret)
+                        layer=layer, group_size=gs, interpret=interpret,
+                        **kw)
     else:
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
-                        layer=layer, interpret=interpret)
+                        layer=layer, interpret=interpret, **kw)
     return y.reshape(*x.shape[:-1], y.shape[-1])
 
 
