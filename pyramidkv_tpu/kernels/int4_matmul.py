@@ -37,12 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: default contraction-axis tile; the eligibility guard in
-#: models/weights.py checks group divisibility against this (the internal
-#: halving loop only shrinks it to power-of-two divisors of in_dim, so
-#: ``min(DEFAULT_BLOCK_IN, in_dim) % group_size == 0`` guarantees every
-#: realised in-block spans whole groups).
-DEFAULT_BLOCK_IN = 512
+#: default tiles — (1024, 2048) measured fastest at the 8B decode shapes
+#: (d32 snapkv 93.6 -> 104.9 tok/s vs (512, 1024): fewer grid steps =
+#: less per-tile overhead; logs/tpu_r2ag).  The eligibility guard in
+#: models/weights.py checks group divisibility against DEFAULT_BLOCK_IN
+#: (the internal halving loop only shrinks it to power-of-two divisors
+#: of in_dim, so ``min(DEFAULT_BLOCK_IN, in_dim) % group_size == 0``
+#: guarantees every realised in-block spans whole groups).
+DEFAULT_BLOCK_IN = 1024
+DEFAULT_BLOCK_OUT2 = 2048
 
 
 def _nibbles_f32(c: jax.Array):
@@ -146,7 +149,7 @@ def int4_matmul(
     *,
     layer=None,
     block_in: int = DEFAULT_BLOCK_IN,
-    block_out2: int = 1024,
+    block_out2: int = DEFAULT_BLOCK_OUT2,
     group_size: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
