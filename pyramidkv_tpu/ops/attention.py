@@ -112,6 +112,10 @@ def causal_prefill_attention(
     return out.astype(q.dtype)
 
 
+#: Test hook: force the fused decode-attention kernel (interpret) off-TPU.
+_FORCE_DECODE_ATTN_KERNEL = [False]
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -129,10 +133,24 @@ def decode_attention(
         queries shares its KV head.
       mask: [B, Hk, S] bool — slot holds a real token.
 
+    On a single TPU device with a VMEM-sized cache this routes to the
+    one-launch Pallas kernel (`kernels/decode_attn.py`) — per-layer
+    dispatch is the decode bottleneck once weights are int4/int8 (r2ag
+    decomposition); fullkv's multi-thousand-slot caches and multi-device
+    traces keep the XLA path below.
+
     Returns: [B, H, D]
     """
     b, h, d = q.shape
     hk = k_cache.shape[1]
+    interp = _FORCE_DECODE_ATTN_KERNEL[0]
+    if (interp or (jax.default_backend() == "tpu"
+                   and len(jax.devices()) == 1 and d % 128 == 0)):
+        from ..kernels.decode_attn import MAX_KERNEL_SLOTS, decode_attention_pallas
+
+        if k_cache.shape[2] <= MAX_KERNEL_SLOTS and h % hk == 0:
+            return decode_attention_pallas(q, k_cache, v_cache, mask,
+                                           interpret=interp)
     if hk == h:
         logits = jnp.einsum(
             "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32

@@ -198,3 +198,57 @@ def test_fit_blocks_bounds_smem_tables():
     bq, bk = _fit_blocks(131072, 512, 512, 4096)
     t = len(_triangular_pairs(131072 // bq, 131072 // bk, bq, bk, 4096)[0])
     assert t <= _MAX_TILE_VISITS
+
+
+def test_decode_attention_pallas_parity():
+    """Fused decode-attention kernel (interpret) == XLA decode_attention:
+    per-query-head (Hk==H) and true-GQA (Hk<H) caches, padded masks,
+    f32 and bf16."""
+    from pyramidkv_tpu.kernels.decode_attn import decode_attention_pallas
+    from pyramidkv_tpu.ops.attention import decode_attention
+
+    rng = np.random.default_rng(30)
+    for hk, h, dt, rtol in ((4, 4, np.float32, 1e-5),
+                            (2, 4, np.float32, 1e-5),
+                            (2, 8, "bfloat16", 2e-2)):
+        b, s, d = 2, 48, 32
+        q = jnp.asarray(rng.normal(size=(b, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+        if dt == "bfloat16":
+            q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        mask = jnp.asarray(rng.random(size=(b, hk, s)) < 0.7)
+        mask = mask.at[:, :, 0].set(True)  # at least one valid slot
+        ref = decode_attention(q, k, v, mask)
+        got = decode_attention_pallas(q, k, v, mask, interpret=True)
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=rtol, atol=rtol)
+
+
+def test_decode_attention_kernel_engine_tokens():
+    """Engine greedy tokens identical with the fused decode-attention
+    kernel forced on (interpret) — per-query-head AND gqa_aggregate."""
+    from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+    from pyramidkv_tpu.engine import Engine
+    from pyramidkv_tpu.models import llama as jl
+    from pyramidkv_tpu.ops import attention as A
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = [int(x) for x in np.random.default_rng(0).integers(0, 256,
+                                                             size=28)]
+    for kw in (dict(method="snapkv", max_capacity_prompt=16, window_size=4),
+               dict(method="snapkv", max_capacity_prompt=16, window_size=4,
+                    gqa_aggregate=True),
+               dict(method="fullkv")):
+        cs = CompressionSpec(**kw)
+        es = EngineSpec(max_new_tokens=8, prefill_buckets=(32,))
+        want = Engine(spec, cs, es, params).generate([ids]).tokens[0]
+        A._FORCE_DECODE_ATTN_KERNEL[0] = True
+        try:
+            got = Engine(spec, cs, es, params).generate([ids]).tokens[0]
+        finally:
+            A._FORCE_DECODE_ATTN_KERNEL[0] = False
+        assert got == want, (kw, got, want)
