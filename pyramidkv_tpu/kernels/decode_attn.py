@@ -50,7 +50,9 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
         q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * (1.0 / math.sqrt(d))                       # [g, S] f32
-    valid = m_ref[0, 0] > 0                        # [1, S]
+    valid = m_ref[0, 0] > 0                        # [1, S] (i32 cmp —
+    # Mosaic rejects cmpi on i8 vectors: "Target does not support this
+    # comparison", logs/tpu_r2ai)
     s = jnp.where(valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -85,7 +87,7 @@ def decode_attention_pallas(
     _, hk, s, _ = k.shape
     g = h // hk
     qg = q.reshape(b, hk, g, d)
-    mi = mask.astype(jnp.int8).reshape(b, hk, 1, s)
+    mi = mask.astype(jnp.int32).reshape(b, hk, 1, s)
     out = pl.pallas_call(
         _kernel,
         grid=(b, hk),
