@@ -115,6 +115,15 @@ def causal_prefill_attention(
 #: Test hook: force the fused decode-attention kernel (interpret) off-TPU.
 _FORCE_DECODE_ATTN_KERNEL = [False]
 
+#: Opt-in switch for the fused decode-attention kernel on TPU
+#: (PKV_DECODE_ATTN_KERNEL=1).  Measured NEUTRAL-to-slightly-negative on
+#: the d8 bf16 geometry (145.0 vs 148.3 tok/s snapkv 4k — logs/tpu_r2aj):
+#: XLA's batched QK/PV matmuls already pipeline well at 8 layers, so the
+#: one-launch kernel stays off by default until a depth-32 win is shown.
+import os as _os
+
+_USE_DECODE_ATTN_KERNEL = [_os.environ.get("PKV_DECODE_ATTN_KERNEL") == "1"]
+
 
 def decode_attention(
     q: jax.Array,
@@ -144,7 +153,8 @@ def decode_attention(
     b, h, d = q.shape
     hk = k_cache.shape[1]
     interp = _FORCE_DECODE_ATTN_KERNEL[0]
-    if (interp or (jax.default_backend() == "tpu"
+    if (interp or (_USE_DECODE_ATTN_KERNEL[0]
+                   and jax.default_backend() == "tpu"
                    and len(jax.devices()) == 1 and d % 128 == 0)):
         from ..kernels.decode_attn import MAX_KERNEL_SLOTS, decode_attention_pallas
 
