@@ -257,3 +257,140 @@ def int4_matmul(
     y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
     y = y * scale.astype(jnp.float32)[None, :]
     return y[:rows].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel path: custom_partitioning over the fused kernel
+# ---------------------------------------------------------------------------
+#
+# pallas_call is opaque to GSPMD, so a jit over model-axis-sharded packed
+# codes would all-gather the whole weight stack in front of the kernel.
+# ``int4_matmul_sharded`` teaches the partitioner the matmul's SPMD
+# structure instead: each shard runs the kernel on its local strip —
+# column-parallel weights (wq/wk/wv/w_gate/w_up: codes sharded on the OUT
+# axis, pack4 keeps both nibbles of a column pair in one shard) need no
+# communication; row-parallel weights (wo/w_down: codes sharded on the IN
+# axis, x sharded to match) psum the partial products, exactly the
+# all-reduce GSPMD emits for the bf16/int8 megatron pattern.  The
+# per-output-channel scale multiply is linear, so scaling each shard's
+# partial before the psum is exact; grouped scales are forced to co-shard
+# their group axis with the codes' in-axis.
+#
+# Validated on the 8-device CPU mesh with the interpret-mode kernel
+# (tests/test_weight_quant.py); on real multi-chip TPU hardware the same
+# lowering runs the Mosaic kernel per shard (compile validated only —
+# this environment has one chip).
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _spec_axes(sharding, rank):
+    """PartitionSpec entries padded to ``rank`` (None = replicated)."""
+    spec = getattr(sharding, "spec", None)
+    axes = list(spec) if spec is not None else []
+    return axes + [None] * (rank - len(axes))
+
+
+def _sharded_call(x, codes, scale, layer, group_size, block_in, block_out2,
+                  interpret):
+    kw = {}
+    if block_in:
+        kw["block_in"] = block_in
+    if block_out2:
+        kw["block_out2"] = block_out2
+    return int4_matmul(x, codes, scale, layer=layer,
+                       group_size=group_size, interpret=interpret, **kw)
+
+
+def _make_partition(grouped: bool):
+    def partition(group_size, block_in, block_out2, interpret,
+                  mesh, arg_shapes, result_shape):
+        del result_shape
+        xs = _spec_axes(arg_shapes[0].sharding, 2)
+        cs = _spec_axes(arg_shapes[1].sharding, 3)
+        in_ax, out_ax = cs[1], cs[2]
+
+        def lower_fn(x, codes, scale, layer):
+            y = _sharded_call(x, codes, scale, layer, group_size,
+                              block_in, block_out2, interpret)
+            if in_ax is not None:
+                y = jax.lax.psum(y, in_ax)
+            return y
+
+        if grouped:
+            scale_spec = PartitionSpec(in_ax, out_ax)   # g co-shards with i
+        else:
+            scale_spec = PartitionSpec(out_ax)
+        arg_shardings = (
+            NamedSharding(mesh, PartitionSpec(xs[0], in_ax)),
+            NamedSharding(mesh, PartitionSpec(None, in_ax, out_ax)),
+            NamedSharding(mesh, scale_spec),
+            NamedSharding(mesh, PartitionSpec(None)),
+        )
+        out_sharding = NamedSharding(mesh, PartitionSpec(xs[0], out_ax))
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    def infer(group_size, block_in, block_out2, interpret,
+              mesh, arg_shapes, result_shape):
+        del group_size, block_in, block_out2, interpret, result_shape
+        xs = _spec_axes(arg_shapes[0].sharding, 2)
+        cs = _spec_axes(arg_shapes[1].sharding, 3)
+        return NamedSharding(mesh, PartitionSpec(xs[0], cs[2]))
+
+    return partition, infer
+
+
+def _cp_instance(grouped: bool):
+    @functools.partial(custom_partitioning, static_argnums=(4, 5, 6, 7))
+    def fn(x, codes, scale, layer, group_size, block_in, block_out2,
+           interpret):
+        return _sharded_call(x, codes, scale, layer, group_size,
+                             block_in, block_out2, interpret)
+
+    partition, infer = _make_partition(grouped)
+    # The output/scale "out" axis is the codes' packed axis j times the
+    # two nibbles per byte: the compound factor (j t), t=2, links them so
+    # shardy propagates an out-axis sharding straight through the byte
+    # packing (a contiguous split of out is a contiguous split of j as
+    # long as the shard size is even — guaranteed: out/shards is a
+    # multiple of head_dim or of the MLP tile).
+    rule = ("m i, l i j, g (j t), u -> m (j t)" if grouped
+            else "m i, l i j, (j t), u -> m (j t)")
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        reduction_factors=("i",),
+        t=2,
+    )
+    return fn
+
+
+_CP_PLAIN = _cp_instance(grouped=False)
+_CP_GROUPED = _cp_instance(grouped=True)
+
+
+def int4_matmul_sharded(
+    x: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    *,
+    layer,
+    block_in: int = 0,
+    block_out2: int = 0,
+    group_size: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`int4_matmul` for multi-device traces (STACKED codes only).
+
+    Same contract as ``int4_matmul`` with ``codes [L, in, out//2]`` and a
+    traced ``layer`` index; ``block_in/block_out2 = 0`` means kernel
+    defaults.  The custom_partitioning wrapper keeps the packed bytes
+    sharded (megatron column/row layouts, ``parallel/mesh.py``) instead of
+    letting GSPMD all-gather them in front of the opaque pallas_call.
+    """
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    fn = _CP_GROUPED if group_size else _CP_PLAIN
+    return fn(x, codes, scale, lyr, group_size, block_in, block_out2,
+              interpret)

@@ -325,6 +325,12 @@ _INT4_KERNEL_MAX_ROWS = 32
 _INT4_KERNEL_BLOCKS = [None]
 
 
+#: Test hook: route multi-device traces through the custom_partitioning
+#: kernel wrapper even off-TPU (CPU-mesh TP tests set this together with
+#: ``_FORCE_INT4_KERNEL``).
+_FORCE_INT4_KERNEL_SHARDED = [False]
+
+
 def _int4_kernel_mm(x: jax.Array, w: QuantW):
     """Fused packed-int4 matmul for decode-shaped x, or None to fall back.
 
@@ -332,13 +338,15 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     unpack and a jnp.int4 bitcast materialise full-width transients per
     step — BASELINE.md round-2v), so bandwidth-bound decode routes packed
     leaves through ``kernels/int4_matmul`` (0.5 byte/param HBM traffic).
-    Only on a SINGLE TPU device: pallas_call does not partition under
-    GSPMD, so a model-axis-sharded codes stack would force a per-step
-    all-gather (or fail to compile) — multi-device processes and the
-    CPU-mesh TP tests keep the XLA bitcast path.  Inside a decode
-    layer-scan the codes arrive as a :class:`LayerView` over the stacked
-    ``[L, in, out//2]`` buffer and the layer index rides the kernel's
-    scalar prefetch (no per-layer slice copy).
+    Inside a decode layer-scan the codes arrive as a :class:`LayerView`
+    over the stacked ``[L, in, out//2]`` buffer and the layer index rides
+    the kernel's scalar prefetch (no per-layer slice copy).
+
+    pallas_call is opaque to GSPMD, so multi-device traces go through the
+    ``custom_partitioning`` wrapper (`kernels/int4_matmul.py::
+    int4_matmul_sharded`) which runs the kernel per shard on the megatron
+    column/row layouts — stacked (LayerView) codes only; 2-D packed
+    leaves in a multi-device process keep the XLA bitcast path.
     """
     codes, layer = w.codes, None
     if isinstance(codes, LayerView):
@@ -351,20 +359,33 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     if rows > _INT4_KERNEL_MAX_ROWS:
         return None
     interpret = _FORCE_INT4_KERNEL[0]
-    if not interpret and (jax.default_backend() != "tpu"
-                          or len(jax.devices()) != 1):
+    if not interpret and jax.default_backend() != "tpu":
         return None
-    from ..kernels.int4_matmul import DEFAULT_BLOCK_IN, int4_matmul
+    multi = _FORCE_INT4_KERNEL_SHARDED[0] or (
+        not interpret and len(jax.devices()) != 1)
+    if multi and layer is None:
+        return None
+    from ..kernels.int4_matmul import (
+        DEFAULT_BLOCK_IN,
+        int4_matmul,
+        int4_matmul_sharded,
+    )
 
     kw = {}
     if _INT4_KERNEL_BLOCKS[0] is not None:
         kw = dict(zip(("block_in", "block_out2"), _INT4_KERNEL_BLOCKS[0]))
     bin_eff = kw.get("block_in", DEFAULT_BLOCK_IN)
     in_dim = x.shape[-1]
+    gs = 0
     if w.scale.ndim == 2:                         # grouped [G, out]
         gs = in_dim // w.scale.shape[0]
         if gs <= 0 or in_dim % gs or (min(bin_eff, in_dim) % gs):
             return None
+    if multi:
+        y = int4_matmul_sharded(x.reshape(rows, in_dim), codes, w.scale,
+                                layer=layer, group_size=gs,
+                                interpret=interpret, **kw)
+    elif gs:
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, group_size=gs, interpret=interpret,
                         **kw)
