@@ -23,6 +23,7 @@ Layout decisions (TPU-first):
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -553,6 +554,15 @@ def prefill(
 _FORCE_QUANT_KERNEL = [False]
 
 
+#: Decode layer-scan unroll factor (PKV_DECODE_SCAN_UNROLL, default 1).
+#: Unrolling lets XLA schedule across adjacent layers (overlap one layer's
+#: weight loads with the previous layer's compute) at the cost of a larger
+#: compiled body; per-layer dispatch — not weight bandwidth — is the d32
+#: int4 decode headroom (logs/tpu_r2ag decomposition), so this is a
+#: measurable knob rather than a default.
+_DECODE_SCAN_UNROLL = [int(_os.environ.get("PKV_DECODE_SCAN_UNROLL", "1"))]
+
+
 def decode_step(
     params: dict,
     spec: ModelSpec,
@@ -737,6 +747,7 @@ def decode_step(
         (hidden, k, v, m, p), _ = jax.lax.scan(
             make_layer_fn(sub, 0), carry0,
             jnp.arange(spec.num_hidden_layers, dtype=jnp.int32),
+            unroll=min(_DECODE_SCAN_UNROLL[0], spec.num_hidden_layers),
         )
         logits = _logits(hidden, params, spec)
         new_cache = KVCache(
@@ -754,6 +765,7 @@ def decode_step(
         (hidden, k1, v1, m1, p1), _ = jax.lax.scan(
             make_layer_fn(sub, start), carry0,
             jnp.arange(stop - start, dtype=jnp.int32),
+            unroll=min(_DECODE_SCAN_UNROLL[0], stop - start),
         )
         outk.append(k1)
         outv.append(v1)
