@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
-from .weights import QuantW, embed_lookup, expert_mm, layer_view, mm
+from .weights import (QuantW, _int4_kernel_mm, dq_codes, embed_lookup,
+                      expert_mm, is_packed4, layer_view, mm)
 from ..ops.attention import causal_prefill_attention, decode_attention
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
@@ -336,6 +337,19 @@ def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
     h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps)
     w = params["embed"] if spec.tie_word_embeddings else params.get("lm_head")
     if isinstance(w, QuantW):
+        if not spec.tie_word_embeddings and is_packed4(w):
+            # packed int4 lm_head (quantize_weights(lm_head_nbits=4)):
+            # decode-shaped rows route through the fused kernel with f32
+            # x (f32 accumulation + f32 scale epilogue = f32 logits);
+            # prefill rows fall back to the fusable s4->dtype convert.
+            y = _int4_kernel_mm(h.astype(jnp.float32), w)
+            if y is not None:
+                return y
+            out = jax.lax.dot_general(
+                h, dq_codes(w, h.dtype), (((h.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out * w.scale.astype(jnp.float32)
         # tied: codes [V, Dm] (contract last); untied lm_head: [Dm, V]
         cdim = 1 if spec.tie_word_embeddings else 0
         out = jax.lax.dot_general(

@@ -58,6 +58,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quant_weights_group_size", type=int, default=None,
                    help="AWQ-style group size for weight scales (e.g. 128;"
                         " recommended with int4)")
+    p.add_argument("--quant_lm_head", type=str, default=None,
+                   choices=[None, "int8", "int4"],
+                   help="override the lm_head width (default int8 whenever "
+                        "--quant_weights is set; int4 halves the fixed "
+                        "per-step vocab-projection read)")
     p.add_argument("--temperature", type=float, default=None,
                    help="enable sampling with this temperature (default: greedy)")
     p.add_argument("--top_k", type=int, default=None)
@@ -148,9 +153,11 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
 
         from ..models.weights import fuse_packed_matmuls
 
+        lm_nb = getattr(args, "quant_lm_head", None)
         params = quantize_weights(
             params, nbits=int(args.quant_weights.removeprefix("int")),
-            group_size=getattr(args, "quant_weights_group_size", None))
+            group_size=getattr(args, "quant_weights_group_size", None),
+            lm_head_nbits=int(lm_nb.removeprefix("int")) if lm_nb else None)
         # int4: QKV / gate+up out-axis fusion (one decode-kernel launch
         # per group; bit-identical math — weights.fuse_packed_matmuls)
         params = fuse_packed_matmuls(params)

@@ -478,3 +478,59 @@ def test_fuse_packed_matmuls_grouped_and_moe():
     want = Engine(mspec, cs, es,
                   W.quantize_weights(mbase, nbits=4)).generate([ids]).tokens[0]
     assert Engine(mspec, cs, es, m4).generate([ids]).tokens[0] == want
+
+
+def test_int4_lm_head_opt_in():
+    """quantize_weights(lm_head_nbits=4) packs the vocab projection; the
+    _logits path dequantises it correctly on both the XLA fallback and the
+    fused kernel (decode-shaped rows), and the engine still generates.
+
+    Halving the fixed per-step lm_head read (~0.6 ms of the d32 1.6 ms
+    fixed cost) is the perf motivation — BASELINE.md r2ag decomposition."""
+    from pyramidkv_tpu.models import weights as W
+    from pyramidkv_tpu.policy import make_plan
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
+    q8 = W.quantize_weights(params, nbits=4)                 # lm_head int8
+    q4 = W.quantize_weights(params, nbits=4, lm_head_nbits=4)
+    assert W.is_packed4(q4["lm_head"]) and not W.is_packed4(q8["lm_head"])
+    assert (q4["lm_head"].codes.shape[-1] * 2 == spec.vocab_size
+            and not W.is_packed4(q4["embed"]))               # embed stays int8
+
+    # prefill logits (XLA dequant of the packed head) track the int8 head
+    ids = jnp.asarray([[int(x) for x in
+                        np.random.default_rng(8).integers(0, 256, size=24)]],
+                      jnp.int32)
+    tl = jnp.asarray([24], jnp.int32)
+    plan = make_plan(CompressionSpec(method="fullkv"), spec.num_hidden_layers,
+                     24, 4)
+    ref, _ = jl.prefill(q8, spec, plan, ids, tl)
+    got, _ = jl.prefill(q4, spec, plan, ids, tl)
+    denom = np.maximum(np.abs(np.asarray(ref)), 1.0)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
+    assert np.median(rel) < 0.05 and rel.max() < 0.5   # int4 head rounding
+
+    # decode-shaped rows: fused kernel (interpret) == XLA dequant fallback
+    h = jnp.asarray(np.random.default_rng(9).normal(
+        size=(2, spec.hidden_size)).astype(np.float32))
+    xla = jl._logits(h, q4, spec)
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        ker = jl._logits(h, q4, spec)
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(xla),
+                               rtol=2e-3, atol=2e-3)
+
+    # engine end-to-end (greedy through the packed head)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                        window_size=4),
+        EngineSpec(max_new_tokens=6, prefill_buckets=(32,)), q4,
+    )
+    out = eng.generate([[int(x) for x in
+                         np.random.default_rng(10).integers(0, 256, size=20)]],
+                       eos_token_ids=())
+    assert len(out.tokens[0]) == 6
