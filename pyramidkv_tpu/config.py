@@ -418,6 +418,19 @@ class EngineSpec:
     #: top-k restriction for sampling (None = full softmax); ignored when
     #: ``greedy`` (the reference decodes greedily everywhere).
     sample_top_k: "int | None" = None
+    #: Speculative decoding: "ngram" enables on-device prompt-lookup
+    #: drafting + multi-token verification (`ops/ngram.py`,
+    #: `models/llama.py::verify_step`).  Greedy, B=1, plain bf16 cache
+    #: paths only — other configs silently fall back to the one-token
+    #: loop.  Decode reads the full weight set per step, so verifying
+    #: ``spec_draft_len`` draft tokens costs ~one step; accepted drafts
+    #: are nearly free throughput (long-context QA/summarisation copies
+    #: prompt spans, which the n-gram match finds).
+    speculative: "str | None" = None
+    #: trailing n-gram width matched against the history.
+    spec_ngram: int = 3
+    #: max draft tokens proposed (and verified) per iteration.
+    spec_draft_len: int = 8
 
     def bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:

@@ -36,6 +36,9 @@ class GenerationOutput:
     decode_seconds: float
     decode_steps: int
     kv_cache_bytes: int
+    #: speculative decoding only: forward passes taken (< decode_steps
+    #: when drafts were accepted; decode_steps counts emitted tokens).
+    spec_iterations: Optional[int] = None
 
 
 @dataclass
@@ -84,6 +87,7 @@ class Engine:
         self.params = params
         self._prefill_fns: dict = {}
         self._decode_fns: dict = {}
+        self._spec_decode_fns: dict = {}
         self._roll_fns: dict = {}
         self.stats = EngineStats()
 
@@ -103,11 +107,16 @@ class Engine:
         )
         import dataclasses
 
+        # speculative decoding appends up to spec_draft_len+1 candidate
+        # rows before rolling back the rejected tail — the decode region
+        # carries that margin (plain decode never touches the extra slots)
+        extra = (self.engine_spec.spec_draft_len
+                 if self.engine_spec.speculative else 0)
         plan = make_plan(
             self.comp_spec,
             self.model_spec.num_hidden_layers,
             bucket,
-            self.engine_spec.max_new_tokens,
+            self.engine_spec.max_new_tokens + extra,
             use_pallas=use_pallas,
         )
         if self.engine_spec.use_quant_kernel and use_pallas:
@@ -201,6 +210,97 @@ class Engine:
             fn = self._decode_fns[bucket] = decode_fn
         return fn
 
+    def _spec_supported(self, plan: PolicyPlan, batch: int) -> bool:
+        """ngram speculation: greedy, B=1, plain bf16 cache paths (the
+        quantized / ThinK-narrow decode variants keep the 1-token loop)."""
+        es = self.engine_spec
+        return (es.speculative == "ngram" and es.greedy and batch == 1
+                and self.comp_spec.quant_method is None
+                and not plan.think_narrow)
+
+    def _get_spec_decode(self, bucket: int):
+        """Jitted speculative decode loop: on-device prompt-lookup drafts
+        (`ops/ngram.py`) verified `spec_draft_len` at a time
+        (`llama.verify_step`) — decode is weight-bandwidth-bound, so each
+        accepted draft token is nearly free.  Output tokens are exactly
+        the greedy tokens a 1-token loop emits (every emitted token is an
+        argmax of a verified forward)."""
+        fn = self._spec_decode_fns.get(bucket)
+        if fn is None:
+            from .models.llama import rollback_decode, verify_step
+            from .ops.ngram import ngram_draft
+
+            plan = self.plan_for(bucket)
+            spec = self.model_spec
+            es = self.engine_spec
+            max_new = es.max_new_tokens
+            n, k = es.spec_ngram, es.spec_draft_len
+            hlen = bucket + max_new + k + 1
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def spec_decode_fn(params, cache: KVCache, first_token, eos_ids,
+                               max_steps, prompt_tokens):
+                b = first_token.shape[0]
+                rows = jnp.arange(b)[:, None]
+                tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+                hist = jnp.zeros((b, hlen), jnp.int32)
+                hist = jax.lax.dynamic_update_slice(hist, prompt_tokens,
+                                                    (0, 0))
+                hist = hist.at[:, bucket].set(first_token)
+                start = bucket - cache.true_len.astype(jnp.int32)  # [B]
+                out = jnp.full((b, max_new), -1, jnp.int32)
+                limit = jnp.minimum(max_steps, max_new)
+                done0 = jnp.zeros((b,), bool)
+                end0 = jnp.full((b,), bucket + 1, jnp.int32)
+
+                def cond(st):
+                    return (st[3] < limit) & ~jnp.all(st[4])
+
+                def body(st):
+                    cache, token, out, g, done, hist, end, iters = st
+                    draft, nd = ngram_draft(hist, start, end, n=n, k=k)
+                    tok_in = jnp.concatenate([token[:, None], draft], axis=1)
+                    logits, cache = verify_step(params, spec, plan, cache,
+                                                tok_in)
+                    gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    # accepted drafts: longest prefix agreeing with the
+                    # verified greedy continuation
+                    ok = (draft == gt[:, :-1]) & (tpos[:, :k] < nd[:, None])
+                    a = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+                    e = jnp.minimum(a + 1, limit - g)
+                    e = jnp.where(done, 0, e)
+                    emit = tpos < e[:, None]
+                    is_eos = jnp.any(
+                        gt[:, :, None] == eos_ids[None, None, :], axis=-1
+                    ) & emit
+                    eos_pos = jnp.min(jnp.where(is_eos, tpos, k + 1), axis=1)
+                    e = jnp.minimum(e, eos_pos + 1)      # include the EOS
+                    emit = tpos < e[:, None]
+                    done = done | (eos_pos <= k)
+                    # scatter emitted tokens (OOB columns are dropped)
+                    cols = jnp.where(emit, g + tpos, max_new)
+                    out = out.at[rows, cols].set(gt, mode="drop")
+                    hcols = jnp.where(emit, end[:, None] + tpos, hlen)
+                    hist = hist.at[rows, hcols].set(gt, mode="drop")
+                    end = end + e
+                    # rewind the rejected tail (B=1: e is a 1-vector)
+                    cache = rollback_decode(
+                        cache, plan, cache.step - (k + 1) + e[0])
+                    nxt = jnp.take_along_axis(
+                        gt, jnp.clip(e - 1, 0, k)[:, None], axis=1)[:, 0]
+                    token = jnp.where(done | (e == 0), token, nxt)
+                    return (cache, token, out, g + e[0], done, hist, end,
+                            iters + 1)
+
+                state = (cache, first_token, out, jnp.int32(0), done0,
+                         hist, end0, jnp.int32(0))
+                cache, last, out, g, done, _, _, iters = jax.lax.while_loop(
+                    cond, body, state)
+                return out, g, iters, cache, last, done
+
+            fn = self._spec_decode_fns[bucket] = spec_decode_fn
+        return fn
+
     # -- generation -------------------------------------------------------
 
     def generate(
@@ -250,12 +350,22 @@ class Engine:
         eos = jnp.asarray(
             list(eos_token_ids) or [-1], dtype=jnp.int32
         )
-        decode_fn = self._get_decode(bucket)
-        out, steps, cache, _, _ = decode_fn(self.params, cache, first, eos,
-                                            jax.random.fold_in(rng, 1 << 20),
-                                            jnp.int32(max_new - 1))
-        out = np.asarray(out)
-        steps = int(steps)
+        spec_iters = None
+        if self._spec_supported(self.plan_for(bucket), b):
+            spec_fn = self._get_spec_decode(bucket)
+            out, steps, iters, cache, _, _ = spec_fn(
+                self.params, cache, first, eos, jnp.int32(max_new - 1),
+                tokens)
+            out = np.asarray(out)
+            steps = int(steps)
+            spec_iters = int(iters)
+        else:
+            decode_fn = self._get_decode(bucket)
+            out, steps, cache, _, _ = decode_fn(
+                self.params, cache, first, eos,
+                jax.random.fold_in(rng, 1 << 20), jnp.int32(max_new - 1))
+            out = np.asarray(out)
+            steps = int(steps)
         t2 = time.perf_counter()
 
         first_np = np.asarray(first)
@@ -284,6 +394,7 @@ class Engine:
             decode_seconds=t2 - t1,
             decode_steps=steps,
             kv_cache_bytes=cache_memory_bytes(cache),
+            spec_iterations=spec_iters,
         )
 
     # -- decode-stage compression (unbounded generation) -------------------
@@ -300,6 +411,10 @@ class Engine:
         if fn is None:
             plan = self.plan_for(bucket)
             ps, ds = plan.prefill_slots, plan.decode_slots
+            # the plain decode loop fills at most max_new decode slots;
+            # any speculative margin beyond that stays empty, so recency
+            # shifts must window on the FILLED region
+            filled = min(ds, self.engine_spec.max_new_tokens)
             if eviction == "l2norm" and plan.think_narrow:
                 raise NotImplementedError(
                     "l2norm decode eviction with the ThinK narrow K layout"
@@ -355,7 +470,7 @@ class Engine:
 
                 def shift(x, fill, off):
                     dec = x[:, :, :, off:off + ds]
-                    recent = dec[:, :, :, ds - keep_recent:]
+                    recent = dec[:, :, :, filled - keep_recent:filled]
                     pad_shape = list(x.shape)
                     pad_shape[3] = ds - keep_recent
                     pad = jnp.full(pad_shape, fill, x.dtype)

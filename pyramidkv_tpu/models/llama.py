@@ -33,7 +33,8 @@ from ..cache import KVCache, LayerCacheView
 from ..config import ModelSpec
 from .weights import (QuantW, _int4_kernel_mm, dq_codes, embed_lookup,
                       expert_mm, is_packed4, layer_view, mm)
-from ..ops.attention import causal_prefill_attention, decode_attention
+from ..ops.attention import (causal_prefill_attention, decode_attention,
+                             verify_attention)
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
 
@@ -792,3 +793,146 @@ def decode_step(
         true_len=cache.true_len, step=cache.step + 1, quant=None,
     )
     return logits, new_cache
+
+
+def verify_step(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    cache: KVCache,
+    tokens: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """Multi-token forward for speculative verification.
+
+    ``tokens`` is ``[B, T]``: the last accepted token followed by ``T-1``
+    draft tokens (`ops/ngram.py`).  All ``T`` candidate K/V rows are
+    appended (contiguous slots ``step .. step+T``) and every query sees
+    the cache plus its in-segment predecessors via the position-bound
+    mask in :func:`ops.attention.verify_attention` — so the ``T`` logits
+    rows equal ``T`` sequential :func:`decode_step` calls on the same
+    tokens.  The caller computes the accepted prefix and rewinds the
+    rejected tail with :func:`rollback_decode`.
+
+    Decode is weight-bound (one d32 int4 step reads ~4 GB of weights for
+    ~1.6 + 0.25/layer ms — BASELINE.md r2ag), so verifying T tokens costs
+    barely more than one step; each accepted draft is nearly free.
+
+    Scope: plain bf16 cache paths (quantized / ThinK-narrow regions keep
+    the one-token loop — the engine gates this).
+
+    Reference counterpart: none (the reference decodes strictly one token
+    per forward, run_longbench.py:266-275).
+    """
+    assert cache.quant is None and cache.think is None
+    b, t_seg = tokens.shape
+    groups = spec.num_query_groups
+    inv_freq = rope_inv_freq(spec)
+    pos0 = cache.current_position()                           # [B]
+    q_pos = pos0[:, None] + jnp.arange(t_seg, dtype=jnp.int32)[None, :]
+    hidden0 = embed_lookup(params["embed"], tokens,
+                           params["final_norm"].dtype)        # [B, T, Dm]
+    store_kv = stores_kv_heads(plan.spec)
+
+    def make_layer_fn(subplan, layer0):
+        slot = subplan.prefill_slots + cache.step             # scalar
+
+        def layer_fn(carry, i):
+            hidden, kf, vf, mf, pf = carry
+            wts = layer_view(params["layers"], layer0 + i)
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+            q, k, v = _qkv(x, wts, spec)                      # [B,H/KV,T,Dh]
+            q = apply_rope(q, q_pos, inv_freq)
+            k = apply_rope(k, q_pos, inv_freq)
+            if store_kv:
+                k_new, v_new = k, v                           # [B,KV,T,Dh]
+            else:
+                k_new = _repeat_kv(k, groups)                 # [B,H,T,Dh]
+                v_new = _repeat_kv(v, groups)
+            hm = mf.shape[2]
+            kf = jax.lax.dynamic_update_slice(
+                kf, k_new[None].astype(kf.dtype), (i, 0, 0, slot, 0))
+            vf = jax.lax.dynamic_update_slice(
+                vf, v_new[None].astype(vf.dtype), (i, 0, 0, slot, 0))
+            mf = jax.lax.dynamic_update_slice(
+                mf, jnp.ones((1, b, hm, t_seg), mf.dtype), (i, 0, 0, slot))
+            pf = jax.lax.dynamic_update_slice(
+                pf, jnp.broadcast_to(
+                    q_pos[None, :, None, :], (1, b, hm, t_seg)
+                ).astype(pf.dtype),
+                (i, 0, 0, slot))
+            layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
+            attn = verify_attention(
+                q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
+                sliding_window=spec.sliding_window,
+            )                                                 # [B,H,T,Dh]
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, t_seg, -1)
+            hidden = hidden + mm(attn, wts["wo"])
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
+            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
+            return (hidden, kf, vf, mf, pf), None
+
+        return layer_fn
+
+    segs = plan.segment_plans()
+    if len(segs) == 1:
+        _, _, sub = segs[0]
+        carry0 = (hidden0, cache.k, cache.v, cache.mask, cache.positions)
+        (hidden, k, v, m, p), _ = jax.lax.scan(
+            make_layer_fn(sub, 0), carry0,
+            jnp.arange(spec.num_hidden_layers, dtype=jnp.int32),
+        )
+        logits = _logits(hidden, params, spec)                # [B,T,V]
+        return logits, KVCache(
+            k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
+            step=cache.step + t_seg,
+        )
+    hidden = hidden0
+    outk, outv, outm, outp = [], [], [], []
+    for i, (start, stop, sub) in enumerate(segs):
+        carry0 = (hidden, cache.k[i], cache.v[i], cache.mask[i],
+                  cache.positions[i])
+        (hidden, k1, v1, m1, p1), _ = jax.lax.scan(
+            make_layer_fn(sub, start), carry0,
+            jnp.arange(stop - start, dtype=jnp.int32),
+        )
+        outk.append(k1)
+        outv.append(v1)
+        outm.append(m1)
+        outp.append(p1)
+    logits = _logits(hidden, params, spec)
+    return logits, KVCache(
+        k=tuple(outk), v=tuple(outv), mask=tuple(outm), positions=tuple(outp),
+        true_len=cache.true_len, step=cache.step + t_seg,
+    )
+
+
+def rollback_decode(cache: KVCache, plan: PolicyPlan,
+                    new_step: jax.Array) -> KVCache:
+    """Rewind the decode region to ``new_step`` appended tokens.
+
+    Clears validity (and positions, for hygiene) of every decode slot at
+    index >= ``new_step`` — the rejected tail of a speculative
+    :func:`verify_step`.  K/V bytes are left stale: masked slots are
+    invisible to attention and the next verification overwrites them
+    (appends are contiguous from ``step``).
+    """
+    assert cache.quant is None and cache.think is None
+
+    def clear(mask_f, pos_f, ps):
+        s = mask_f.shape[-1]
+        keep = jnp.arange(s, dtype=jnp.int32)[None, None, None, :] < (
+            ps + new_step)
+        return mask_f & keep, jnp.where(keep, pos_f, -1)
+
+    seg_ps = [s[2] + plan.window for s in plan.segments]
+    if isinstance(cache.mask, tuple):
+        cleared = [clear(m, p, ps) for m, p, ps in
+                   zip(cache.mask, cache.positions, seg_ps)]
+        return cache._replace(
+            mask=tuple(c[0] for c in cleared),
+            positions=tuple(c[1] for c in cleared),
+            step=jnp.asarray(new_step, jnp.int32),
+        )
+    m, p = clear(cache.mask, cache.positions, seg_ps[0])
+    return cache._replace(mask=m, positions=p,
+                          step=jnp.asarray(new_step, jnp.int32))

@@ -184,6 +184,70 @@ def decode_attention(
     return out.reshape(b, h, d).astype(q.dtype)
 
 
+def verify_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+    positions: jax.Array,
+    q_pos: jax.Array,
+    sliding_window=None,
+) -> jax.Array:
+    """Multi-token decode attention for speculative verification.
+
+    Like :func:`decode_attention` but for ``T`` draft tokens at once: the
+    caller has already appended all ``T`` candidate K/V rows, so query
+    ``t`` must see only slots whose ORIGINAL position is <= its own —
+    the per-query position bound supplies the in-segment causal mask
+    (cached prefill slots all have smaller positions and pass trivially).
+
+    Args:
+      q: [B, H, T, D] — the draft segment's queries.
+      k_cache, v_cache: [B, Hk, S, D] slot buffers (Hk == H or H % Hk == 0).
+      mask: [B, Hk, S] bool slot validity.
+      positions: [B, Hk, S] int32 absolute token positions (-1 invalid).
+      q_pos: [B, T] int32 absolute positions of the draft tokens.
+      sliding_window: optional int — Mistral-style window on top.
+
+    Returns [B, H, T, D] in q's dtype.
+    """
+    b, h, t, d = q.shape
+    hk = k_cache.shape[1]
+    vis = mask[:, :, None, :] & (
+        positions[:, :, None, :] <= q_pos[:, None, :, None]
+    )
+    if sliding_window is not None:
+        vis = vis & (
+            positions[:, :, None, :]
+            > (q_pos[:, None, :, None] - sliding_window)
+        )
+    if hk == h:
+        logits = jnp.einsum(
+            "bhtd,bhsd->bhts", q, k_cache,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(d)
+        logits = jnp.where(vis, logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        out = jnp.einsum(
+            "bhts,bhsd->bhtd", probs, v_cache,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
+    g = h // hk
+    qg = q.reshape(b, hk, g, t, d)
+    logits = jnp.einsum(
+        "bkgtd,bksd->bkgts", qg, k_cache,
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(d)
+    logits = jnp.where(vis[:, :, None, :, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bkgts,bksd->bkgtd", probs, v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, h, t, d).astype(q.dtype)
+
+
 def decode_attention_think(
     q: jax.Array,
     k_pruned: jax.Array,

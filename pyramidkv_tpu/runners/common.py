@@ -63,6 +63,13 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="override the lm_head width (default int8 whenever "
                         "--quant_weights is set; int4 halves the fixed "
                         "per-step vocab-projection read)")
+    p.add_argument("--speculative", type=str, default=None,
+                   choices=[None, "ngram"],
+                   help="speculative decoding (greedy, B=1): on-device "
+                        "prompt-lookup drafts verified spec_draft_len at a "
+                        "time — output tokens are unchanged")
+    p.add_argument("--spec_ngram", type=int, default=3)
+    p.add_argument("--spec_draft_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=None,
                    help="enable sampling with this temperature (default: greedy)")
     p.add_argument("--top_k", type=int, default=None)
@@ -174,6 +181,9 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
             greedy=args.temperature is None,
             temperature=args.temperature or 1.0,
             sample_top_k=args.top_k,
+            speculative=getattr(args, "speculative", None),
+            spec_ngram=getattr(args, "spec_ngram", 3),
+            spec_draft_len=getattr(args, "spec_draft_len", 8),
         ),
         params,
     )
