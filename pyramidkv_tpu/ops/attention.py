@@ -116,10 +116,12 @@ def causal_prefill_attention(
 _FORCE_DECODE_ATTN_KERNEL = [False]
 
 #: Opt-in switch for the fused decode-attention kernel on TPU
-#: (PKV_DECODE_ATTN_KERNEL=1).  Measured NEUTRAL-to-slightly-negative on
-#: the d8 bf16 geometry (145.0 vs 148.3 tok/s snapkv 4k — logs/tpu_r2aj):
-#: XLA's batched QK/PV matmuls already pipeline well at 8 layers, so the
-#: one-launch kernel stays off by default until a depth-32 win is shown.
+#: (PKV_DECODE_ATTN_KERNEL=1).  Measured NEGATIVE at both geometries —
+#: d8 bf16 145.0 vs 148.3 tok/s (logs/tpu_r2aj) and d32 int4 99.4 vs
+#: 105.3 (logs/tpu_r2ak; scan unroll=4 was neutral, 104.0): XLA's
+#: batched QK/PV matmuls pipeline the compressed-cache attention better
+#: than a per-layer pallas launch, so the kernel stays off by default
+#: and exists as the counterfactual record.
 import os as _os
 
 _USE_DECODE_ATTN_KERNEL = [_os.environ.get("PKV_DECODE_ATTN_KERNEL") == "1"]
