@@ -219,12 +219,14 @@ class ContinuousBatcher:
         eos_set: set = set()
 
         # donated: the pre-insert cache/lane state is dead after the call —
-        # keeps the insert an in-place lane write instead of a full copy
+        # keeps the insert an in-place lane write instead of a full copy.
+        # ``row`` selects the source row of a BATCHED refill prefill
+        # (same-bucket requests prefill together; see retire_and_launch).
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
         def insert_lane(cache, tokens, lane_steps, done, budget,
-                        new_cache, first_tok, lane, new_budget):
+                        new_cache, first_tok, lane, new_budget, row):
             def put(old, new):
-                # Every leaf routed here is layer-stacked [L, B(=1 in), ...]
+                # Every leaf routed here is layer-stacked [L, B_rows, ...]
                 # by construction (KVCache main fields and QuantizedKVRegion
                 # leaves alike); anything else is a cache-layout change that
                 # must fail loudly, not be silently skipped.
@@ -233,7 +235,7 @@ class ContinuousBatcher:
                         f"insert_lane: unmergeable cache leaf {old.shape} vs "
                         f"{new.shape} — update the per-field handling"
                     )
-                return old.at[:, lane].set(new[:, 0])
+                return old.at[:, lane].set(new[:, row])
 
             quant = cache.quant
             if quant is not None:
@@ -247,33 +249,40 @@ class ContinuousBatcher:
                 v=tput(cache.v, new_cache.v),
                 mask=tput(cache.mask, new_cache.mask),
                 positions=tput(cache.positions, new_cache.positions),
-                true_len=cache.true_len.at[lane].set(new_cache.true_len[0]),
+                true_len=cache.true_len.at[lane].set(new_cache.true_len[row]),
                 step=cache.step,
                 quant=quant,
                 think=think,
             )
-            tokens = tokens.at[lane].set(first_tok[0])
+            tokens = tokens.at[lane].set(first_tok[row])
             lane_steps = lane_steps.at[lane].set(0)
             done = done.at[lane].set(False)
             budget = budget.at[lane].set(new_budget)
             return cache, tokens, lane_steps, done, budget
 
         # Free-lane prefills are LAUNCHED asynchronously (jax dispatch) and
-        # the lane joins the decode loop only once its prefill result is
+        # lanes join the decode loop only once their prefill result is
         # ready — decode quanta for the active lanes never block on a
-        # refill's prefill (under data-parallel meshes the prefill runs on
-        # the free lane's shard while other lanes keep decoding).
+        # refill's prefill.  Same-bucket queued requests prefill TOGETHER
+        # (one batched call per group, power-of-two group sizes so the
+        # (bucket, rows) compile set stays bounded): sequential per-lane
+        # prefills made CB prefill-bound at short contexts — 64 x 2k
+        # requests on 32 lanes measured 232.6 tok/s wall vs 2007 for one
+        # batched generate() (logs/tpu_r2ak).
         import time as _time
 
-        pending: "dict[int, tuple] " = {}  # lane -> (req, first, cache, max_new, t0)
+        #: in-flight refill groups: lanes/reqs/first [R]/cache/max_news/t0
+        pending_groups: "list[dict]" = []
         lane_t0: "dict[int, float]" = {}       # decode start per lane
         lane_prefill_s: "dict[int, float]" = {}
 
         def retire_and_launch():
             nonlocal cache, tokens, lane_steps, done, budget
             done_np = np.asarray(done)
+            reserved = {ln for g in pending_groups for ln in g["lanes"]}
+            free = []
             for lane in range(B):
-                if not done_np[lane] or lane in pending:
+                if not done_np[lane] or lane in reserved:
                     continue
                 # retire the finished request
                 req = lane_req[lane]
@@ -290,44 +299,59 @@ class ContinuousBatcher:
                     )
                     lane_req[lane] = None
                     lane_tokens[lane] = []
-                if not queue:
-                    continue
-                req = queue.pop(0)
-                bucket = es.bucket_for(len(req.prompt_ids))
+                free.append(lane)
+            while queue and free:
+                bucket = es.bucket_for(len(queue[0].prompt_ids))
+                idxs = [i for i, r in enumerate(queue)
+                        if es.bucket_for(len(r.prompt_ids)) == bucket]
+                rows = 1
+                while rows * 2 <= min(len(idxs), len(free)):
+                    rows *= 2
+                group = [queue[i] for i in idxs[:rows]]
+                for i in reversed(idxs[:rows]):
+                    queue.pop(i)
+                lanes_ = [free.pop(0) for _ in range(rows)]
                 prefill_fn = engine._get_prefill(bucket)
-                toks = np.zeros((1, bucket), np.int32)
-                toks[0, bucket - len(req.prompt_ids):] = req.prompt_ids
+                toks = np.zeros((rows, bucket), np.int32)
+                tls = []
+                for j, r in enumerate(group):
+                    toks[j, bucket - len(r.prompt_ids):] = r.prompt_ids
+                    tls.append(len(r.prompt_ids))
                 logits, new_cache = prefill_fn(
                     engine.params, jnp.asarray(toks),
-                    jnp.asarray([len(req.prompt_ids)], jnp.int32),
-                    jax.random.PRNGKey(0),
+                    jnp.asarray(tls, jnp.int32), jax.random.PRNGKey(0),
                 )
-                if req.eos_token_ids:
-                    cols = jnp.asarray(list(req.eos_token_ids), jnp.int32)
-                    logits = logits.at[:, cols].set(-jnp.inf)
-                    eos_set.update(int(e) for e in req.eos_token_ids)
-                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                max_new = min(req.max_new_tokens or es.max_new_tokens,
-                              es.max_new_tokens)
-                pending[lane] = (req, first, new_cache, max_new,
-                                 _time.perf_counter())
+                for j, r in enumerate(group):
+                    if r.eos_token_ids:
+                        cols = jnp.asarray(list(r.eos_token_ids), jnp.int32)
+                        logits = logits.at[j, cols].set(-jnp.inf)
+                        eos_set.update(int(e) for e in r.eos_token_ids)
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [R]
+                pending_groups.append(dict(
+                    lanes=lanes_, reqs=group, first=first, cache=new_cache,
+                    max_news=[min(r.max_new_tokens or es.max_new_tokens,
+                                  es.max_new_tokens) for r in group],
+                    t0=_time.perf_counter(),
+                ))
 
         def harvest(block: bool):
             nonlocal cache, tokens, lane_steps, done, budget
-            for lane in list(pending):
-                req, first, new_cache, max_new, t0 = pending[lane]
-                if not block and not first.is_ready():
+            for g in list(pending_groups):
+                if not block and not g["first"].is_ready():
                     continue
-                del pending[lane]
-                lane_req[lane] = req
-                lane_tokens[lane] = [int(first[0])]
+                pending_groups.remove(g)
+                first = g["first"]
+                first_np = np.asarray(first)
                 now = _time.perf_counter()
-                lane_prefill_s[lane] = now - t0
-                lane_t0[lane] = now
-                cache, tokens, lane_steps, done, budget = insert_lane(
-                    cache, tokens, lane_steps, done, budget,
-                    new_cache, first, lane, max_new - 1,
-                )
+                for j, (lane, req) in enumerate(zip(g["lanes"], g["reqs"])):
+                    lane_req[lane] = req
+                    lane_tokens[lane] = [int(first_np[j])]
+                    lane_prefill_s[lane] = now - g["t0"]
+                    lane_t0[lane] = now
+                    cache, tokens, lane_steps, done, budget = insert_lane(
+                        cache, tokens, lane_steps, done, budget,
+                        g["cache"], first, lane, g["max_news"][j] - 1, j,
+                    )
 
         eos_union = sorted(
             set(e for r in queue for e in r.eos_token_ids)
@@ -336,7 +360,7 @@ class ContinuousBatcher:
 
         retire_and_launch()
         harvest(block=True)
-        while any(r is not None for r in lane_req) or pending or queue:
+        while any(r is not None for r in lane_req) or pending_groups or queue:
             prev_done = np.asarray(done)
             cache, tokens, lane_steps, done, emitted = self._quantum_fn(
                 engine.params, cache, tokens, lane_steps, done, budget, eos_arr

@@ -244,3 +244,45 @@ def test_cb_with_int4_weights_fused_kernel():
             assert out[r.request_id].tokens == want, r.request_id
     finally:
         W._FORCE_INT4_KERNEL[0] = False
+
+
+def test_batched_refill_groups(eng):
+    """Same-bucket requests prefill in one batched call (power-of-two
+    groups); tokens still match independent generation.  8 same-bucket
+    requests on 4 lanes exercise rows=4 initial fill + refill groups."""
+    rng = np.random.default_rng(7)
+    reqs = [
+        Request(request_id=f"g{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=24 + i)],
+                max_new_tokens=6)
+        for i in range(8)
+    ]
+    cb = ContinuousBatcher(eng, lanes=4, quantum=4)
+    out = cb.run(list(reqs))
+    assert set(out) == {r.request_id for r in reqs}
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=6).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_batched_refill_mixed_buckets_and_eos(eng):
+    """Groups split at bucket boundaries; per-request EOS suppression is
+    applied per row of the batched prefill."""
+    rng = np.random.default_rng(8)
+    short = [int(x) for x in rng.integers(0, 256, size=20)]
+    base = eng.generate([short], max_new_tokens=10).tokens[0]
+    eos = base[3]
+    reqs = [
+        Request("e0", short, max_new_tokens=10, eos_token_ids=(eos,)),
+        Request("e1", [int(x) for x in rng.integers(0, 256, size=26)],
+                max_new_tokens=5),
+        Request("e2", [int(x) for x in rng.integers(0, 256, size=40)],
+                max_new_tokens=5),   # 64-bucket: separate group
+        Request("e3", [int(x) for x in rng.integers(0, 256, size=22)],
+                max_new_tokens=5),
+    ]
+    out = ContinuousBatcher(eng, lanes=3, quantum=4).run(list(reqs))
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=r.max_new_tokens,
+                            eos_token_ids=r.eos_token_ids).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
