@@ -801,6 +801,8 @@ def verify_step(
     plan: PolicyPlan,
     cache: KVCache,
     tokens: jax.Array,
+    *,
+    lane_steps: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Multi-token forward for speculative verification.
 
@@ -818,7 +820,9 @@ def verify_step(
     barely more than one step; each accepted draft is nearly free.
 
     Scope: plain bf16 cache paths (quantized / ThinK-narrow regions keep
-    the one-token loop — the engine gates this).
+    the one-token loop — the engine gates this).  ``lane_steps``
+    (continuous batching) gives each row its own append offset, exactly
+    like :func:`decode_step`'s lane path.
 
     Reference counterpart: none (the reference decodes strictly one token
     per forward, run_longbench.py:266-275).
@@ -827,14 +831,22 @@ def verify_step(
     b, t_seg = tokens.shape
     groups = spec.num_query_groups
     inv_freq = rope_inv_freq(spec)
-    pos0 = cache.current_position()                           # [B]
+    if lane_steps is None:
+        pos0 = cache.current_position()                       # [B]
+    else:
+        pos0 = cache.true_len.astype(jnp.int32) + lane_steps
     q_pos = pos0[:, None] + jnp.arange(t_seg, dtype=jnp.int32)[None, :]
     hidden0 = embed_lookup(params["embed"], tokens,
                            params["final_norm"].dtype)        # [B, T, Dm]
     store_kv = stores_kv_heads(plan.spec)
 
     def make_layer_fn(subplan, layer0):
-        slot = subplan.prefill_slots + cache.step             # scalar
+        if lane_steps is None:
+            slot = subplan.prefill_slots + cache.step         # scalar
+            slots = None
+        else:
+            slot = None
+            slots = subplan.prefill_slots + lane_steps        # [B]
 
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
@@ -849,17 +861,30 @@ def verify_step(
                 k_new = _repeat_kv(k, groups)                 # [B,H,T,Dh]
                 v_new = _repeat_kv(v, groups)
             hm = mf.shape[2]
-            kf = jax.lax.dynamic_update_slice(
-                kf, k_new[None].astype(kf.dtype), (i, 0, 0, slot, 0))
-            vf = jax.lax.dynamic_update_slice(
-                vf, v_new[None].astype(vf.dtype), (i, 0, 0, slot, 0))
-            mf = jax.lax.dynamic_update_slice(
-                mf, jnp.ones((1, b, hm, t_seg), mf.dtype), (i, 0, 0, slot))
-            pf = jax.lax.dynamic_update_slice(
-                pf, jnp.broadcast_to(
-                    q_pos[None, :, None, :], (1, b, hm, t_seg)
-                ).astype(pf.dtype),
-                (i, 0, 0, slot))
+            if lane_steps is None:
+                kf = jax.lax.dynamic_update_slice(
+                    kf, k_new[None].astype(kf.dtype), (i, 0, 0, slot, 0))
+                vf = jax.lax.dynamic_update_slice(
+                    vf, v_new[None].astype(vf.dtype), (i, 0, 0, slot, 0))
+                mf = jax.lax.dynamic_update_slice(
+                    mf, jnp.ones((1, b, hm, t_seg), mf.dtype),
+                    (i, 0, 0, slot))
+                pf = jax.lax.dynamic_update_slice(
+                    pf, jnp.broadcast_to(
+                        q_pos[None, :, None, :], (1, b, hm, t_seg)
+                    ).astype(pf.dtype),
+                    (i, 0, 0, slot))
+            else:
+                rows = jnp.arange(b)
+                for t in range(t_seg):                        # T small, static
+                    kf = kf.at[i, rows, :, slots + t].set(
+                        k_new[:, :, t].astype(kf.dtype))
+                    vf = vf.at[i, rows, :, slots + t].set(
+                        v_new[:, :, t].astype(vf.dtype))
+                    mf = mf.at[i, rows, :, slots + t].set(True)
+                    pf = pf.at[i, rows, :, slots + t].set(
+                        jnp.broadcast_to(q_pos[:, t:t + 1], (b, hm)
+                                         ).astype(jnp.int32))
             layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
             attn = verify_attention(
                 q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
@@ -884,7 +909,8 @@ def verify_step(
         logits = _logits(hidden, params, spec)                # [B,T,V]
         return logits, KVCache(
             k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
-            step=cache.step + t_seg,
+            step=(cache.step if lane_steps is not None
+                  else cache.step + t_seg),
         )
     hidden = hidden0
     outk, outv, outm, outp = [], [], [], []
@@ -902,7 +928,8 @@ def verify_step(
     logits = _logits(hidden, params, spec)
     return logits, KVCache(
         k=tuple(outk), v=tuple(outv), mask=tuple(outm), positions=tuple(outp),
-        true_len=cache.true_len, step=cache.step + t_seg,
+        true_len=cache.true_len,
+        step=cache.step if lane_steps is not None else cache.step + t_seg,
     )
 
 
@@ -915,13 +942,20 @@ def rollback_decode(cache: KVCache, plan: PolicyPlan,
     :func:`verify_step`.  K/V bytes are left stale: masked slots are
     invisible to attention and the next verification overwrites them
     (appends are contiguous from ``step``).
+
+    ``new_step`` may be a scalar (shared step, `Engine.generate`) or a
+    ``[B]`` vector of per-lane step counts (continuous batching); the
+    vector form leaves ``cache.step`` untouched.
     """
     assert cache.quant is None and cache.think is None
+    new_step = jnp.asarray(new_step, jnp.int32)
+    per_lane = new_step.ndim == 1
+    bound = new_step[None, :, None, None] if per_lane else new_step
 
     def clear(mask_f, pos_f, ps):
         s = mask_f.shape[-1]
         keep = jnp.arange(s, dtype=jnp.int32)[None, None, None, :] < (
-            ps + new_step)
+            ps + bound)
         return mask_f & keep, jnp.where(keep, pos_f, -1)
 
     seg_ps = [s[2] + plan.window for s in plan.segments]
@@ -931,8 +965,8 @@ def rollback_decode(cache: KVCache, plan: PolicyPlan,
         return cache._replace(
             mask=tuple(c[0] for c in cleared),
             positions=tuple(c[1] for c in cleared),
-            step=jnp.asarray(new_step, jnp.int32),
+            step=cache.step if per_lane else new_step,
         )
     m, p = clear(cache.mask, cache.positions, seg_ps[0])
     return cache._replace(mask=m, positions=p,
-                          step=jnp.asarray(new_step, jnp.int32))
+                          step=cache.step if per_lane else new_step)

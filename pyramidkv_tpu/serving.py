@@ -48,17 +48,24 @@ class ContinuousBatcher:
     """
 
     def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16,
-                 mesh=None):
+                 mesh=None, refill_tokens: int = 8192):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         decode LANES shard across it (multi-chip/multi-host data-parallel
         serving; each device advances its lanes, no cross-device traffic in
-        the quantum).  ``lanes`` must divide by the data-axis size."""
+        the quantum).  ``lanes`` must divide by the data-axis size.
+
+        ``refill_tokens`` bounds the batched-refill prefill: group rows <=
+        refill_tokens // bucket (power of two), so short-context refills
+        batch (2k -> 4 rows at the default) while long-context refills
+        stay sequential — batched 32k x 4 prefill transients OOM next to
+        the lane cache + weights at full depth (logs/tpu_r2am)."""
         import jax
 
         self.engine = engine
         self.lanes = lanes
         self.quantum = quantum
         self.mesh = mesh
+        self.refill_tokens = refill_tokens
         if mesh is not None:
             assert lanes % mesh.shape["data"] == 0, (
                 lanes, dict(mesh.shape))
@@ -75,6 +82,19 @@ class ContinuousBatcher:
             )
         self._plan = plans[0]
         self._quantum_fn = None
+        # speculative lanes: every lane drafts (on-device prompt-lookup)
+        # and verifies spec_draft_len tokens per forward — per-lane
+        # acceptance rides the lane_steps machinery
+        self._spec_mode = (
+            es.speculative == "ngram" and es.greedy
+            and self._plan.spec.quant_method is None
+            and not self._plan.think_narrow
+        )
+        #: history layout: every lane's prompt is right-aligned at
+        #: ``hoff`` (the largest bucket), generated tokens append from
+        #: ``hoff`` — one uniform generation offset for mixed buckets.
+        self._hoff = max(es.prefill_buckets)
+        self._hlen = self._hoff + es.max_new_tokens + es.spec_draft_len + 1
 
     def _build_quantum(self):
         import jax
@@ -111,6 +131,73 @@ class ContinuousBatcher:
 
         return quantum_fn
 
+    def _build_quantum_spec(self):
+        """Speculative quantum: ``quantum`` verify iterations, each lane
+        emitting 1..k+1 greedy-exact tokens per iteration (accepted
+        prompt-lookup drafts).  Emits ``[B, Q*(k+1)]`` with -1 padding
+        inside each iteration's (k+1)-chunk."""
+        import jax
+        import jax.numpy as jnp
+
+        from .models import llama
+        from .ops.ngram import ngram_draft
+
+        engine = self.engine
+        plan = self._plan
+        spec = engine.model_spec
+        es = engine.engine_spec
+        n, k = es.spec_ngram, es.spec_draft_len
+        q_iters = self.quantum
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 7, 9))
+        def quantum_fn(params, cache, tokens, lane_steps, done, budget,
+                       eos_ids, hist, hstart, hend):
+            b = tokens.shape[0]
+            rows = jnp.arange(b)[:, None]
+            tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            hl = hist.shape[1]
+
+            def iter_fn(carry, _):
+                cache, tokens, lane_steps, done, hist, hend = carry
+                draft, nd = ngram_draft(hist, hstart, hend, n=n, k=k)
+                tok_in = jnp.concatenate([tokens[:, None], draft], axis=1)
+                logits, cache = llama.verify_step(
+                    params, spec, plan, cache, tok_in,
+                    lane_steps=lane_steps)
+                gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ok = (draft == gt[:, :-1]) & (tpos[:, :k] < nd[:, None])
+                a = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+                e = jnp.maximum(jnp.minimum(a + 1, budget - lane_steps), 0)
+                e = jnp.where(done, 0, e)
+                emit = tpos < e[:, None]
+                is_eos = jnp.any(
+                    gt[:, :, None] == eos_ids[None, None, :], axis=-1
+                ) & emit
+                eos_pos = jnp.min(jnp.where(is_eos, tpos, k + 1), axis=1)
+                e = jnp.minimum(e, eos_pos + 1)
+                emit = tpos < e[:, None]
+                emitted = jnp.where(emit, gt, -1)
+                lane_steps = lane_steps + e
+                done = done | (eos_pos <= k) | (lane_steps >= budget)
+                cache = llama.rollback_decode(cache, plan, lane_steps)
+                hcols = jnp.where(emit, hend[:, None] + tpos, hl)
+                hist = hist.at[rows, hcols].set(gt, mode="drop")
+                hend = hend + e
+                nxt = jnp.take_along_axis(
+                    gt, jnp.clip(e - 1, 0, k)[:, None], axis=1)[:, 0]
+                tokens = jnp.where(e > 0, nxt, tokens)
+                return (cache, tokens, lane_steps, done, hist, hend), emitted
+
+            (cache, tokens, lane_steps, done, hist, hend), outs = \
+                jax.lax.scan(
+                    iter_fn,
+                    (cache, tokens, lane_steps, done, hist, hend),
+                    None, length=q_iters)
+            em = outs.transpose(1, 0, 2).reshape(b, q_iters * (k + 1))
+            return cache, tokens, lane_steps, done, hist, hend, em
+
+        return quantum_fn
+
     def run(self, requests: "list[Request]") -> Dict[str, CompletedRequest]:
         import jax
         import jax.numpy as jnp
@@ -125,7 +212,8 @@ class ContinuousBatcher:
         if not queue:
             return {}
         if self._quantum_fn is None:
-            self._quantum_fn = self._build_quantum()
+            self._quantum_fn = (self._build_quantum_spec() if self._spec_mode
+                                else self._build_quantum())
 
         spec = engine.model_spec
         heads = (
@@ -207,6 +295,12 @@ class ContinuousBatcher:
         lane_steps = jnp.zeros((B,), jnp.int32)
         done = jnp.ones((B,), bool)  # all lanes start empty
         budget = jnp.zeros((B,), jnp.int32)
+        hist = hstart = hend = None
+        if self._spec_mode:
+            hoff, hlen = self._hoff, self._hlen
+            hist = jnp.zeros((B, hlen), jnp.int32)
+            hstart = jnp.full((B,), hoff, jnp.int32)  # empty: start == end
+            hend = jnp.full((B,), hoff, jnp.int32)
         if self.mesh is not None:
             tokens, lane_steps, done, budget = (
                 jax.device_put(x, lane_sh)
@@ -304,8 +398,9 @@ class ContinuousBatcher:
                 bucket = es.bucket_for(len(queue[0].prompt_ids))
                 idxs = [i for i, r in enumerate(queue)
                         if es.bucket_for(len(r.prompt_ids)) == bucket]
+                cap = max(1, self.refill_tokens // bucket)
                 rows = 1
-                while rows * 2 <= min(len(idxs), len(free)):
+                while rows * 2 <= min(len(idxs), len(free), cap):
                     rows *= 2
                 group = [queue[i] for i in idxs[:rows]]
                 for i in reversed(idxs[:rows]):
@@ -336,6 +431,7 @@ class ContinuousBatcher:
 
         def harvest(block: bool):
             nonlocal cache, tokens, lane_steps, done, budget
+            nonlocal hist, hstart, hend
             for g in list(pending_groups):
                 if not block and not g["first"].is_ready():
                     continue
@@ -352,28 +448,62 @@ class ContinuousBatcher:
                         cache, tokens, lane_steps, done, budget,
                         g["cache"], first, lane, g["max_news"][j] - 1, j,
                     )
+                    if self._spec_mode:
+                        hoff = self._hoff
+                        plen = len(req.prompt_ids)
+                        prow = np.zeros((hoff,), np.int32)
+                        prow[hoff - plen:] = req.prompt_ids
+                        hist = hist.at[lane, :hoff].set(jnp.asarray(prow))
+                        hist = hist.at[lane, hoff].set(first[j])
+                        hstart = hstart.at[lane].set(hoff - plen)
+                        hend = hend.at[lane].set(hoff + 1)
 
         eos_union = sorted(
             set(e for r in queue for e in r.eos_token_ids)
         ) or [-1]
         eos_arr = jnp.asarray(eos_union, jnp.int32)
 
+        kchunk = es.spec_draft_len + 1
         retire_and_launch()
         harvest(block=True)
         while any(r is not None for r in lane_req) or pending_groups or queue:
             prev_done = np.asarray(done)
-            cache, tokens, lane_steps, done, emitted = self._quantum_fn(
-                engine.params, cache, tokens, lane_steps, done, budget, eos_arr
-            )
+            if self._spec_mode:
+                (cache, tokens, lane_steps, done, hist, hend,
+                 emitted) = self._quantum_fn(
+                    engine.params, cache, tokens, lane_steps, done, budget,
+                    eos_arr, hist, hstart, hend,
+                )
+            else:
+                cache, tokens, lane_steps, done, emitted = self._quantum_fn(
+                    engine.params, cache, tokens, lane_steps, done, budget,
+                    eos_arr,
+                )
             em = np.asarray(emitted)
             for lane in range(B):
                 if lane_req[lane] is None or prev_done[lane]:
                     continue
-                for t in em[lane]:
-                    t = int(t)
-                    if t < 0 or t in eos_set:
-                        break
-                    lane_tokens[lane].append(t)
+                if self._spec_mode:
+                    # one (k+1)-chunk per verify iteration; -1 pads the
+                    # rejected tail of each chunk
+                    stop = False
+                    for c in range(0, em.shape[1], kchunk):
+                        for t in em[lane, c:c + kchunk]:
+                            t = int(t)
+                            if t < 0:
+                                break
+                            if t in eos_set:
+                                stop = True
+                                break
+                            lane_tokens[lane].append(t)
+                        if stop:
+                            break
+                else:
+                    for t in em[lane]:
+                        t = int(t)
+                        if t < 0 or t in eos_set:
+                            break
+                        lane_tokens[lane].append(t)
             retire_and_launch()
             # insert any prefills that finished while the quantum ran; if no
             # lane is active, wait for one so the loop always progresses

@@ -241,3 +241,69 @@ def test_generate_long_with_spec_margin():
                params).generate_long([prompt], max_new_tokens=20,
                                      eos_token_ids=())
     assert a.tokens[0] == b.tokens[0]
+
+
+def test_cb_speculative_lanes_match_individual():
+    """Continuous batching with speculative lanes: per-lane drafting,
+    verification, and rollback produce exactly the tokens of independent
+    (plain) generation — lanes at different buckets and phases."""
+    from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(13), dtype=jnp.float32)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    plain = Engine(spec, cs, EngineSpec(max_new_tokens=10,
+                                        prefill_buckets=(32, 64)), params)
+    spec_eng = Engine(spec, cs,
+                      EngineSpec(max_new_tokens=10, prefill_buckets=(32, 64),
+                                 speculative="ngram", spec_ngram=2,
+                                 spec_draft_len=3), params)
+    rng = np.random.default_rng(14)
+    phrase = rng.integers(0, 256, size=7).tolist()
+    reqs = [
+        Request("s0", (phrase * 5)[:30], max_new_tokens=8),
+        Request("s1", rng.integers(0, 256, size=25).tolist(),
+                max_new_tokens=10),
+        Request("s2", rng.integers(0, 256, size=50).tolist(),
+                max_new_tokens=6),
+        Request("s3", (phrase * 8)[:48], max_new_tokens=10),
+        Request("s4", rng.integers(0, 256, size=20).tolist(),
+                max_new_tokens=10),
+    ]
+    cb = ContinuousBatcher(spec_eng, lanes=2, quantum=3)
+    assert cb._spec_mode
+    out = cb.run(list(reqs))
+    for r in reqs:
+        want = plain.generate([r.prompt_ids],
+                              max_new_tokens=r.max_new_tokens).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_speculative_eos():
+    from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(15), dtype=jnp.float32)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    plain = Engine(spec, cs, EngineSpec(max_new_tokens=12,
+                                        prefill_buckets=(64,)), params)
+    rng = np.random.default_rng(16)
+    ids = rng.integers(0, 256, size=30).tolist()
+    base = plain.generate([ids]).tokens[0]
+    eos = base[4]
+    spec_eng = Engine(spec, cs,
+                      EngineSpec(max_new_tokens=12, prefill_buckets=(64,),
+                                 speculative="ngram", spec_draft_len=4),
+                      params)
+    req_b_ids = rng.integers(0, 256, size=22).tolist()
+    out = ContinuousBatcher(spec_eng, lanes=2, quantum=3).run([
+        Request("a", ids, max_new_tokens=12, eos_token_ids=(eos,)),
+        Request("b", req_b_ids, max_new_tokens=7),
+    ])
+    want_a = plain.generate([ids], max_new_tokens=12,
+                            eos_token_ids=(eos,)).tokens[0]
+    assert out["a"].tokens == want_a and len(want_a) < 12
+    want_b = plain.generate([req_b_ids], max_new_tokens=7).tokens[0]
+    assert out["b"].tokens == want_b
