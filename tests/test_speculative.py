@@ -307,3 +307,24 @@ def test_cb_speculative_eos():
     assert out["a"].tokens == want_a and len(want_a) < 12
     want_b = plain.generate([req_b_ids], max_new_tokens=7).tokens[0]
     assert out["b"].tokens == want_b
+
+
+def test_spec_sliding_window_matches_plain():
+    """Mistral-style sliding window: verify_attention's window term must
+    match the plain decode path's position-window mask."""
+    spec = ModelSpec.tiny(sliding_window=12)
+    params = jl.init_params(spec, jax.random.PRNGKey(17), dtype=jnp.float32)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    rng = np.random.default_rng(18)
+    phrase = rng.integers(0, 256, size=6).tolist()
+    for prompt in [(phrase * 9)[:40],
+                   rng.integers(0, 256, size=44).tolist()]:
+        a = Engine(spec, cs, EngineSpec(max_new_tokens=20,
+                                        prefill_buckets=(64,)),
+                   params).generate([prompt], eos_token_ids=())
+        b = Engine(spec, cs,
+                   EngineSpec(max_new_tokens=20, prefill_buckets=(64,),
+                              speculative="ngram", spec_draft_len=5),
+                   params).generate([prompt], eos_token_ids=())
+        assert a.tokens[0] == b.tokens[0]
