@@ -211,10 +211,14 @@ class Engine:
         return fn
 
     def _spec_supported(self, plan: PolicyPlan, batch: int) -> bool:
-        """ngram speculation: greedy, B=1, plain bf16 cache paths (the
-        quantized / ThinK-narrow decode variants keep the 1-token loop)."""
+        """ngram speculation: B=1, plain bf16 cache paths (the quantized /
+        ThinK-narrow decode variants keep the 1-token loop).  Sampling is
+        supported: drafts are deterministic and every position samples
+        with the SAME per-position key as the 1-token loop
+        (``fold_in(rng, out_column)``), so accepted drafts reproduce the
+        plain sampled trajectory exactly."""
         es = self.engine_spec
-        return (es.speculative == "ngram" and es.greedy and batch == 1
+        return (es.speculative == "ngram" and batch == 1
                 and self.comp_spec.quant_method is None
                 and not plan.think_narrow)
 
@@ -236,10 +240,28 @@ class Engine:
             max_new = es.max_new_tokens
             n, k = es.spec_ngram, es.spec_draft_len
             hlen = bucket + max_new + k + 1
+            greedy = es.greedy
+            temperature = es.temperature
+            top_k = es.sample_top_k
+
+            def _pick(logits, key):
+                # identical sampling rule AND key schedule as _get_decode:
+                # token at out column m uses fold_in(rng, m)
+                if greedy:
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                scaled = logits / max(temperature, 1e-6)
+                if top_k is not None:
+                    vals, idx = jax.lax.top_k(scaled, top_k)
+                    choice = jax.random.categorical(key, vals, axis=-1)
+                    return jnp.take_along_axis(
+                        idx, choice[:, None], axis=-1
+                    )[:, 0].astype(jnp.int32)
+                return jax.random.categorical(key, scaled,
+                                              axis=-1).astype(jnp.int32)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def spec_decode_fn(params, cache: KVCache, first_token, eos_ids,
-                               max_steps, prompt_tokens):
+                               rng, max_steps, prompt_tokens):
                 b = first_token.shape[0]
                 rows = jnp.arange(b)[:, None]
                 tpos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
@@ -262,7 +284,14 @@ class Engine:
                     tok_in = jnp.concatenate([token[:, None], draft], axis=1)
                     logits, cache = verify_step(params, spec, plan, cache,
                                                 tok_in)
-                    gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    if greedy:
+                        gt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    else:
+                        keys = jax.vmap(
+                            lambda o: jax.random.fold_in(rng, o)
+                        )(g + jnp.arange(k + 1, dtype=jnp.int32))
+                        gt = jax.vmap(_pick, in_axes=(1, 0),
+                                      out_axes=1)(logits, keys)
                     # accepted drafts: longest prefix agreeing with the
                     # verified greedy continuation
                     ok = (draft == gt[:, :-1]) & (tpos[:, :k] < nd[:, None])
@@ -354,7 +383,8 @@ class Engine:
         if self._spec_supported(self.plan_for(bucket), b):
             spec_fn = self._get_spec_decode(bucket)
             out, steps, iters, cache, _, _ = spec_fn(
-                self.params, cache, first, eos, jnp.int32(max_new - 1),
+                self.params, cache, first, eos,
+                jax.random.fold_in(rng, 1 << 20), jnp.int32(max_new - 1),
                 tokens)
             out = np.asarray(out)
             steps = int(steps)

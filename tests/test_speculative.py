@@ -328,3 +328,33 @@ def test_spec_sliding_window_matches_plain():
                               speculative="ngram", spec_draft_len=5),
                    params).generate([prompt], eos_token_ids=())
         assert a.tokens[0] == b.tokens[0]
+
+
+def test_spec_sampling_matches_plain_sampler():
+    """Sampling + speculation: drafts are deterministic and each position
+    samples with the plain loop's key (fold_in(rng, out_column)), so the
+    speculative trajectory is IDENTICAL to the plain sampled one —
+    seed-deterministic, not merely distribution-equal."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(19), dtype=jnp.float32)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=24,
+                         window_size=4)
+    rng = np.random.default_rng(20)
+    phrase = rng.integers(0, 256, size=8).tolist()
+    for prompt in [(phrase * 7)[:50], rng.integers(0, 256, size=42).tolist()]:
+        for top_k in (None, 20):
+            a = Engine(spec, cs,
+                       EngineSpec(max_new_tokens=14, prefill_buckets=(64,),
+                                  greedy=False, temperature=0.8,
+                                  sample_top_k=top_k),
+                       params).generate([prompt], eos_token_ids=(),
+                                        rng_seed=7)
+            b = Engine(spec, cs,
+                       EngineSpec(max_new_tokens=14, prefill_buckets=(64,),
+                                  greedy=False, temperature=0.8,
+                                  sample_top_k=top_k, speculative="ngram",
+                                  spec_draft_len=4),
+                       params).generate([prompt], eos_token_ids=(),
+                                        rng_seed=7)
+            assert a.tokens[0] == b.tokens[0], (top_k, prompt[:6])
+            assert b.spec_iterations is not None
