@@ -117,7 +117,10 @@ class ModelSpec:
             max_position_embeddings=config.get("max_position_embeddings", 8192),
             tie_word_embeddings=config.get("tie_word_embeddings", False),
             sliding_window=config.get("sliding_window"),
-            attention_bias=config.get("attention_bias", False),
+            # Qwen2's HF config carries no attention_bias key — its
+            # attention hardcodes bias=True on q/k/v (modeling_qwen2)
+            attention_bias=config.get(
+                "attention_bias", config.get("model_type") == "qwen2"),
             num_local_experts=config.get("num_local_experts", 0) or 0,
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
             rope_scaling_type=rope_scaling.get("rope_type") or rope_scaling.get("type"),

@@ -66,6 +66,12 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         "attn_norm": jnp.ones((L, Dm), dtype=dtype),
         "mlp_norm": jnp.ones((L, Dm), dtype=dtype),
     }
+    if spec.attention_bias:
+        # Qwen2-style QKV biases (o_proj stays bias-free)
+        kb = jax.random.split(ks[10], 3)
+        layers["bq"] = w(kb[0], (L, H * Dh), scale=0.02)
+        layers["bk"] = w(kb[1], (L, KV * Dh), scale=0.02)
+        layers["bv"] = w(kb[2], (L, KV * Dh), scale=0.02)
     E = spec.num_local_experts
     if E:
         # Mixtral-style MoE (the reference's unchecked TODO, README.md:45)
@@ -174,6 +180,12 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
         q = mm(x, wts["wq"])
         k = mm(x, wts["wk"])
         v = mm(x, wts["wv"])
+    if "bq" in wts:
+        # Qwen2-style QKV biases (applied post-split, so the fused wqkv
+        # path composes; o_proj is bias-free in every supported family)
+        q = q + wts["bq"].astype(q.dtype)
+        k = k + wts["bk"].astype(k.dtype)
+        v = v + wts["bv"].astype(v.dtype)
     q = q.reshape(b, t, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, KV, Dh).transpose(0, 2, 1, 3)

@@ -88,6 +88,13 @@ def load_params_from_hf(
         "input_layernorm.weight": "attn_norm",
         "post_attention_layernorm.weight": "mlp_norm",
     }
+    if spec.attention_bias:
+        # Qwen2: QKV biases (1-D rows, no transpose; o_proj has none)
+        name_map.update({
+            "self_attn.q_proj.bias": "bq",
+            "self_attn.k_proj.bias": "bk",
+            "self_attn.v_proj.bias": "bv",
+        })
     E = spec.num_local_experts
     if E:
         # Mixtral MoE: router + per-expert SwiGLU (w1=gate, w3=up, w2=down)

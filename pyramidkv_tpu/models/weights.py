@@ -323,7 +323,14 @@ _FORCE_INT4_KERNEL = [False]
 #: Decode-shaped row threshold for the fused kernel; prefill-sized x is
 #: compute-bound and stays on the XLA path (one dequant transient
 #: amortised over the whole prompt).
-_INT4_KERNEL_MAX_ROWS = 32
+#: Row cap for the fused packed-int4 kernel.  Plain decode is 1 row per
+#: lane (<= 32); speculative VERIFY forwards are ``lanes * (draft+1)``
+#: rows (32 lanes x 9 = 288) and MUST stay on the kernel — the XLA
+#: dequant fallback rematerialises full-width weights and measured CB
+#: speculative decoding at 156 tok/s vs 418 plain (logs/tpu_r2an).  The
+#: kernel is row-generic; beyond 32 rows the out-tile is halved to keep
+#: ye/yo f32 output blocks within VMEM (288 x 1024 x 4 B x 2 ~ 2.4 MB).
+_INT4_KERNEL_MAX_ROWS = 384
 
 #: (block_in, block_out2) for the fused kernel — module-level so benches
 #: can tune; None = kernel defaults (512, 1024).
@@ -379,6 +386,13 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     kw = {}
     if _INT4_KERNEL_BLOCKS[0] is not None:
         kw = dict(zip(("block_in", "block_out2"), _INT4_KERNEL_BLOCKS[0]))
+    if rows > 32:
+        # verify-sized row blocks: halve the out tile so the two f32
+        # output accumulators stay comfortably inside VMEM
+        from ..kernels.int4_matmul import DEFAULT_BLOCK_OUT2
+
+        kw["block_out2"] = min(kw.get("block_out2", DEFAULT_BLOCK_OUT2),
+                               1024)
     bin_eff = kw.get("block_in", DEFAULT_BLOCK_IN)
     in_dim = x.shape[-1]
     gs = 0

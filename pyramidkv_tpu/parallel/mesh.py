@@ -55,6 +55,11 @@ def param_pspecs(spec: ModelSpec) -> dict:
         "attn_norm": P(None, None),
         "mlp_norm": P(None, None),
     }
+    if spec.attention_bias:
+        # QKV biases follow their matmul's OUT (column-parallel) axis
+        lp["bq"] = P(None, "model")
+        lp["bk"] = P(None, "model")
+        lp["bv"] = P(None, "model")
     if spec.num_local_experts:
         # expert parallelism: the EXPERT axis shards over `model` — each
         # chip computes its local experts' SwiGLU for all tokens and the

@@ -286,3 +286,38 @@ def test_batched_refill_mixed_buckets_and_eos(eng):
         want = eng.generate([r.prompt_ids], max_new_tokens=r.max_new_tokens,
                             eos_token_ids=r.eos_token_ids).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_cb_speculative_with_int4_kernel():
+    """Speculative CB lanes + packed-int4 weights through the fused
+    kernel (interpret): verify forwards are lanes*(k+1) rows and must
+    stay on the kernel path; tokens match plain generation."""
+    from pyramidkv_tpu.models import weights as W
+
+    spec = ModelSpec.tiny()
+    params = W.quantize_weights(
+        jl.init_params(spec, jax.random.PRNGKey(30), dtype=jnp.float32),
+        nbits=4)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    plain = Engine(spec, cs, EngineSpec(max_new_tokens=8,
+                                        prefill_buckets=(32,)), params)
+    spec_eng = Engine(spec, cs,
+                      EngineSpec(max_new_tokens=8, prefill_buckets=(32,),
+                                 speculative="ngram", spec_draft_len=3),
+                      params)
+    rng = np.random.default_rng(31)
+    reqs = [
+        Request(request_id=f"s{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=5)
+        for i, n in enumerate((12, 20, 28))
+    ]
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        out = ContinuousBatcher(spec_eng, lanes=2, quantum=2).run(list(reqs))
+        for r in reqs:
+            want = plain.generate([r.prompt_ids], max_new_tokens=5).tokens[0]
+            assert out[r.request_id].tokens == want, r.request_id
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False

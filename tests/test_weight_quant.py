@@ -534,3 +534,39 @@ def test_int4_lm_head_opt_in():
                          np.random.default_rng(10).integers(0, 256, size=20)]],
                        eos_token_ids=())
     assert len(out.tokens[0]) == 6
+
+
+def test_int4_kernel_verify_sized_rows():
+    """Speculative verify forwards are lanes*(draft+1) rows (e.g. 288);
+    the fused kernel must take them (the XLA dequant fallback cost CB
+    speculation 2.7x — logs/tpu_r2an)."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models import weights as W
+
+    rng = np.random.default_rng(30)
+    in_dim, out = 128, 256
+    wf = jnp.asarray(rng.normal(size=(in_dim, out)).astype(np.float32))
+    qw = W._quantize_leaf(wf, nbits=4)
+    for rows in (40, 288):
+        x = jnp.asarray(rng.normal(size=(rows, in_dim)).astype(np.float32))
+        want = (x @ W.dq_codes(qw, jnp.float32)) * qw.scale[None, :]
+        got = int4_matmul(x, qw.codes, qw.scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        # the mm() router accepts these rows now
+        y = None
+        W._FORCE_INT4_KERNEL[0] = True
+        try:
+            y = W._int4_kernel_mm(x, qw)
+        finally:
+            W._FORCE_INT4_KERNEL[0] = False
+        assert y is not None
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+    # beyond the cap still declines (VMEM)
+    x = jnp.zeros((512, in_dim), jnp.float32)
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        assert W._int4_kernel_mm(x, qw) is None
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
