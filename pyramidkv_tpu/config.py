@@ -165,6 +165,13 @@ class ModelSpec:
                 rope_theta=10000.0, max_position_embeddings=32768,
                 sliding_window=4096, rms_norm_eps=1e-5,
             ),
+            "qwen2.5-7b": dict(
+                name="qwen2.5-7b", vocab_size=152064, hidden_size=3584,
+                intermediate_size=18944, num_hidden_layers=28,
+                num_attention_heads=28, num_key_value_heads=4, head_dim=128,
+                rope_theta=1000000.0, max_position_embeddings=32768,
+                rms_norm_eps=1e-6, attention_bias=True,
+            ),
             "mixtral-8x7b": dict(
                 name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
                 intermediate_size=14336, num_hidden_layers=32,

@@ -141,3 +141,38 @@ def test_qwen2_int4_weights_and_sharding(tmp_path):
     got = Engine(spec, cs, es, sp).generate([prompt],
                                             eos_token_ids=()).tokens[0]
     assert got == want
+
+
+def test_qwen2_tied_embeddings(tmp_path):
+    """Qwen2-0.5B-style tied embeddings: no lm_head in the checkpoint,
+    logits reuse embed rows."""
+    torch.manual_seed(5)
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=True,
+    )
+    model = transformers.Qwen2ForCausalLM(cfg)
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0, 0.05)
+    model.eval()
+    d = tmp_path / "qwen2tied"
+    model.save_pretrained(d, safe_serialization=True)
+    spec = spec_from_hf_dir(str(d))
+    assert spec.tie_word_embeddings and spec.attention_bias
+    params = load_params_from_hf(str(d), spec, dtype=jnp.float32)
+    assert "lm_head" not in params
+    rng = np.random.default_rng(6)
+    n = 16
+    ids = rng.integers(0, 128, size=(1, n))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.float().numpy()
+    plan = make_plan(CompressionSpec(method="fullkv"),
+                     spec.num_hidden_layers, n, 4)
+    logits, _ = jl.prefill(params, spec, plan, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray([n], jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref[0, -1],
+                               rtol=2e-4, atol=2e-4)
