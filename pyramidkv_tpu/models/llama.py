@@ -887,16 +887,20 @@ def verify_step(
                     ).astype(pf.dtype),
                     (i, 0, 0, slot))
             else:
-                rows = jnp.arange(b)
-                for t in range(t_seg):                        # T small, static
-                    kf = kf.at[i, rows, :, slots + t].set(
-                        k_new[:, :, t].astype(kf.dtype))
-                    vf = vf.at[i, rows, :, slots + t].set(
-                        v_new[:, :, t].astype(vf.dtype))
-                    mf = mf.at[i, rows, :, slots + t].set(True)
-                    pf = pf.at[i, rows, :, slots + t].set(
-                        jnp.broadcast_to(q_pos[:, t:t + 1], (b, hm)
-                                         ).astype(jnp.int32))
+                # ONE scatter per buffer: rows [B,1] x slot grid [B,T]
+                # advanced-index together (update subspace [B,T,...]) —
+                # a per-t python loop was 4*T scatters per layer
+                rows = jnp.arange(b)[:, None]                 # [B,1]
+                tgrid = slots[:, None] + jnp.arange(t_seg)[None, :]
+                kf = kf.at[i, rows, :, tgrid].set(
+                    k_new.transpose(0, 2, 1, 3).astype(kf.dtype))
+                vf = vf.at[i, rows, :, tgrid].set(
+                    v_new.transpose(0, 2, 1, 3).astype(vf.dtype))
+                mf = mf.at[i, rows, :, tgrid].set(
+                    jnp.ones((b, t_seg, hm), mf.dtype))
+                pf = pf.at[i, rows, :, tgrid].set(
+                    jnp.broadcast_to(q_pos[:, :, None],
+                                     (b, t_seg, hm)).astype(jnp.int32))
             layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
             attn = verify_attention(
                 q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
