@@ -48,23 +48,25 @@ DEFAULT_BLOCK_IN = 1024
 DEFAULT_BLOCK_OUT2 = 2048
 
 
-def _nibbles_f32(c: jax.Array):
-    """int8 packed tile -> (lo, hi) f32 tiles, sign-extended.
+def _nibbles_f32(c: jax.Array, dtype=jnp.float32):
+    """int8 packed tile -> (lo, hi) tiles in ``dtype``, sign-extended.
 
     byte (two's complement) = 16*hi_s + lo_u, so hi_s is an arithmetic
-    shift and lo_s re-signs the low nibble: all 32-bit VPU ops.
+    shift and lo_s re-signs the low nibble: all 32-bit VPU ops.  Nibble
+    values [-8, 7] are exact in bf16 as well as f32.
     """
     ci = c.astype(jnp.int32)
     lo_u = ci & 15
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(jnp.float32)
-    hi = (ci >> 4).astype(jnp.float32)
+    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(dtype)
+    hi = (ci >> 4).astype(dtype)
     return lo, hi
 
 
-def _kernel(x_ref, c_ref, ye_ref, yo_ref):
+def _kernel(x_ref, c_ref, ye_ref, yo_ref, *, op_dtype=jnp.float32):
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
-    x = x_ref[...].astype(jnp.float32)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
+                          op_dtype)
+    x = x_ref[...].astype(op_dtype)
     ye = jax.lax.dot_general(
         x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -84,7 +86,8 @@ def _kernel(x_ref, c_ref, ye_ref, yo_ref):
 
 
 def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
-                    groups_per_block: int, group_size: int):
+                    groups_per_block: int, group_size: int,
+                    op_dtype=jnp.float32):
     """Group-scaled variant: the in-tile spans whole scale groups; each
     group's partial dot is scaled before accumulation (one static loop —
     MXU work is unchanged, just split).
@@ -95,8 +98,9 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
     Scales are tiny, so the full-strip DMA costs nothing.
     """
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0])
-    x = x_ref[...].astype(jnp.float32)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
+                          op_dtype)
+    x = x_ref[...].astype(op_dtype)
     ye = jnp.zeros(ye_ref.shape, jnp.float32)
     yo = jnp.zeros(yo_ref.shape, jnp.float32)
     for g in range(groups_per_block):
@@ -125,17 +129,19 @@ def _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref, *,
         yo_ref[...] += yo
 
 
-def _kernel_pref(l_ref, x_ref, c_ref, ye_ref, yo_ref):
+def _kernel_pref(l_ref, x_ref, c_ref, ye_ref, yo_ref, *,
+                 op_dtype=jnp.float32):
     del l_ref  # consumed by the index maps only
-    _kernel(x_ref, c_ref, ye_ref, yo_ref)
+    _kernel(x_ref, c_ref, ye_ref, yo_ref, op_dtype=op_dtype)
 
 
 def _kernel_grouped_pref(l_ref, x_ref, c_ref, se_ref, so_ref, ye_ref,
-                         yo_ref, *, groups_per_block: int, group_size: int):
+                         yo_ref, *, groups_per_block: int, group_size: int,
+                         op_dtype=jnp.float32):
     del l_ref
     _kernel_grouped(x_ref, c_ref, se_ref, so_ref, ye_ref, yo_ref,
                     groups_per_block=groups_per_block,
-                    group_size=group_size)
+                    group_size=group_size, op_dtype=op_dtype)
 
 
 @functools.partial(
@@ -199,8 +205,18 @@ def int4_matmul(
     out_dtype = x.dtype
     if x.dtype.itemsize < 4 and rows <= 8:
         x = x.astype(jnp.float32)
-    rp = max(16 if x.dtype.itemsize < 4 else 8, rows)
+    sub = 16 if x.dtype.itemsize < 4 else 8
+    rp = max(sub, ((rows + sub - 1) // sub) * sub)
     xp = jnp.pad(x, ((0, rp - rows), (0, 0))) if rp != rows else x
+    # operand dtype: f32 for decode-sized rows (bf16 nibble converts cost
+    # more than the f32 dots save at <= 32 rows — r2ad, REVERTED then);
+    # bf16 for verify-sized rows, where the f32 multi-pass MXU tax scales
+    # with rows while the per-tile convert does not (spec-CB verify at 8
+    # lanes measured iteration ~2x a plain step on the f32 path, r2aq).
+    # Numerics: nibbles are exact in bf16 and x is already bf16, so the
+    # products are exact; accumulation stays f32 either way.
+    op_dtype = (jnp.bfloat16
+                if x.dtype == jnp.bfloat16 and rows > 32 else jnp.float32)
 
     n_groups = scale.shape[0] if group_size else 0
     if stacked:
@@ -244,16 +260,18 @@ def int4_matmul(
         so = scale[:, 1::2].astype(jnp.float32)
         ye, yo = call(
             functools.partial(_kernel_grouped, groups_per_block=gpb,
-                              group_size=group_size),
+                              group_size=group_size, op_dtype=op_dtype),
             functools.partial(_kernel_grouped_pref, groups_per_block=gpb,
-                              group_size=group_size),
+                              group_size=group_size, op_dtype=op_dtype),
             [x_spec, c_spec, s_spec, s_spec],
             xp, codes, se, so,
         )
         y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
         return y[:rows].astype(out_dtype)
 
-    ye, yo = call(_kernel, _kernel_pref, [x_spec, c_spec], xp, codes)
+    ye, yo = call(functools.partial(_kernel, op_dtype=op_dtype),
+                  functools.partial(_kernel_pref, op_dtype=op_dtype),
+                  [x_spec, c_spec], xp, codes)
     y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
     y = y * scale.astype(jnp.float32)[None, :]
     return y[:rows].astype(out_dtype)

@@ -589,6 +589,11 @@ _FORCE_QUANT_KERNEL = [False]
 #: measurable knob rather than a default.
 _DECODE_SCAN_UNROLL = [int(_os.environ.get("PKV_DECODE_SCAN_UNROLL", "1"))]
 
+#: TIMING ABLATION ONLY (wrong results): skip the lane-path cache
+#: appends in verify_step to isolate per-layer scatter cost
+#: (scripts/tpu_round2aq_bench.py).
+_SPEC_NO_APPEND = [_os.environ.get("PKV_SPEC_NO_APPEND") == "1"]
+
 
 def decode_step(
     params: dict,
@@ -886,7 +891,7 @@ def verify_step(
                         q_pos[None, :, None, :], (1, b, hm, t_seg)
                     ).astype(pf.dtype),
                     (i, 0, 0, slot))
-            else:
+            elif not _SPEC_NO_APPEND[0]:
                 # ONE scatter per buffer: rows [B,1] x slot grid [B,T]
                 # advanced-index together (update subspace [B,T,...]) —
                 # a per-t python loop was 4*T scatters per layer

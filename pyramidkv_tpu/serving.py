@@ -179,7 +179,9 @@ class ContinuousBatcher:
                 emitted = jnp.where(emit, gt, -1)
                 lane_steps = lane_steps + e
                 done = done | (eos_pos <= k) | (lane_steps >= budget)
-                cache = llama.rollback_decode(cache, plan, lane_steps)
+                import os as _os
+                if _os.environ.get("PKV_SPEC_NO_ROLLBACK") != "1":  # ablation
+                    cache = llama.rollback_decode(cache, plan, lane_steps)
                 hcols = jnp.where(emit, hend[:, None] + tpos, hl)
                 hist = hist.at[rows, hcols].set(gt, mode="drop")
                 hend = hend + e

@@ -79,13 +79,19 @@ def main():
     assert jax.devices()[0].platform == "tpu"
     d32 = spec_depth(32)
     p4 = fuse_packed_matmuls(random_int4_params(d32, jax.random.PRNGKey(0)))
-    # spec CB vs the r2am2 plain rows (same workload)
-    run_cb("cb2k_d32_int4/spec_lanes32", d32, p4, lanes=32, n_req=64,
+    # smallest-first: a failed big leg fragments HBM for later ones
+    # (32 spec lanes OOM outright: 9.2 GB lane cache + 4.3 GB weights +
+    # 288-row verify transients — logs/tpu_r2an2)
+    run_cb("cb2k_d32_int4/spec_lanes8", d32, p4, lanes=8, n_req=32,
            ctx=2048, speculative="ngram", quantum=4)
-    run_cb("cb2k_d32_int4/spec_lanes32_rep", d32, p4, lanes=32, n_req=64,
+    run_cb("cb2k_d32_int4/plain_lanes8", d32, p4, lanes=8, n_req=32,
+           ctx=2048)
+    run_cb("cb2k_d32_int4/spec_lanes16", d32, p4, lanes=16, n_req=48,
+           ctx=2048, speculative="ngram", quantum=4)
+    run_cb("cb2k_d32_int4/plain_lanes16", d32, p4, lanes=16, n_req=48,
+           ctx=2048)
+    run_cb("cb2k_d32_int4/spec_lanes16_rep", d32, p4, lanes=16, n_req=48,
            ctx=2048, speculative="ngram", quantum=4, kind="rep")
-    run_cb("cb2k_d32_int4/spec_lanes8", d32, p4, lanes=8, n_req=16,
-           ctx=2048, speculative="ngram", quantum=4)
     log("ALL DONE")
 
 
