@@ -34,7 +34,7 @@ from ..config import ModelSpec
 from .weights import (QuantW, _int4_kernel_mm, dq_codes, embed_lookup,
                       expert_mm, is_packed4, layer_view, mm)
 from ..ops.attention import (causal_prefill_attention, decode_attention,
-                             verify_attention)
+                             verify_attention, verify_attention_append)
 from ..policy import (PolicyPlan, compress_layer, layer_contexts,
                       stores_kv_heads)
 
@@ -632,6 +632,28 @@ def decode_step(
     store_kv = stores_kv_heads(plan.spec)
     cs = plan.spec
     think = cache.think is not None
+    #: lane path without region buffers: stage the new K/V row through
+    #: the scan ys and commit once per step (scatters are per-step, not
+    #: per-layer); quant/think keep in-scan writes (their K index maps
+    #: differ from the mask index)
+    staged = lane_steps is not None and not quantized and not think
+
+    def commit_lane_rows(kf, vf, mf, pf, ys, subplan):
+        k_stack, v_stack = ys                      # [Lseg, B, Hm, Dh]
+        slots = subplan.prefill_slots + lane_steps  # [B]
+        rows = jnp.arange(b)
+        hm = mf.shape[2]
+        lseg = kf.shape[0]
+        kf = kf.at[:, rows, :, slots].set(
+            k_stack.transpose(1, 0, 2, 3).astype(kf.dtype))
+        vf = vf.at[:, rows, :, slots].set(
+            v_stack.transpose(1, 0, 2, 3).astype(vf.dtype))
+        mf = mf.at[:, rows, :, slots].set(
+            jnp.ones((b, lseg, hm), mf.dtype))
+        pf = pf.at[:, rows, :, slots].set(
+            jnp.broadcast_to(pos[:, None, None], (b, lseg, hm)
+                             ).astype(jnp.int32))
+        return kf, vf, mf, pf
 
     def make_layer_fn(subplan, layer0):
         """Scan body over layers ``[layer0, layer0 + L_seg)``.
@@ -693,7 +715,7 @@ def decode_step(
                         pos[None, :, None, None], (1, b, hm, 1)
                     ).astype(pf.dtype),
                     (i, 0, 0, full_slot))
-            else:
+            elif not staged:
                 rows = jnp.arange(b)
                 kf = kf.at[i, rows, :, kv_slots].set(k_new.astype(kf.dtype))
                 vf = vf.at[i, rows, :, v_slots].set(v_new.astype(vf.dtype))
@@ -763,12 +785,22 @@ def decode_step(
                     q, treg.k_pruned, treg.kept_channels, layer.k, layer.v,
                     visible,
                 )
+            elif staged:
+                # lane path: the new row is NOT in the buffers — it rides
+                # the scan ys and commits once after the scan (one scatter
+                # per buffer per STEP instead of per layer; TPU scatters
+                # have high fixed cost — logs/tpu_r2ap/aq)
+                from ..ops.attention import decode_attention_append
+
+                attn = decode_attention_append(
+                    q, layer.k, layer.v, visible, k_new, v_new)
             else:
                 attn = decode_attention(q, layer.k, layer.v, visible)
             hidden = hidden + mm(attn.reshape(b, -1), wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
-            return (hidden, kf, vf, mf, pf), None
+            ys = (k_new, v_new) if staged else None
+            return (hidden, kf, vf, mf, pf), ys
 
         return layer_fn
 
@@ -776,11 +808,13 @@ def decode_step(
     if len(segs) == 1:
         _, _, sub = segs[0]
         carry0 = (hidden0, cache.k, cache.v, cache.mask, cache.positions)
-        (hidden, k, v, m, p), _ = jax.lax.scan(
+        (hidden, k, v, m, p), ys = jax.lax.scan(
             make_layer_fn(sub, 0), carry0,
             jnp.arange(spec.num_hidden_layers, dtype=jnp.int32),
             unroll=min(_DECODE_SCAN_UNROLL[0], spec.num_hidden_layers),
         )
+        if staged:
+            k, v, m, p = commit_lane_rows(k, v, m, p, ys, sub)
         logits = _logits(hidden, params, spec)
         new_cache = KVCache(
             k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
@@ -794,11 +828,13 @@ def decode_step(
     for i, (start, stop, sub) in enumerate(segs):
         carry0 = (hidden, cache.k[i], cache.v[i], cache.mask[i],
                   cache.positions[i])
-        (hidden, k1, v1, m1, p1), _ = jax.lax.scan(
+        (hidden, k1, v1, m1, p1), ys = jax.lax.scan(
             make_layer_fn(sub, start), carry0,
             jnp.arange(stop - start, dtype=jnp.int32),
             unroll=min(_DECODE_SCAN_UNROLL[0], stop - start),
         )
+        if staged:
+            k1, v1, m1, p1 = commit_lane_rows(k1, v1, m1, p1, ys, sub)
         outk.append(k1)
         outv.append(v1)
         outm.append(m1)
@@ -856,14 +892,32 @@ def verify_step(
     hidden0 = embed_lookup(params["embed"], tokens,
                            params["final_norm"].dtype)        # [B, T, Dm]
     store_kv = stores_kv_heads(plan.spec)
+    lanes = lane_steps is not None
+
+    def commit_seg(kf, vf, mf, pf, ys, subplan):
+        """Write all T candidate rows once per verify (the caller's
+        rollback mask-clears the rejected tail): per-layer scatters cost
+        ~4.8 ms of a ~25 ms 8-lane iteration (logs/tpu_r2aq)."""
+        k_stack, v_stack = ys                  # [Lseg, B, Hm, T, Dh]
+        rows = jnp.arange(b)[:, None]
+        tgrid = (subplan.prefill_slots + lane_steps)[:, None] \
+            + jnp.arange(t_seg)[None, :]
+        hm = mf.shape[2]
+        lseg = kf.shape[0]
+        # update subspace [B, T] + remaining [Lseg, Hm, (Dh)]
+        kf = kf.at[:, rows, :, tgrid].set(
+            k_stack.transpose(1, 3, 0, 2, 4).astype(kf.dtype))
+        vf = vf.at[:, rows, :, tgrid].set(
+            v_stack.transpose(1, 3, 0, 2, 4).astype(vf.dtype))
+        mf = mf.at[:, rows, :, tgrid].set(
+            jnp.ones((b, t_seg, lseg, hm), mf.dtype))
+        pf = pf.at[:, rows, :, tgrid].set(
+            jnp.broadcast_to(q_pos[:, :, None, None],
+                             (b, t_seg, lseg, hm)).astype(jnp.int32))
+        return kf, vf, mf, pf
 
     def make_layer_fn(subplan, layer0):
-        if lane_steps is None:
-            slot = subplan.prefill_slots + cache.step         # scalar
-            slots = None
-        else:
-            slot = None
-            slots = subplan.prefill_slots + lane_steps        # [B]
+        slot = None if lanes else subplan.prefill_slots + cache.step
 
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
@@ -878,7 +932,15 @@ def verify_step(
                 k_new = _repeat_kv(k, groups)                 # [B,H,T,Dh]
                 v_new = _repeat_kv(v, groups)
             hm = mf.shape[2]
-            if lane_steps is None:
+            if lanes:
+                # staged: candidates ride the ys, commit_seg writes once
+                layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
+                attn = verify_attention_append(
+                    q, layer.k, layer.v, layer.mask, layer.positions,
+                    q_pos, k_new, v_new,
+                    sliding_window=spec.sliding_window,
+                )
+            else:
                 kf = jax.lax.dynamic_update_slice(
                     kf, k_new[None].astype(kf.dtype), (i, 0, 0, slot, 0))
                 vf = jax.lax.dynamic_update_slice(
@@ -891,31 +953,17 @@ def verify_step(
                         q_pos[None, :, None, :], (1, b, hm, t_seg)
                     ).astype(pf.dtype),
                     (i, 0, 0, slot))
-            elif not _SPEC_NO_APPEND[0]:
-                # ONE scatter per buffer: rows [B,1] x slot grid [B,T]
-                # advanced-index together (update subspace [B,T,...]) —
-                # a per-t python loop was 4*T scatters per layer
-                rows = jnp.arange(b)[:, None]                 # [B,1]
-                tgrid = slots[:, None] + jnp.arange(t_seg)[None, :]
-                kf = kf.at[i, rows, :, tgrid].set(
-                    k_new.transpose(0, 2, 1, 3).astype(kf.dtype))
-                vf = vf.at[i, rows, :, tgrid].set(
-                    v_new.transpose(0, 2, 1, 3).astype(vf.dtype))
-                mf = mf.at[i, rows, :, tgrid].set(
-                    jnp.ones((b, t_seg, hm), mf.dtype))
-                pf = pf.at[i, rows, :, tgrid].set(
-                    jnp.broadcast_to(q_pos[:, :, None],
-                                     (b, t_seg, hm)).astype(jnp.int32))
-            layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
-            attn = verify_attention(
-                q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
-                sliding_window=spec.sliding_window,
-            )                                                 # [B,H,T,Dh]
+                layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
+                attn = verify_attention(
+                    q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
+                    sliding_window=spec.sliding_window,
+                )                                             # [B,H,T,Dh]
             attn = attn.transpose(0, 2, 1, 3).reshape(b, t_seg, -1)
             hidden = hidden + mm(attn, wts["wo"])
             x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
             hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
-            return (hidden, kf, vf, mf, pf), None
+            ys = (k_new, v_new) if lanes else None
+            return (hidden, kf, vf, mf, pf), ys
 
         return layer_fn
 
@@ -923,25 +971,28 @@ def verify_step(
     if len(segs) == 1:
         _, _, sub = segs[0]
         carry0 = (hidden0, cache.k, cache.v, cache.mask, cache.positions)
-        (hidden, k, v, m, p), _ = jax.lax.scan(
+        (hidden, k, v, m, p), ys = jax.lax.scan(
             make_layer_fn(sub, 0), carry0,
             jnp.arange(spec.num_hidden_layers, dtype=jnp.int32),
         )
+        if lanes and not _SPEC_NO_APPEND[0]:
+            k, v, m, p = commit_seg(k, v, m, p, ys, sub)
         logits = _logits(hidden, params, spec)                # [B,T,V]
         return logits, KVCache(
             k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
-            step=(cache.step if lane_steps is not None
-                  else cache.step + t_seg),
+            step=cache.step if lanes else cache.step + t_seg,
         )
     hidden = hidden0
     outk, outv, outm, outp = [], [], [], []
     for i, (start, stop, sub) in enumerate(segs):
         carry0 = (hidden, cache.k[i], cache.v[i], cache.mask[i],
                   cache.positions[i])
-        (hidden, k1, v1, m1, p1), _ = jax.lax.scan(
+        (hidden, k1, v1, m1, p1), ys = jax.lax.scan(
             make_layer_fn(sub, start), carry0,
             jnp.arange(stop - start, dtype=jnp.int32),
         )
+        if lanes and not _SPEC_NO_APPEND[0]:
+            k1, v1, m1, p1 = commit_seg(k1, v1, m1, p1, ys, sub)
         outk.append(k1)
         outv.append(v1)
         outm.append(m1)
@@ -950,7 +1001,7 @@ def verify_step(
     return logits, KVCache(
         k=tuple(outk), v=tuple(outv), mask=tuple(outm), positions=tuple(outp),
         true_len=cache.true_len,
-        step=cache.step if lane_steps is not None else cache.step + t_seg,
+        step=cache.step if lanes else cache.step + t_seg,
     )
 
 

@@ -186,6 +186,147 @@ def decode_attention(
     return out.reshape(b, h, d).astype(q.dtype)
 
 
+def decode_attention_append(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    visible: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> jax.Array:
+    """:func:`decode_attention` with the CURRENT token's K/V passed
+    directly instead of pre-written into the cache.
+
+    The continuous-batching decode path appends at per-lane slot offsets;
+    writing before reading costs one scatter per buffer per LAYER (XLA
+    scatters have high fixed cost on TPU — lane-path decode measured
+    15.4 ms/step vs 11.2 for the shared-offset batch path at d32 int4,
+    logs/tpu_r2ap).  Staging the new row through the layer-scan ys and
+    committing ONCE per step outside the scan removes 4*(L-1) scatters;
+    this helper supplies the self-attention term the cache no longer
+    holds (the new token is always visible to itself).
+
+    Args:
+      q: [B, H, D]; k_cache/v_cache: [B, Hk, S, D]; visible: [B, Hk, S].
+      k_new, v_new: [B, Hk, D] — the row that will be committed at this
+        step's slot.
+    """
+    b, h, d = q.shape
+    hk = k_cache.shape[1]
+    if hk == h:
+        logits = jnp.einsum(
+            "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
+        )
+        lnew = jnp.einsum(
+            "bhd,bhd->bh", q, k_new, preferred_element_type=jnp.float32
+        )[..., None]
+        logits = jnp.concatenate(
+            [jnp.where(visible, logits, _NEG_INF), lnew], axis=-1
+        ) / math.sqrt(d)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        out = jnp.einsum(
+            "bhs,bhsd->bhd", probs[..., :-1], v_cache,
+            preferred_element_type=jnp.float32,
+        ) + probs[..., -1:].astype(jnp.float32) * v_new.astype(jnp.float32)
+        return out.astype(q.dtype)
+    g = h // hk
+    qg = q.reshape(b, hk, g, d)
+    logits = jnp.einsum(
+        "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
+    )
+    lnew = jnp.einsum(
+        "bkgd,bkd->bkg", qg, k_new, preferred_element_type=jnp.float32
+    )[..., None]
+    logits = jnp.concatenate(
+        [jnp.where(visible[:, :, None, :], logits, _NEG_INF), lnew], axis=-1
+    ) / math.sqrt(d)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bkgs,bksd->bkgd", probs[..., :-1], v_cache,
+        preferred_element_type=jnp.float32,
+    ) + (probs[..., -1:].astype(jnp.float32)
+         * v_new[:, :, None, :].astype(jnp.float32))
+    return out.reshape(b, h, d).astype(q.dtype)
+
+
+def verify_attention_append(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+    positions: jax.Array,
+    q_pos: jax.Array,
+    k_seg: jax.Array,
+    v_seg: jax.Array,
+    sliding_window=None,
+) -> jax.Array:
+    """:func:`verify_attention` with the draft segment's K/V passed
+    directly (same staging rationale as :func:`decode_attention_append`:
+    the speculative-CB verify wrote 4 scatters per layer — ~4.8 ms of a
+    ~25 ms iteration at 8 lanes d32 int4, logs/tpu_r2aq).
+
+    Args:
+      q: [B, H, T, D]; k_cache/v_cache: [B, Hk, S, D].
+      mask/positions: [B, Hk, S] slot validity / absolute positions.
+      q_pos: [B, T] the segment's absolute positions.
+      k_seg, v_seg: [B, Hk, T, D] — the candidate rows (committed by the
+        caller after acceptance).
+    """
+    b, h, t, d = q.shape
+    hk = k_cache.shape[1]
+    vis = mask[:, :, None, :] & (
+        positions[:, :, None, :] <= q_pos[:, None, :, None]
+    )
+    # in-segment causality (incl. self) + optional window
+    seg_ok = jnp.tril(jnp.ones((t, t), bool))
+    if sliding_window is not None:
+        vis = vis & (
+            positions[:, :, None, :]
+            > (q_pos[:, None, :, None] - sliding_window)
+        )
+        delta = jnp.arange(t)[:, None] - jnp.arange(t)[None, :]
+        seg_ok = seg_ok & (delta < sliding_window)
+    if hk == h:
+        lc = jnp.einsum(
+            "bhtd,bhsd->bhts", q, k_cache, preferred_element_type=jnp.float32
+        )
+        ls = jnp.einsum(
+            "bhtd,bhud->bhtu", q, k_seg, preferred_element_type=jnp.float32
+        )
+        logits = jnp.concatenate(
+            [jnp.where(vis, lc, _NEG_INF),
+             jnp.where(seg_ok[None, None], ls, _NEG_INF)], axis=-1
+        ) / math.sqrt(d)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        out = (
+            jnp.einsum("bhts,bhsd->bhtd", probs[..., : -t], v_cache,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhtu,bhud->bhtd", probs[..., -t:], v_seg,
+                         preferred_element_type=jnp.float32)
+        )
+        return out.astype(q.dtype)
+    g = h // hk
+    qg = q.reshape(b, hk, g, t, d)
+    lc = jnp.einsum(
+        "bkgtd,bksd->bkgts", qg, k_cache, preferred_element_type=jnp.float32
+    )
+    ls = jnp.einsum(
+        "bkgtd,bkud->bkgtu", qg, k_seg, preferred_element_type=jnp.float32
+    )
+    logits = jnp.concatenate(
+        [jnp.where(vis[:, :, None], lc, _NEG_INF),
+         jnp.where(seg_ok[None, None, None], ls, _NEG_INF)], axis=-1
+    ) / math.sqrt(d)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = (
+        jnp.einsum("bkgts,bksd->bkgtd", probs[..., : -t], v_cache,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bkgtu,bkud->bkgtd", probs[..., -t:], v_seg,
+                     preferred_element_type=jnp.float32)
+    )
+    return out.reshape(b, h, t, d).astype(q.dtype)
+
+
 def verify_attention(
     q: jax.Array,
     k_cache: jax.Array,
