@@ -1,4 +1,6 @@
-"""Headline benchmark: compressed-KV decode throughput vs full-KV baseline.
+"""Headline benchmark: compressed-KV decode throughput vs full-KV baseline
+on the FULL-DEPTH flagship (32-layer Llama-3-8B geometry, int4 fused-kernel
+weights, 32k-token prompts) on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -7,13 +9,12 @@ The reference repo publishes no perf numbers (README "Performence" is an
 empty heading — see BASELINE.md), so the baseline is the engine's own
 full-KV decode at the same context length: the number the compression
 methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
-by fullkv decode tokens/s at a 64k-token prompt — the long-context regime
-the reference's methods (and its MInference plugin, which targets
-100k-1M) exist for.  At 64k the full cache is 2.1 GB/8 layers: fullkv
-decode runs ~103 tok/s (85% of its HBM roofline after the round-2r
-cache-copy fix) while snapkv holds ~146 at 33 MB of cache — a 1.4x
-bandwidth win on top of the 60x cache-footprint win (see BASELINE.md
-round-2r table).
+by fullkv decode tokens/s at a 32k-token prompt on the real 8B shape
+(int4 weights fit the 4.3 GB full-KV cache next to 4 GB of weights in
+16 GB HBM; at 64k fullkv does not fit at all while snapkv holds ~86
+tok/s — see BASELINE.md round-2z).  Expected: snapkv ~86 tok/s vs
+fullkv ~49 → ~1.7x decode bandwidth win on top of the 43x cache
+footprint win (101 MB vs 4303 MB).
 """
 
 import json
@@ -29,6 +30,49 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def random_int4_params(spec, key):
+    """Random packed-int4 weights in the real checkpoint layout (QuantW
+    codes = two nibbles/byte), so the bench exercises the same fused
+    dequant-matmul path as a quantized real checkpoint."""
+    from pyramidkv_tpu.models.weights import QuantW
+
+    ks = iter(jax.random.split(key, 16))
+    L, Dm, I = spec.num_hidden_layers, spec.hidden_size, spec.intermediate_size
+    H, KV, Dh, V = (spec.num_attention_heads, spec.num_key_value_heads,
+                    spec.head_dim, spec.vocab_size)
+
+    def qw(shape):
+        fan_in = shape[-2]
+        codes = jax.random.randint(
+            next(ks), shape[:-1] + (shape[-1] // 2,), -128, 128, jnp.int8)
+        sval = 1.0 / (7.0 * np.sqrt(fan_in))
+        return QuantW(codes=codes,
+                      scale=jnp.full(shape[:-2] + (shape[-1],), sval,
+                                     jnp.float32))
+
+    emb_codes = jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8)
+    lm_codes = jax.random.randint(next(ks), (Dm, V), -127, 128, jnp.int8)
+    return {
+        "embed": QuantW(codes=emb_codes,
+                        scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),
+        "final_norm": jnp.ones((Dm,), jnp.bfloat16),
+        "lm_head": QuantW(codes=lm_codes,
+                          scale=jnp.full((V,), 1.0 / (127.0 * np.sqrt(Dm)),
+                                         jnp.float32)),
+        "layers": {
+            "wq": qw((L, Dm, H * Dh)),
+            "wk": qw((L, Dm, KV * Dh)),
+            "wv": qw((L, Dm, KV * Dh)),
+            "wo": qw((L, H * Dh, Dm)),
+            "w_gate": qw((L, Dm, I)),
+            "w_up": qw((L, Dm, I)),
+            "w_down": qw((L, I, Dm)),
+            "attn_norm": jnp.ones((L, Dm), jnp.bfloat16),
+            "mlp_norm": jnp.ones((L, Dm), jnp.bfloat16),
+        },
+    }
+
+
 def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -39,21 +83,23 @@ def main():
     from pyramidkv_tpu.models import llama
 
     if on_tpu:
-        # Llama-3-8B geometry, depth-reduced to fit one v5e-class chip with
-        # room for the 64k full-KV cache (2.1 GB); per-layer compute
-        # identical to 8B.
+        # Full Llama-3-8B geometry: 32 layers, int4 fused-kernel weights
+        # (~4 GB) — leaves room for the 32k full-KV cache (4.3 GB) on one
+        # 16 GB v5e-class chip.
         spec = ModelSpec(
-            name="llama3-8b-d8", vocab_size=128256, hidden_size=4096,
-            intermediate_size=14336, num_hidden_layers=8,
+            name="llama3-8b", vocab_size=128256, hidden_size=4096,
+            intermediate_size=14336, num_hidden_layers=32,
             num_attention_heads=32, num_key_value_heads=8, head_dim=128,
             rope_theta=500000.0, max_position_embeddings=131072,
         )
-        ctx, cap, window, max_new = 65536, 128, 8, 128
+        params = random_int4_params(spec, jax.random.PRNGKey(0))
+        ctx, cap, window, max_new = 32768, 128, 8, 128
     else:
         spec = ModelSpec.tiny()
+        params = llama.init_params(spec, jax.random.PRNGKey(0),
+                                   dtype=jnp.bfloat16)
         ctx, cap, window, max_new = 256, 32, 8, 32
 
-    params = llama.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(0, spec.vocab_size, size=ctx - 1)]
 
@@ -86,7 +132,7 @@ def main():
     snap_tps, snap_bytes = run("snapkv")
 
     print(json.dumps({
-        "metric": f"snapkv_decode_tokens_per_s_{ctx // 1024}k_ctx",
+        "metric": f"snapkv_decode_tokens_per_s_{ctx // 1024}k_ctx_full_depth_int4",
         "value": round(snap_tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(snap_tps / max(full_tps, 1e-9), 3),
