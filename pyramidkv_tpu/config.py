@@ -83,6 +83,32 @@ class ModelSpec:
     #: drop-free and bit-matches the dense path.  Decode always runs dense
     #: (a single token's expert weights dominate HBM, not FLOPs).
     moe_capacity_factor: Optional[float] = None
+    # --- Gemma-2 family knobs (modeling_gemma2.py semantics) --------------
+    #: MLP activation: "silu" (Llama/Mistral/Qwen) or "gelu_tanh"
+    #: (Gemma-2's gelu_pytorch_tanh).
+    hidden_act: str = "silu"
+    #: Softmax scale denominator: attention uses
+    #: ``query_pre_attn_scalar**-0.5`` when set (Gemma-2: 256), else
+    #: ``head_dim**-0.5``.
+    query_pre_attn_scalar: Optional[float] = None
+    #: tanh soft-capping of attention logits (Gemma-2: 50.0) applied to the
+    #: SCALED logits before masking (eager_attention_forward order).
+    attn_logit_softcapping: Optional[float] = None
+    #: tanh soft-capping of the final LM logits (Gemma-2: 30.0).
+    final_logit_softcapping: Optional[float] = None
+    #: RMSNorm computes ``(1 + w)`` in fp32 then casts (Gemma2RMSNorm);
+    #: norm weights are zero-initialised under this convention.
+    rmsnorm_unit_offset: bool = False
+    #: Multiply embeddings by ``sqrt(hidden_size)`` (rounded through the
+    #: activation dtype, matching HF's dtype-cast normalizer).
+    scale_embeddings: bool = False
+    #: Gemma-2 block structure: post-attention and post-feedforward norms
+    #: (4 RMSNorms per layer instead of 2).
+    post_block_norms: bool = False
+    #: Per-layer attention types ("sliding_attention" | "full_attention").
+    #: None = uniform (``sliding_window`` applies to every layer, Mistral
+    #: style).  Gemma-2 alternates: even layers sliding, odd full.
+    layer_types: Optional[Tuple[str, ...]] = None
     # Llama-3.1+ rope scaling ("llama3" frequency scaling); None = plain RoPE.
     rope_scaling_type: Optional[str] = None
     rope_scaling_factor: float = 1.0
@@ -94,6 +120,32 @@ class ModelSpec:
     def num_query_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
 
+    @property
+    def attn_scale(self) -> float:
+        """Softmax scale: ``query_pre_attn_scalar**-0.5`` when set
+        (Gemma-2), else the standard ``head_dim**-0.5``."""
+        denom = self.query_pre_attn_scalar or self.head_dim
+        return float(denom) ** -0.5
+
+    @property
+    def mixed_sliding(self) -> bool:
+        """True when layers alternate sliding/full attention (Gemma-2)."""
+        return (self.sliding_window is not None
+                and self.layer_types is not None
+                and len(set(self.layer_types)) > 1)
+
+    def layer_is_sliding(self, i: int) -> bool:
+        """Static: does layer ``i`` use the sliding window?"""
+        if self.sliding_window is None:
+            return False
+        if self.layer_types is None:
+            return True
+        return self.layer_types[i] == "sliding_attention"
+
+    def layer_window(self, i: int) -> Optional[int]:
+        """Static per-layer window (None = full attention)."""
+        return self.sliding_window if self.layer_is_sliding(i) else None
+
     @staticmethod
     def from_hf(config: dict, name: str = "model") -> "ModelSpec":
         """Build a spec from a HF ``config.json`` dict (Llama or Mistral)."""
@@ -101,6 +153,15 @@ class ModelSpec:
         head_dim = config.get("head_dim") or (
             config["hidden_size"] // config["num_attention_heads"]
         )
+        gemma2 = config.get("model_type") == "gemma2"
+        act = config.get("hidden_activation") or config.get("hidden_act")
+        layer_types = config.get("layer_types")
+        if gemma2 and layer_types is None:
+            # configuration_gemma2.py default: even layers sliding, odd full
+            layer_types = tuple(
+                "sliding_attention" if (i + 1) % 2 else "full_attention"
+                for i in range(config["num_hidden_layers"])
+            )
         return ModelSpec(
             name=name,
             vocab_size=config["vocab_size"],
@@ -115,7 +176,8 @@ class ModelSpec:
             rms_norm_eps=config.get("rms_norm_eps", 1e-5),
             rope_theta=config.get("rope_theta", 10000.0),
             max_position_embeddings=config.get("max_position_embeddings", 8192),
-            tie_word_embeddings=config.get("tie_word_embeddings", False),
+            # Gemma-2's config omits the key; its Config class defaults True
+            tie_word_embeddings=config.get("tie_word_embeddings", gemma2),
             sliding_window=config.get("sliding_window"),
             # Qwen2's HF config carries no attention_bias key — its
             # attention hardcodes bias=True on q/k/v (modeling_qwen2)
@@ -123,6 +185,15 @@ class ModelSpec:
                 "attention_bias", config.get("model_type") == "qwen2"),
             num_local_experts=config.get("num_local_experts", 0) or 0,
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
+            hidden_act=("gelu_tanh" if act in ("gelu_pytorch_tanh",
+                                               "gelu_tanh") else "silu"),
+            query_pre_attn_scalar=config.get("query_pre_attn_scalar"),
+            attn_logit_softcapping=config.get("attn_logit_softcapping"),
+            final_logit_softcapping=config.get("final_logit_softcapping"),
+            rmsnorm_unit_offset=gemma2,
+            scale_embeddings=gemma2,
+            post_block_norms=gemma2,
+            layer_types=tuple(layer_types) if layer_types else None,
             rope_scaling_type=rope_scaling.get("rope_type") or rope_scaling.get("type"),
             rope_scaling_factor=rope_scaling.get("factor", 1.0),
             rope_low_freq_factor=rope_scaling.get("low_freq_factor", 1.0),
@@ -171,6 +242,21 @@ class ModelSpec:
                 num_attention_heads=28, num_key_value_heads=4, head_dim=128,
                 rope_theta=1000000.0, max_position_embeddings=32768,
                 rms_norm_eps=1e-6, attention_bias=True,
+            ),
+            "gemma2-9b": dict(
+                name="gemma2-9b", vocab_size=256000, hidden_size=3584,
+                intermediate_size=14336, num_hidden_layers=42,
+                num_attention_heads=16, num_key_value_heads=8, head_dim=256,
+                rope_theta=10000.0, max_position_embeddings=8192,
+                rms_norm_eps=1e-6, tie_word_embeddings=True,
+                sliding_window=4096, hidden_act="gelu_tanh",
+                query_pre_attn_scalar=256.0, attn_logit_softcapping=50.0,
+                final_logit_softcapping=30.0, rmsnorm_unit_offset=True,
+                scale_embeddings=True, post_block_norms=True,
+                layer_types=tuple(
+                    "sliding_attention" if (i + 1) % 2 else "full_attention"
+                    for i in range(42)
+                ),
             ),
             "mixtral-8x7b": dict(
                 name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,

@@ -112,12 +112,17 @@ class Engine:
         # carries that margin (plain decode never touches the extra slots)
         extra = (self.engine_spec.spec_draft_len
                  if self.engine_spec.speculative else 0)
+        ms = self.model_spec
         plan = make_plan(
             self.comp_spec,
-            self.model_spec.num_hidden_layers,
+            ms.num_hidden_layers,
             bucket,
             self.engine_spec.max_new_tokens + extra,
             use_pallas=use_pallas,
+            # scorers mirror the model's attention semantics (Gemma-2)
+            attn_scale=(ms.attn_scale
+                        if ms.query_pre_attn_scalar is not None else None),
+            attn_softcap=ms.attn_logit_softcapping,
         )
         if self.engine_spec.use_quant_kernel and use_pallas:
             plan = dataclasses.replace(plan, use_quant_kernel=True)

@@ -63,6 +63,7 @@ def _kernel(
     sliding_window: int | None,
     fast_path: bool,
     use_exp2: bool,
+    softcap: float | None,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -86,6 +87,13 @@ def _kernel(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bq, bk] f32
+    if softcap is not None:
+        # Gemma-2 attention-logit soft-capping: q arrives pre-scaled by the
+        # NATURAL softmax scale only (log2(e) cannot be folded through the
+        # tanh), so the exp2-domain conversion happens here post-cap.
+        s = jnp.tanh(s * (1.0 / softcap)) * (
+            softcap * (math.log2(math.e) if use_exp2 else 1.0)
+        )
 
     def _update(s):
         """Online-softmax rank-1 update of (m, l, acc) with tile logits s.
@@ -213,7 +221,7 @@ def _fit_blocks(n: int, block_q: int, block_k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
-                     "fast_path", "use_exp2"),
+                     "fast_path", "use_exp2", "scale", "softcap"),
 )
 def flash_causal_attention(
     q: jax.Array,
@@ -227,6 +235,8 @@ def flash_causal_attention(
     interpret: bool = False,
     fast_path: bool = True,
     use_exp2: bool = True,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Causal self-attention over a left-padded buffer.
 
@@ -246,8 +256,10 @@ def flash_causal_attention(
                                    sliding_window)
     assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
     nq, nk = n // block_q, n // block_k
-    scale = 1.0 / math.sqrt(d)
-    if use_exp2:
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if use_exp2 and softcap is None:
+        # with soft-capping the log2(e) factor is applied in-kernel AFTER
+        # the tanh (folding it into q would distort the cap)
         scale *= math.log2(math.e)
     pad = (n - true_len).astype(jnp.int32)
 
@@ -298,6 +310,7 @@ def flash_causal_attention(
             sliding_window=sliding_window,
             fast_path=fast_path,
             use_exp2=use_exp2,
+            softcap=softcap,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

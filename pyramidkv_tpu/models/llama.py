@@ -58,14 +58,19 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         scale = scale or 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
         return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dtype)
 
+    # unit-offset RMSNorm ((1+w), Gemma-2) zero-initialises norm weights
+    norm1 = jnp.zeros if spec.rmsnorm_unit_offset else jnp.ones
     layers = {
         "wq": w(ks[1], (L, Dm, H * Dh)),
         "wk": w(ks[2], (L, Dm, KV * Dh)),
         "wv": w(ks[3], (L, Dm, KV * Dh)),
         "wo": w(ks[4], (L, H * Dh, Dm)),
-        "attn_norm": jnp.ones((L, Dm), dtype=dtype),
-        "mlp_norm": jnp.ones((L, Dm), dtype=dtype),
+        "attn_norm": norm1((L, Dm), dtype=dtype),
+        "mlp_norm": norm1((L, Dm), dtype=dtype),
     }
+    if spec.post_block_norms:
+        layers["attn_post_norm"] = norm1((L, Dm), dtype=dtype)
+        layers["mlp_post_norm"] = norm1((L, Dm), dtype=dtype)
     if spec.attention_bias:
         # Qwen2-style QKV biases (o_proj stays bias-free)
         kb = jax.random.split(ks[10], 3)
@@ -85,7 +90,7 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         layers["w_down"] = w(ks[7], (L, I, Dm))
     params = {
         "embed": w(ks[0], (V, Dm), scale=0.02),
-        "final_norm": jnp.ones((Dm,), dtype=dtype),
+        "final_norm": norm1((Dm,), dtype=dtype),
         "layers": layers,
     }
     if not spec.tie_word_embeddings:
@@ -144,10 +149,23 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.A
     return out.astype(x.dtype)
 
 
-def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, w: jax.Array, eps: float,
+             unit_offset: bool = False) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if unit_offset:
+        # Gemma2RMSNorm: multiply by (1 + w) in fp32, THEN cast (Llama
+        # casts first) — w is zero-initialised under this convention.
+        return (normed * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+    return normed.astype(x.dtype) * w
+
+
+def _act(x: jax.Array, hidden_act: str) -> jax.Array:
+    """Gated-MLP activation in fp32 (matches HF's ACT2FN usage)."""
+    if hidden_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
+    return jax.nn.silu(x)
 
 
 def _repeat_kv(x: jax.Array, groups: int) -> jax.Array:
@@ -194,7 +212,8 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
 
 def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
          capacity_factor: Optional[float] = None,
-         valid: Optional[jax.Array] = None) -> jax.Array:
+         valid: Optional[jax.Array] = None,
+         hidden_act: str = "silu") -> jax.Array:
     if "router" in wts:
         return _moe_mlp(x, wts, top_k=top_k,
                         capacity_factor=capacity_factor, valid=valid)
@@ -202,7 +221,7 @@ def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
         g, u = jnp.split(mm(x, wts["w_gateup"]), 2, axis=-1)
     else:
         g, u = mm(x, wts["w_gate"]), mm(x, wts["w_up"])
-    return mm(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+    return mm(_act(g.astype(jnp.float32), hidden_act).astype(x.dtype) * u,
               wts["w_down"])
 
 
@@ -344,10 +363,19 @@ def _moe_mlp_dispatch(x: jax.Array, wts: dict, weight: jax.Array, e: int,
 
 
 def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
+    out = _logits_raw(hidden, params, spec)
+    if spec.final_logit_softcapping is not None:
+        cap = spec.final_logit_softcapping
+        out = jnp.tanh(out * (1.0 / cap)) * cap
+    return out
+
+
+def _logits_raw(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
     """fp32 logits WITHOUT upcasting the vocab projection: an explicit
     ``astype(fp32)`` on the [Dm, V] matrix gets hoisted out of the decode
     loop by XLA as a persistent fp32 copy (~2x the weight's HBM)."""
-    h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps)
+    h = rms_norm(hidden, params["final_norm"], spec.rms_norm_eps,
+                 spec.rmsnorm_unit_offset)
     w = params["embed"] if spec.tie_word_embeddings else params.get("lm_head")
     if isinstance(w, QuantW):
         if not spec.tie_word_embeddings and is_packed4(w):
@@ -417,6 +445,21 @@ def prefill(
     ctxs = layer_contexts(plan, true_len, spec.num_attention_heads, rng)
     act_dtype = params["final_norm"].dtype
     hidden0 = embed_lookup(params["embed"], tokens, act_dtype)  # [B, N, Dm]
+    if spec.scale_embeddings:
+        # Gemma-2 multiplies by sqrt(hidden) ROUNDED through the activation
+        # dtype (modeling_gemma2.py normalizer cast)
+        hidden0 = hidden0 * jnp.asarray(
+            math.sqrt(spec.hidden_size), dtype=act_dtype)
+    unit = spec.rmsnorm_unit_offset
+    ascale = (spec.attn_scale
+              if spec.query_pre_attn_scalar is not None else None)
+    asoftcap = spec.attn_logit_softcapping
+    # static per-layer sliding flags (Gemma-2 alternates sliding/full)
+    sliding_flags = (
+        jnp.asarray([spec.layer_is_sliding(i)
+                     for i in range(spec.num_hidden_layers)])
+        if spec.mixed_sliding else None
+    )
 
     def make_layer_fn(subplan, by_index=False):
         def layer_fn(hidden, xs):
@@ -429,8 +472,8 @@ def prefill(
                     lambda x: x[li], params["layers"]
                 )
             else:
-                wts, ctx = xs
-            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+                wts, ctx, li = xs
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
             q, k, v = _qkv(x, wts, spec)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
@@ -457,34 +500,84 @@ def prefill(
                     interpret=attention_impl != "pallas",
                     slash_impl=subplan.spec.minference_slash_impl,
                 )
-            elif attention_impl in ("pallas", "pallas_interpret"):
-                from ..kernels import flash_causal_attention
-
-                attn = flash_causal_attention(
-                    q, k, v, true_len,
-                    block_q=min(prefill_block, n), block_k=min(prefill_block, n),
-                    sliding_window=spec.sliding_window,
-                    interpret=attention_impl == "pallas_interpret",
-                )
             else:
-                attn = causal_prefill_attention(
-                    q, k, v, true_len=true_len,
-                    block=prefill_block, sliding_window=spec.sliding_window,
-                )
+                def dense_attn(win):
+                    if attention_impl in ("pallas", "pallas_interpret"):
+                        from ..kernels import flash_causal_attention
+
+                        return flash_causal_attention(
+                            q, k, v, true_len,
+                            block_q=min(prefill_block, n),
+                            block_k=min(prefill_block, n),
+                            sliding_window=win,
+                            interpret=attention_impl == "pallas_interpret",
+                            scale=ascale, softcap=asoftcap,
+                        )
+                    return causal_prefill_attention(
+                        q, k, v, true_len=true_len,
+                        block=prefill_block, sliding_window=win,
+                        scale=ascale, softcap=asoftcap,
+                    )
+
+                if sliding_flags is None:
+                    attn = dense_attn(spec.sliding_window)
+                else:
+                    # alternating sliding/full layers (Gemma-2): both
+                    # branches are compiled statically (the sliding branch
+                    # keeps its banded tile pruning) and the traced layer
+                    # index picks one at run time
+                    attn = jax.lax.cond(
+                        sliding_flags[li],
+                        lambda: dense_attn(spec.sliding_window),
+                        lambda: dense_attn(None),
+                    )
             attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
-            hidden = hidden + mm(attn, wts["wo"])
-            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(
+            ao = mm(attn, wts["wo"])
+            if spec.post_block_norms:
+                ao = rms_norm(ao, wts["attn_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + ao
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps, unit)
+            mo = _mlp(
                 x2, wts, spec.num_experts_per_tok,
                 capacity_factor=spec.moe_capacity_factor,
-                valid=positions >= 0,
+                valid=positions >= 0, hidden_act=spec.hidden_act,
             )
+            if spec.post_block_norms:
+                mo = rms_norm(mo, wts["mlp_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + mo
             ckv = compress_layer(subplan, ctx, q, k, v, true_len=true_len)
             if subplan.think_narrow:
                 from ..policy import think_split
 
                 kp, kc, krest = think_split(ckv, q, subplan, true_len)
                 return hidden, (ckv._replace(k=krest), kp, kc)
+            if subplan.spec.quant_method is not None:
+                # Quantize the (immutable) compacted prefill region PER
+                # LAYER inside the scan: only one layer's bf16 region is
+                # ever live, so full-KV quant caches fit contexts whose
+                # stacked bf16 cache would OOM (64k fullkv d32: 8.6 GB
+                # bf16 vs 1.1 GB int4 codes).  Decode slots stay bf16 —
+                # the static analogue of the reference's fp16 residual
+                # buffer (quantcache.py:79-82).
+                from ..ops.quant import quantize_kv_region
+
+                qs = subplan.spec
+                sp_q = subplan.prefill_slots
+                reg = quantize_kv_region(
+                    ckv.k[:, :, :sp_q, :], ckv.v[:, :, :sp_q, :],
+                    nbits=qs.nbits, group_size=qs.q_group_size,
+                    outlier_threshold=(
+                        qs.outlier_threshold
+                        if qs.quant_method == "kvquant" else None
+                    ),
+                )
+                return hidden, (
+                    ckv._replace(k=ckv.k[:, :, sp_q:, :],
+                                 v=ckv.v[:, :, sp_q:, :]),
+                    reg,
+                )
             return hidden, ckv
 
         return layer_fn
@@ -501,7 +594,9 @@ def prefill(
     if len(seg_plans) == 1:
         _, _, sub = seg_plans[0]
         hidden, ckv = jax.lax.scan(
-            make_layer_fn(sub), hidden, (params["layers"], ctxs)
+            make_layer_fn(sub), hidden,
+            (params["layers"], ctxs,
+             jnp.arange(spec.num_hidden_layers, dtype=jnp.int32)),
         )
         seg_ckvs.append(ckv)
     else:
@@ -538,33 +633,18 @@ def prefill(
             step=jnp.zeros((), jnp.int32),
         )
         return logits, cache
-    ckvs = seg_ckvs[0]
     if cs.quant_method is not None:
-        # Quantize the (immutable) compacted prefill region; decode slots
-        # stay bf16 — the static analogue of the reference's fp16 residual
-        # buffer (quantcache.py:79-82).
-        from ..ops.quant import quantize_kv_region
-
-        L, B, Hs, S, Dh = ckvs.k.shape
-        sp = plan.prefill_slots
-        kp = ckvs.k[:, :, :, :sp, :].reshape(L * B, Hs, sp, Dh)
-        vp = ckvs.v[:, :, :, :sp, :].reshape(L * B, Hs, sp, Dh)
-        reg = quantize_kv_region(
-            kp, vp, nbits=cs.nbits, group_size=cs.q_group_size,
-            outlier_threshold=(
-                cs.outlier_threshold if cs.quant_method == "kvquant" else None
-            ),
-        )
-        reg = jax.tree_util.tree_map(
-            lambda x: x.reshape((L, B) + x.shape[1:]), reg
-        )
+        # regions were quantized per layer inside the scan (one layer's
+        # bf16 K/V live at a time); the scan ys stacked them to [L, ...]
+        ckvs, reg = seg_ckvs[0]
         cache = KVCache(
-            k=ckvs.k[:, :, :, sp:, :], v=ckvs.v[:, :, :, sp:, :],
+            k=ckvs.k, v=ckvs.v,
             mask=ckvs.mask, positions=ckvs.positions,
             true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
             quant=reg,
         )
         return logits, cache
+    ckvs = seg_ckvs[0]
     cache = KVCache(
         k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
@@ -628,6 +708,21 @@ def decode_step(
         pos = cache.true_len.astype(jnp.int32) + lane_steps
     hidden0 = embed_lookup(params["embed"], token,
                            params["final_norm"].dtype)  # [B, Dm]
+    if spec.scale_embeddings:
+        hidden0 = hidden0 * jnp.asarray(
+            math.sqrt(spec.hidden_size), dtype=hidden0.dtype)
+    unit = spec.rmsnorm_unit_offset
+    ascale = (spec.attn_scale
+              if spec.query_pre_attn_scalar is not None else None)
+    asoftcap = spec.attn_logit_softcapping
+    # per-layer effective window (Gemma-2 alternation): full-attention
+    # layers get a sentinel no layer can exceed
+    win_arr = (
+        jnp.asarray([spec.sliding_window if spec.layer_is_sliding(i)
+                     else (1 << 30) for i in range(spec.num_hidden_layers)],
+                    dtype=jnp.int32)
+        if spec.mixed_sliding else None
+    )
 
     store_kv = stores_kv_heads(plan.spec)
     cs = plan.spec
@@ -690,7 +785,8 @@ def decode_step(
                     if quantized else None)
             treg = (jax.tree_util.tree_map(lambda x: x[i], cache.think)
                     if think else None)
-            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)[:, None, :]
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps,
+                         unit)[:, None, :]
             q, k, v = _qkv(x, wts, spec)  # [B, H/KV, 1, Dh]
             q = apply_rope(q, pos[:, None], inv_freq)[:, :, 0, :]  # [B, H, Dh]
             k = apply_rope(k, pos[:, None], inv_freq)
@@ -724,7 +820,12 @@ def decode_step(
                     jnp.broadcast_to(pos[:, None], (b, hm)).astype(jnp.int32))
             layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
             visible = layer.mask
-            if spec.sliding_window is not None:
+            if win_arr is not None:
+                visible = visible & (
+                    layer.positions
+                    > (pos[:, None, None] - win_arr[layer0 + i])
+                )
+            elif spec.sliding_window is not None:
                 visible = visible & (
                     layer.positions > (pos[:, None, None] - spec.sliding_window)
                 )
@@ -737,6 +838,8 @@ def decode_step(
                     (subplan.use_quant_kernel or _FORCE_QUANT_KERNEL[0])
                     and cs.quant_method == "kivi"
                     and s_pad_k <= MAX_KERNEL_SLOTS
+                    # kernel has no softcap/custom-scale support
+                    and ascale is None and asoftcap is None
                 )
                 if use_kernel:
                     # fused dequant-attention over the packed region: HBM
@@ -777,13 +880,14 @@ def decode_step(
                     )
                     k_all = jnp.concatenate([k_pre, layer.k], axis=2)
                     v_all = jnp.concatenate([v_pre, layer.v], axis=2)
-                    attn = decode_attention(q, k_all, v_all, visible)
+                    attn = decode_attention(q, k_all, v_all, visible,
+                                            scale=ascale, softcap=asoftcap)
             elif think:
                 from ..ops.attention import decode_attention_think
 
                 attn = decode_attention_think(
                     q, treg.k_pruned, treg.kept_channels, layer.k, layer.v,
-                    visible,
+                    visible, scale=ascale, softcap=asoftcap,
                 )
             elif staged:
                 # lane path: the new row is NOT in the buffers — it rides
@@ -793,12 +897,23 @@ def decode_step(
                 from ..ops.attention import decode_attention_append
 
                 attn = decode_attention_append(
-                    q, layer.k, layer.v, visible, k_new, v_new)
+                    q, layer.k, layer.v, visible, k_new, v_new,
+                    scale=ascale, softcap=asoftcap)
             else:
-                attn = decode_attention(q, layer.k, layer.v, visible)
-            hidden = hidden + mm(attn.reshape(b, -1), wts["wo"])
-            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
+                attn = decode_attention(q, layer.k, layer.v, visible,
+                                        scale=ascale, softcap=asoftcap)
+            ao = mm(attn.reshape(b, -1), wts["wo"])
+            if spec.post_block_norms:
+                ao = rms_norm(ao, wts["attn_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + ao
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps, unit)
+            mo = _mlp(x2, wts, spec.num_experts_per_tok,
+                      hidden_act=spec.hidden_act)
+            if spec.post_block_norms:
+                mo = rms_norm(mo, wts["mlp_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + mo
             ys = (k_new, v_new) if staged else None
             return (hidden, kf, vf, mf, pf), ys
 
@@ -891,6 +1006,19 @@ def verify_step(
     q_pos = pos0[:, None] + jnp.arange(t_seg, dtype=jnp.int32)[None, :]
     hidden0 = embed_lookup(params["embed"], tokens,
                            params["final_norm"].dtype)        # [B, T, Dm]
+    if spec.scale_embeddings:
+        hidden0 = hidden0 * jnp.asarray(
+            math.sqrt(spec.hidden_size), dtype=hidden0.dtype)
+    unit = spec.rmsnorm_unit_offset
+    ascale = (spec.attn_scale
+              if spec.query_pre_attn_scalar is not None else None)
+    asoftcap = spec.attn_logit_softcapping
+    win_arr = (
+        jnp.asarray([spec.sliding_window if spec.layer_is_sliding(i)
+                     else (1 << 30) for i in range(spec.num_hidden_layers)],
+                    dtype=jnp.int32)
+        if spec.mixed_sliding else None
+    )
     store_kv = stores_kv_heads(plan.spec)
     lanes = lane_steps is not None
 
@@ -922,7 +1050,9 @@ def verify_step(
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
             wts = layer_view(params["layers"], layer0 + i)
-            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+            win_i = (win_arr[layer0 + i] if win_arr is not None
+                     else spec.sliding_window)
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
             q, k, v = _qkv(x, wts, spec)                      # [B,H/KV,T,Dh]
             q = apply_rope(q, q_pos, inv_freq)
             k = apply_rope(k, q_pos, inv_freq)
@@ -938,7 +1068,7 @@ def verify_step(
                 attn = verify_attention_append(
                     q, layer.k, layer.v, layer.mask, layer.positions,
                     q_pos, k_new, v_new,
-                    sliding_window=spec.sliding_window,
+                    sliding_window=win_i, scale=ascale, softcap=asoftcap,
                 )
             else:
                 kf = jax.lax.dynamic_update_slice(
@@ -956,12 +1086,21 @@ def verify_step(
                 layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
                 attn = verify_attention(
                     q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
-                    sliding_window=spec.sliding_window,
+                    sliding_window=win_i, scale=ascale, softcap=asoftcap,
                 )                                             # [B,H,T,Dh]
             attn = attn.transpose(0, 2, 1, 3).reshape(b, t_seg, -1)
-            hidden = hidden + mm(attn, wts["wo"])
-            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts, spec.num_experts_per_tok)
+            ao = mm(attn, wts["wo"])
+            if spec.post_block_norms:
+                ao = rms_norm(ao, wts["attn_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + ao
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps, unit)
+            mo = _mlp(x2, wts, spec.num_experts_per_tok,
+                      hidden_act=spec.hidden_act)
+            if spec.post_block_norms:
+                mo = rms_norm(mo, wts["mlp_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + mo
             ys = (k_new, v_new) if lanes else None
             return (hidden, kf, vf, mf, pf), ys
 

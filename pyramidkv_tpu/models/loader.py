@@ -88,6 +88,14 @@ def load_params_from_hf(
         "input_layernorm.weight": "attn_norm",
         "post_attention_layernorm.weight": "mlp_norm",
     }
+    if spec.post_block_norms:
+        # Gemma-2 block: input/post_attention wrap attention;
+        # pre/post_feedforward wrap the MLP (modeling_gemma2.py)
+        name_map.update({
+            "post_attention_layernorm.weight": "attn_post_norm",
+            "pre_feedforward_layernorm.weight": "mlp_norm",
+            "post_feedforward_layernorm.weight": "mlp_post_norm",
+        })
     if spec.attention_bias:
         # Qwen2: QKV biases (1-D rows, no transpose; o_proj has none)
         name_map.update({

@@ -23,6 +23,19 @@ import jax.numpy as jnp
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _scale_softcap(logits: jax.Array, scale: float,
+                   softcap: float | None) -> jax.Array:
+    """Scale raw QK^T logits, then (optionally) tanh-softcap them.
+
+    Matches Gemma-2's eager_attention_forward order: softcap applies to the
+    SCALED logits and the additive mask comes after (softcapping a masked
+    -inf would resurrect it at -cap)."""
+    logits = logits * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
+    return logits
+
+
 def causal_prefill_attention(
     q: jax.Array,
     k: jax.Array,
@@ -31,6 +44,8 @@ def causal_prefill_attention(
     true_len: jax.Array,
     block: int = 512,
     sliding_window: int | None = None,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Blockwise causal self-attention over a left-padded buffer.
 
@@ -57,7 +72,7 @@ def causal_prefill_attention(
     if n % block != 0:
         block = math.gcd(n, block) or n
     nblocks = n // block
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)  # [B]
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]  # [B, N]
@@ -78,9 +93,9 @@ def causal_prefill_attention(
             causal &= (rows[:, None] - col[None, :]) < sliding_window
         mask = causal[None] & colv[:, None, :]  # [B, block, N]
         if hk == h:
-            logits = jnp.einsum(
+            logits = _scale_softcap(jnp.einsum(
                 "bhqd,bhnd->bhqn", qb, k, preferred_element_type=jnp.float32
-            ) * scale
+            ), scale, softcap)
             logits = jnp.where(mask[:, None], logits, _NEG_INF)
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum(
@@ -88,9 +103,9 @@ def causal_prefill_attention(
                 preferred_element_type=jnp.float32,
             )
         else:
-            logits = jnp.einsum(
+            logits = _scale_softcap(jnp.einsum(
                 "bkgqd,bknd->bkgqn", qb, k, preferred_element_type=jnp.float32
-            ) * scale
+            ), scale, softcap)
             logits = jnp.where(mask[:, None, None], logits, _NEG_INF)
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum(
@@ -132,6 +147,9 @@ def decode_attention(
     k_cache: jax.Array,
     v_cache: jax.Array,
     mask: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Single-token attention against the compacted static cache.
 
@@ -154,19 +172,21 @@ def decode_attention(
     """
     b, h, d = q.shape
     hk = k_cache.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     interp = _FORCE_DECODE_ATTN_KERNEL[0]
-    if (interp or (_USE_DECODE_ATTN_KERNEL[0]
-                   and jax.default_backend() == "tpu"
-                   and len(jax.devices()) == 1 and d % 128 == 0)):
+    if (scale is None and softcap is None
+            and (interp or (_USE_DECODE_ATTN_KERNEL[0]
+                            and jax.default_backend() == "tpu"
+                            and len(jax.devices()) == 1 and d % 128 == 0))):
         from ..kernels.decode_attn import MAX_KERNEL_SLOTS, decode_attention_pallas
 
         if k_cache.shape[2] <= MAX_KERNEL_SLOTS and h % hk == 0:
             return decode_attention_pallas(q, k_cache, v_cache, mask,
                                            interpret=interp)
     if hk == h:
-        logits = jnp.einsum(
+        logits = _scale_softcap(jnp.einsum(
             "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
+        ), sc, softcap)
         logits = jnp.where(mask, logits, _NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         out = jnp.einsum(
@@ -175,9 +195,9 @@ def decode_attention(
         return out.astype(q.dtype)
     g = h // hk
     qg = q.reshape(b, hk, g, d)
-    logits = jnp.einsum(
+    logits = _scale_softcap(jnp.einsum(
         "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-    ) / math.sqrt(d)
+    ), sc, softcap)
     logits = jnp.where(mask[:, :, None, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
@@ -193,6 +213,9 @@ def decode_attention_append(
     visible: jax.Array,
     k_new: jax.Array,
     v_new: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """:func:`decode_attention` with the CURRENT token's K/V passed
     directly instead of pre-written into the cache.
@@ -213,16 +236,17 @@ def decode_attention_append(
     """
     b, h, d = q.shape
     hk = k_cache.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     if hk == h:
-        logits = jnp.einsum(
+        logits = _scale_softcap(jnp.einsum(
             "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
-        )
-        lnew = jnp.einsum(
+        ), sc, softcap)
+        lnew = _scale_softcap(jnp.einsum(
             "bhd,bhd->bh", q, k_new, preferred_element_type=jnp.float32
-        )[..., None]
+        )[..., None], sc, softcap)
         logits = jnp.concatenate(
             [jnp.where(visible, logits, _NEG_INF), lnew], axis=-1
-        ) / math.sqrt(d)
+        )
         probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         out = jnp.einsum(
             "bhs,bhsd->bhd", probs[..., :-1], v_cache,
@@ -231,15 +255,15 @@ def decode_attention_append(
         return out.astype(q.dtype)
     g = h // hk
     qg = q.reshape(b, hk, g, d)
-    logits = jnp.einsum(
+    logits = _scale_softcap(jnp.einsum(
         "bkgd,bksd->bkgs", qg, k_cache, preferred_element_type=jnp.float32
-    )
-    lnew = jnp.einsum(
+    ), sc, softcap)
+    lnew = _scale_softcap(jnp.einsum(
         "bkgd,bkd->bkg", qg, k_new, preferred_element_type=jnp.float32
-    )[..., None]
+    )[..., None], sc, softcap)
     logits = jnp.concatenate(
         [jnp.where(visible[:, :, None, :], logits, _NEG_INF), lnew], axis=-1
-    ) / math.sqrt(d)
+    )
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
         "bkgs,bksd->bkgd", probs[..., :-1], v_cache,
@@ -259,6 +283,8 @@ def verify_attention_append(
     k_seg: jax.Array,
     v_seg: jax.Array,
     sliding_window=None,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """:func:`verify_attention` with the draft segment's K/V passed
     directly (same staging rationale as :func:`decode_attention_append`:
@@ -274,6 +300,7 @@ def verify_attention_append(
     """
     b, h, t, d = q.shape
     hk = k_cache.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     vis = mask[:, :, None, :] & (
         positions[:, :, None, :] <= q_pos[:, None, :, None]
     )
@@ -287,16 +314,16 @@ def verify_attention_append(
         delta = jnp.arange(t)[:, None] - jnp.arange(t)[None, :]
         seg_ok = seg_ok & (delta < sliding_window)
     if hk == h:
-        lc = jnp.einsum(
+        lc = _scale_softcap(jnp.einsum(
             "bhtd,bhsd->bhts", q, k_cache, preferred_element_type=jnp.float32
-        )
-        ls = jnp.einsum(
+        ), sc, softcap)
+        ls = _scale_softcap(jnp.einsum(
             "bhtd,bhud->bhtu", q, k_seg, preferred_element_type=jnp.float32
-        )
+        ), sc, softcap)
         logits = jnp.concatenate(
             [jnp.where(vis, lc, _NEG_INF),
              jnp.where(seg_ok[None, None], ls, _NEG_INF)], axis=-1
-        ) / math.sqrt(d)
+        )
         probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         out = (
             jnp.einsum("bhts,bhsd->bhtd", probs[..., : -t], v_cache,
@@ -307,16 +334,16 @@ def verify_attention_append(
         return out.astype(q.dtype)
     g = h // hk
     qg = q.reshape(b, hk, g, t, d)
-    lc = jnp.einsum(
+    lc = _scale_softcap(jnp.einsum(
         "bkgtd,bksd->bkgts", qg, k_cache, preferred_element_type=jnp.float32
-    )
-    ls = jnp.einsum(
+    ), sc, softcap)
+    ls = _scale_softcap(jnp.einsum(
         "bkgtd,bkud->bkgtu", qg, k_seg, preferred_element_type=jnp.float32
-    )
+    ), sc, softcap)
     logits = jnp.concatenate(
         [jnp.where(vis[:, :, None], lc, _NEG_INF),
          jnp.where(seg_ok[None, None, None], ls, _NEG_INF)], axis=-1
-    ) / math.sqrt(d)
+    )
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = (
         jnp.einsum("bkgts,bksd->bkgtd", probs[..., : -t], v_cache,
@@ -335,6 +362,8 @@ def verify_attention(
     positions: jax.Array,
     q_pos: jax.Array,
     sliding_window=None,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Multi-token decode attention for speculative verification.
 
@@ -364,11 +393,12 @@ def verify_attention(
             positions[:, :, None, :]
             > (q_pos[:, None, :, None] - sliding_window)
         )
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     if hk == h:
-        logits = jnp.einsum(
+        logits = _scale_softcap(jnp.einsum(
             "bhtd,bhsd->bhts", q, k_cache,
             preferred_element_type=jnp.float32,
-        ) / math.sqrt(d)
+        ), sc, softcap)
         logits = jnp.where(vis, logits, _NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         out = jnp.einsum(
@@ -378,10 +408,10 @@ def verify_attention(
         return out.astype(q.dtype)
     g = h // hk
     qg = q.reshape(b, hk, g, t, d)
-    logits = jnp.einsum(
+    logits = _scale_softcap(jnp.einsum(
         "bkgtd,bksd->bkgts", qg, k_cache,
         preferred_element_type=jnp.float32,
-    ) / math.sqrt(d)
+    ), sc, softcap)
     logits = jnp.where(vis[:, :, None, :, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(
@@ -398,6 +428,9 @@ def decode_attention_think(
     k_rest: jax.Array,
     v_cache: jax.Array,
     mask: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """ThinK decode: two partial logit blocks concatenated before softmax
     (llama_model_think.py:175-181) — channel-gathered query x narrow pruned
@@ -424,7 +457,8 @@ def decode_attention_think(
     lr = jnp.einsum(
         "bhd,bhsd->bhs", q, k_rest, preferred_element_type=jnp.float32
     )
-    logits = jnp.concatenate([lp, lr], axis=-1) / math.sqrt(d)
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = _scale_softcap(jnp.concatenate([lp, lr], axis=-1), sc, softcap)
     logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum(

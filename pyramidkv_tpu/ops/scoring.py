@@ -61,6 +61,8 @@ def window_scores(
     kernel_size: int,
     pooling: str,
     aggregation: str = "sum",
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """SnapKV-family observation-window score.
 
@@ -84,13 +86,18 @@ def window_scores(
     w = window_size
     qw = q[:, :, n - w :, :].astype(jnp.float32)
     kf = k.astype(jnp.float32)
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     if hk == h:
-        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) / math.sqrt(d)
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) * sc
     else:
         g = h // hk
         logits = jnp.einsum(
             "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), kf
-        ).reshape(b, h, w, n) / math.sqrt(d)
+        ).reshape(b, h, w, n) * sc
+    if softcap is not None:
+        # mirror the model's Gemma-2 logit soft-capping so selection
+        # follows the ACTUAL attention distribution (cap before mask)
+        logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
     logits = logits + _window_causal_bias(w, n)[None, None]
     colv = _column_valid(n, true_len)  # [B, N]
     logits = jnp.where(colv[:, None, None, :], logits, _NEG_INF)
@@ -115,6 +122,8 @@ def h2o_scores(
     window_size: int,
     true_len: jax.Array,
     block: int = 512,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """H2O heavy-hitter score: softmax attention of ALL queries, summed
     column-wise over the non-window keys; no pooling.
@@ -138,7 +147,7 @@ def h2o_scores(
         block = math.gcd(n, block) or n
     nblocks = n // block
     colv = _column_valid(n, true_len)  # [B, N]
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
     q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
     row = jnp.arange(n, dtype=jnp.int32)
@@ -157,6 +166,8 @@ def h2o_scores(
                 "bkgqd,bknd->bkgqn", qb.reshape(b, hk, g, block, d), k,
                 preferred_element_type=jnp.float32,
             ).reshape(b, h, block, n) * scale
+        if softcap is not None:
+            logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
         r = bi * block + jnp.arange(block, dtype=jnp.int32)  # buffer row ids
         # Causal bias only where both row and col are inside the last W block.
         jcol = row[None, :]

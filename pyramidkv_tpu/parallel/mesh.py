@@ -55,6 +55,9 @@ def param_pspecs(spec: ModelSpec) -> dict:
         "attn_norm": P(None, None),
         "mlp_norm": P(None, None),
     }
+    if spec.post_block_norms:
+        lp["attn_post_norm"] = P(None, None)
+        lp["mlp_post_norm"] = P(None, None)
     if spec.attention_bias:
         # QKV biases follow their matmul's OUT (column-parallel) axis
         lp["bq"] = P(None, "model")

@@ -53,6 +53,11 @@ class PolicyPlan:
     window: int  #: recency slots kept verbatim
     #: use the Pallas scoring kernels (TPU hot path; set by the engine)
     use_pallas: bool = False
+    #: model attention semantics mirrored by the scorers: softmax scale
+    #: (None = 1/sqrt(head_dim)) and Gemma-2 tanh logit soft-capping.
+    #: Selection scores follow the model's ACTUAL attention distribution.
+    attn_scale: Optional[float] = None
+    attn_softcap: Optional[float] = None
     #: opt-in fused dequant decode kernel (EngineSpec.use_quant_kernel)
     use_quant_kernel: bool = False
     #: Contiguous layer runs with their own static slot widths:
@@ -177,6 +182,8 @@ def make_plan(
     decode_slots: int,
     use_pallas: bool = False,
     allow_segments: bool = True,
+    attn_scale: Optional[float] = None,
+    attn_softcap: Optional[float] = None,
 ) -> PolicyPlan:
     window = min(selection_window(spec), bucket_len)
     width = static_selection_width(spec, num_layers, bucket_len)
@@ -210,6 +217,8 @@ def make_plan(
         window=window,
         use_pallas=use_pallas,
         segments=segments,
+        attn_scale=attn_scale,
+        attn_softcap=attn_softcap,
     )
 
 
@@ -504,12 +513,13 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "h2o":
-        if plan.use_pallas:
+        if plan.use_pallas and plan.attn_scale is None and plan.attn_softcap is None:
             from .kernels.h2o_scores import h2o_scores_pallas
 
             raw = h2o_scores_pallas(q, k_score, window_size=w, true_len=true_len)
         else:
-            raw = h2o_scores(q, k_score, window_size=w, true_len=true_len)
+            raw = h2o_scores(q, k_score, window_size=w, true_len=true_len,
+                             scale=plan.attn_scale, softcap=plan.attn_softcap)
         scores = _group_mean(raw)
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         return compact_kv(k_kv, v_kv, sel, window_size=w,
@@ -519,6 +529,7 @@ def compress_layer(
         scores = _group_mean(window_scores(
             q, k_score, window_size=w, true_len=true_len,
             kernel_size=spec.kernel_size, pooling=spec.pooling,
+            scale=plan.attn_scale, softcap=plan.attn_softcap,
         ))
         sel = topk_select(scores, plan.width, ctx.keep_counts)
         if spec.merge == "pivot":
@@ -543,7 +554,11 @@ def compress_layer(
         kr = _rep(k_kv)
         v = _rep(v_kv)
         qw = q[:, :, n - w :, :].astype(jnp.float32)
-        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kr.astype(jnp.float32)) / math.sqrt(d)
+        _sc = (plan.attn_scale if plan.attn_scale is not None
+               else 1.0 / math.sqrt(d))
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kr.astype(jnp.float32)) * _sc
+        if plan.attn_softcap is not None:
+            logits = jnp.tanh(logits / plan.attn_softcap) * plan.attn_softcap
         logits = logits + _window_causal_bias(w, n)[None, None]
         colv = _column_valid(n, true_len)
         logits = jnp.where(colv[:, None, None, :], logits, -jnp.inf)
@@ -566,6 +581,7 @@ def compress_layer(
             q, k_score, window_size=w, true_len=true_len,
             kernel_size=spec.kernel_size, pooling=spec.pooling,
             aggregation="mean",
+            scale=plan.attn_scale, softcap=plan.attn_softcap,
         ))
         base = spec.max_capacity_prompt - spec.window_size
         if m == "adakv":
