@@ -483,6 +483,10 @@ def prefill(
             # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
             if (subplan.spec.method == "minference"
                     and n >= subplan.spec.minference_dense_below):
+                if asoftcap is not None or ascale is not None:
+                    raise NotImplementedError(
+                        "minference sparse prefill does not support Gemma-2 "
+                        "logit soft-capping / query_pre_attn_scalar")
                 from ..ops.sparse_prefill import (
                     estimate_vertical_slash,
                     sparse_prefill_attention,

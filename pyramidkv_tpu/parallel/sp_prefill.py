@@ -334,6 +334,16 @@ def sequence_parallel_prefill(
     m = plan.spec.method
     assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
                  "adakv", "headkv", "h2o", "think", "cam"), m
+    if (spec.attn_logit_softcapping is not None
+            or spec.query_pre_attn_scalar is not None
+            or spec.mixed_sliding or spec.post_block_norms):
+        # Gemma-2 semantics are threaded through the single-chip paths only;
+        # SP's ring shards would need softcap-aware online partials and
+        # per-layer window branches across shards (round-3 candidate).
+        raise NotImplementedError(
+            "sequence-parallel prefill does not support Gemma-2 attention "
+            "semantics (soft-capping / query_pre_attn_scalar / alternating "
+            "sliding layers); use single-chip or TP prefill")
     if m == "think":
         # narrow layout only (the default); channel stats need the last 32
         # queries on the final shard

@@ -92,6 +92,29 @@ def test_variant_traces(golden, name, kw):
     assert out == golden[name], (name, out, golden[name])
 
 
+@pytest.mark.parametrize("method", ["fullkv", "snapkv"])
+def test_gemma2_traces(golden, method):
+    """Pins the Gemma-2 forward semantics end-to-end: GeGLU, (1+w) norms,
+    embed scaling, post-block norms, softcaps, alternating sliding."""
+    spec = ModelSpec.tiny(
+        name="tiny-gemma2", hidden_act="gelu_tanh",
+        query_pre_attn_scalar=32.0, attn_logit_softcapping=5.0,
+        final_logit_softcapping=3.0, rmsnorm_unit_offset=True,
+        scale_embeddings=True, post_block_norms=True,
+        tie_word_embeddings=True, sliding_window=16,
+        layer_types=("sliding_attention", "full_attention") * 2,
+    )
+    params = jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(method=method, max_capacity_prompt=16,
+                        window_size=4, kernel_size=5),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    out = eng.generate([golden["_prompt"]]).tokens[0]
+    assert out == golden[f"gemma2_{method}"], (method, out)
+
+
 @pytest.mark.parametrize("name,gs", [("snapkv_int4w", None),
                                      ("snapkv_int4w_g16", 16)])
 def test_int4_weight_trace(golden, name, gs):
