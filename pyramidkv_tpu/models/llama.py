@@ -664,6 +664,12 @@ def prefill(
 #: the TPU.  Mutated by tests only.
 _FORCE_QUANT_KERNEL = [False]
 
+#: KIVI regions larger than this many padded slots decode via the chunked
+#: online-softmax dequant scan (ops/quant.py::quant_region_attention_
+#: partials) instead of the one-shot dequant+concat (which materialises a
+#: full bf16 region copy per step).  Lowered by tests to exercise chunking.
+_QUANT_CHUNK_THRESHOLD = [4096]
+
 
 #: Decode layer-scan unroll factor (PKV_DECODE_SCAN_UNROLL, default 1).
 #: Unrolling lets XLA schedule across adjacent layers (overlap one layer's
@@ -869,6 +875,32 @@ def decode_step(
                     )
                     part_t = decode_attention_partials(
                         q, layer.k, layer.v, visible[:, :, sp_:]
+                    )
+                    attn = merge_attention_partials([part_r, part_t]).astype(
+                        q.dtype
+                    )
+                elif (cs.quant_method == "kivi"
+                      and s_pad_k > _QUANT_CHUNK_THRESHOLD[0]):
+                    # long regions: scan slot chunks with online-softmax
+                    # partials so XLA fuses the dequant into each chunk's
+                    # dots instead of materialising a full bf16 copy of
+                    # the region per step (32k fullkv: 10.4 -> see
+                    # BASELINE r2aw)
+                    from ..ops.attention import (
+                        decode_attention_partials,
+                        merge_attention_partials,
+                    )
+                    from ..ops.quant import quant_region_attention_partials
+
+                    part_r = quant_region_attention_partials(
+                        q, qreg, visible[:, :, :sp_], num_slots=sp_,
+                        head_dim=spec.head_dim, nbits=cs.nbits,
+                        group_size=cs.q_group_size,
+                        scale=ascale, softcap=asoftcap,
+                    )
+                    part_t = decode_attention_partials(
+                        q, layer.k, layer.v, visible[:, :, sp_:],
+                        scale=ascale, softcap=asoftcap,
                     )
                     attn = merge_attention_partials([part_r, part_t]).astype(
                         q.dtype

@@ -472,22 +472,26 @@ def decode_attention_partials(
     k_cache: jax.Array,
     v_cache: jax.Array,
     mask: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
 ):
     """Online-softmax partials of single-token attention: returns
     (acc [B,H,D] f32, m [B,H] f32, l [B,H] f32) for flash-style combination
     with other regions (out = acc / l after merging)."""
     b, h, d = q.shape
     hk = k_cache.shape[1]
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     qx = q if hk == h else q.reshape(b, hk, h // hk, d)
     if hk == h:
-        logits = jnp.einsum(
+        logits = _scale_softcap(jnp.einsum(
             "bhd,bhsd->bhs", qx, k_cache, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
+        ), sc, softcap)
         logits = jnp.where(mask, logits, _NEG_INF)
     else:
-        logits = jnp.einsum(
+        logits = _scale_softcap(jnp.einsum(
             "bkgd,bksd->bkgs", qx, k_cache, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
+        ), sc, softcap)
         logits = jnp.where(mask[:, :, None, :], logits, _NEG_INF)
     m = jnp.max(logits, axis=-1)
     p = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
