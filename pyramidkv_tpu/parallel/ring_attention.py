@@ -29,7 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _ring_body(q, k, v, true_len, axis_name: str):
+def _ring_body(q, k, v, true_len, axis_name: str, *, scale=None,
+               softcap=None, sliding_window=None):
     """Per-shard computation (runs under shard_map).
 
     q: [B, H, Nl, D]; k, v: [B, Hk, Nl, D] — this device's sequence shard
@@ -37,6 +38,12 @@ def _ring_body(q, k, v, true_len, axis_name: str):
     num_kv_heads (grouped-query): only the KV heads rotate around the ring,
     cutting ICI traffic by the group factor.
     true_len: [B] GLOBAL true length (left padding at the global front).
+    scale/softcap: Gemma-2 attention semantics (``query_pre_attn_scalar``
+    softmax scale, tanh logit soft-capping applied to the SCALED logits
+    before masking — same order as ``ops.attention._scale_softcap``).
+    sliding_window: key j visible to query i only when i - j < window; may
+    be a traced scalar (the SP path passes a per-layer value so Gemma-2's
+    alternating sliding/full layers need no collective-carrying lax.cond).
     """
     p = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
@@ -47,7 +54,7 @@ def _ring_body(q, k, v, true_len, axis_name: str):
         g = h // hk
         qg = q.reshape(b, hk, g, nl, d)
     n = nl * p
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)  # [B]
 
     rows = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global row ids [Nl]
@@ -66,7 +73,12 @@ def _ring_body(q, k, v, true_len, axis_name: str):
             s = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
             ) * scale
-        mask = (cols[None, :] <= rows[:, None])[None, None] & (
+        if softcap is not None:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+        causal = cols[None, :] <= rows[:, None]
+        if sliding_window is not None:
+            causal &= (rows[:, None] - cols[None, :]) < sliding_window
+        mask = causal[None, None] & (
             cols[None, None, None, :] >= pad[:, None, None, None]
         )
         s = jnp.where(mask, s, _NEG_INF)

@@ -141,6 +141,8 @@ def _sp_window_scores(
     pooling: str,
     aggregation: str,
     return_colmean: bool = False,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Scores for the LOCAL columns with globally-normalised softmax.
 
@@ -157,16 +159,21 @@ def _sp_window_scores(
     pad = (n_global - true_len).astype(jnp.int32)  # [B]
     cols = me * nl + jnp.arange(nl, dtype=jnp.int32)  # global col ids
 
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     if hk == h:
         logits = jnp.einsum(
             "bhwd,bhnd->bhwn", qw, k_local, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
+        ) * sc
     else:
         g = h // hk
         logits = jnp.einsum(
             "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), k_local,
             preferred_element_type=jnp.float32,
-        ).reshape(b, h, w, nl) / math.sqrt(d)
+        ).reshape(b, h, w, nl) * sc
+    if softcap is not None:
+        # Gemma-2 order (ops.scoring.window_scores): softcap the SCALED
+        # logits, masks come after.
+        logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
     # causal inside the trailing W x W block (global rows n-W..n-1)
     row_g = n_global - w + jnp.arange(w, dtype=jnp.int32)  # [W]
     tri_mask = cols[None, :] > row_g[:, None]  # key after query, only hits
@@ -229,6 +236,8 @@ def _h2o_ring_scores(
     n_global: int,
     window: int,
     true_len: jax.Array,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """H2O column sums under sequence sharding: two ring passes.
 
@@ -245,7 +254,7 @@ def _h2o_ring_scores(
     g = h // hk
     n = n_global
     w = window
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)  # [B]
 
     def quirk_mask(rows, cols):
@@ -260,13 +269,17 @@ def _h2o_ring_scores(
 
     def qk(qrows, kc):
         if g == 1:
-            return jnp.einsum(
+            s = jnp.einsum(
                 "bhqd,bhcd->bhqc", qrows, kc, preferred_element_type=jnp.float32
             ) * scale
-        return jnp.einsum(
-            "bkgqd,bkcd->bkgqc", qrows.reshape(b, hk, g, nl, d), kc,
-            preferred_element_type=jnp.float32,
-        ).reshape(b, h, nl, nl) * scale
+        else:
+            s = jnp.einsum(
+                "bkgqd,bkcd->bkgqc", qrows.reshape(b, hk, g, nl, d), kc,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, nl, nl) * scale
+        if softcap is not None:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+        return s
 
     # ---- pass 1: per-local-row stats over all columns ----
     def step1(carry, s_idx):
@@ -334,16 +347,6 @@ def sequence_parallel_prefill(
     m = plan.spec.method
     assert m in ("snapkv", "pyramidkv", "streamingllm", "l2norm", "random",
                  "adakv", "headkv", "h2o", "think", "cam"), m
-    if (spec.attn_logit_softcapping is not None
-            or spec.query_pre_attn_scalar is not None
-            or spec.mixed_sliding or spec.post_block_norms):
-        # Gemma-2 semantics are threaded through the single-chip paths only;
-        # SP's ring shards would need softcap-aware online partials and
-        # per-layer window branches across shards (round-3 candidate).
-        raise NotImplementedError(
-            "sequence-parallel prefill does not support Gemma-2 attention "
-            "semantics (soft-capping / query_pre_attn_scalar / alternating "
-            "sliding layers); use single-chip or TP prefill")
     if m == "think":
         # narrow layout only (the default); channel stats need the last 32
         # queries on the final shard
@@ -359,6 +362,20 @@ def sequence_parallel_prefill(
     inv_freq = rope_inv_freq(spec)
     ctxs = layer_contexts(plan, true_len, spec.num_attention_heads)
     agg = "sum"
+    unit = spec.rmsnorm_unit_offset
+    # Gemma-2 attention semantics mirror the single-chip path
+    # (models/llama.py prefill): query_pre_attn_scalar softmax scale, tanh
+    # logit soft-capping, alternating sliding/full layers.  The per-layer
+    # window is threaded into the ring as a TRACED scalar (full layers get
+    # window = n, a no-op bound) so no lax.cond has to carry ppermutes.
+    ascale = (spec.attn_scale
+              if spec.query_pre_attn_scalar is not None else None)
+    asoftcap = spec.attn_logit_softcapping
+    sliding_flags = (
+        jnp.asarray([spec.layer_is_sliding(i)
+                     for i in range(spec.num_hidden_layers)])
+        if spec.mixed_sliding else None
+    )
 
     def body(tokens_l, true_len_, ctxs_):
         me = jax.lax.axis_index(axis)
@@ -367,20 +384,37 @@ def sequence_parallel_prefill(
         positions = cols[None, :] - pad[:, None]  # [B, Nl]
         hidden0 = embed_lookup(params["embed"], tokens_l,
                                weight_dtype(params))
+        if spec.scale_embeddings:
+            hidden0 = hidden0 * jnp.asarray(
+                math.sqrt(spec.hidden_size), dtype=hidden0.dtype)
 
         def layer_fn(hidden, xs):
-            wts, ctx = xs
-            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps)
+            wts, ctx, li = xs
+            x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
             q, k, v = _qkv(x, wts, spec)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
-            attn = _ring_body(q, k, v, true_len_, axis)  # grouped ring:
-            # only KV heads rotate (group_size x less ICI traffic)
+            if sliding_flags is not None:
+                win_i = jnp.where(sliding_flags[li], spec.sliding_window, n)
+            else:
+                win_i = spec.sliding_window
+            attn = _ring_body(q, k, v, true_len_, axis, scale=ascale,
+                              softcap=asoftcap, sliding_window=win_i)
+            # grouped ring: only KV heads rotate (group_size x less ICI)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, nl, -1)
-            hidden = hidden + mm(attn, wts["wo"])
-            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps)
-            hidden = hidden + _mlp(x2, wts,
-                                   spec.num_experts_per_tok)
+            ao = mm(attn, wts["wo"])
+            if spec.post_block_norms:
+                ao = rms_norm(ao, wts["attn_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + ao
+            x2 = rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps, unit)
+            mo = _mlp(x2, wts, spec.num_experts_per_tok,
+                      capacity_factor=spec.moe_capacity_factor,
+                      valid=positions >= 0, hidden_act=spec.hidden_act)
+            if spec.post_block_norms:
+                mo = rms_norm(mo, wts["mlp_post_norm"], spec.rms_norm_eps,
+                              unit)
+            hidden = hidden + mo
 
             hk = k.shape[1]
             hh = q.shape[1]  # per-query-head cache (reference layout)
@@ -416,6 +450,7 @@ def sequence_parallel_prefill(
                     qw, k, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation="mean",
+                    scale=ascale, softcap=asoftcap,
                 )
                 sc_full = jax.lax.all_gather(sc_local, axis, axis=2, tiled=True)
                 base = plan.spec.max_capacity_prompt - plan.spec.window_size
@@ -456,6 +491,7 @@ def sequence_parallel_prefill(
                     qw, k, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=plan.spec.kernel_size,
                     pooling=plan.spec.pooling, aggregation=agg,
+                    scale=ascale, softcap=asoftcap,
                 )
             elif m == "cam":
                 # CAM: UNPOOLED window-score selection + the stochastic
@@ -472,6 +508,7 @@ def sequence_parallel_prefill(
                     qw, k, axis=axis, n_global=n, window=w,
                     true_len=true_len_, kernel_size=1, pooling="avgpool",
                     aggregation="sum", return_colmean=True,
+                    scale=ascale, softcap=asoftcap,
                 )
                 v_merged_l = _sp_cam_merge(
                     _repeat_heads(v, g), colmean_l, ctx.rng, plan, cols,
@@ -480,7 +517,7 @@ def sequence_parallel_prefill(
             elif m == "h2o":
                 scores = _h2o_ring_scores(
                     q, k, axis=axis, n_global=n, window=w,
-                    true_len=true_len_,
+                    true_len=true_len_, scale=ascale, softcap=asoftcap,
                 )
             elif m == "streamingllm":
                 colv = cols[None, :] >= pad[:, None]
@@ -611,7 +648,9 @@ def sequence_parallel_prefill(
             return hidden, (ckv.k, ckv.v, ckv.mask, ckv.positions)
 
         hidden, outs = jax.lax.scan(
-            layer_fn, hidden0, (params["layers"], ctxs_)
+            layer_fn, hidden0,
+            (params["layers"], ctxs_,
+             jnp.arange(spec.num_hidden_layers, dtype=jnp.int32)),
         )
         # last real token's hidden state lives on the last shard's last col
         last_local = hidden[:, -1, :]

@@ -242,3 +242,77 @@ def test_sp_prefill_cam(setup):
                 gv[l][0, h][gm][go], rv[l][0, h][rm][ro],
                 rtol=3e-4, atol=3e-4,
             )
+
+
+def _kept_sets_equal(ref_cache, got_cache, tag):
+    ref_pos, ref_mask = _per_layer(ref_cache)
+    got_pos, got_mask = _per_layer(got_cache)
+    H = ref_pos[0].shape[1]
+    for l in range(len(ref_pos)):
+        for h in range(H):
+            a = set(ref_pos[l][0, h][ref_mask[l][0, h]].tolist())
+            bset = set(got_pos[l][0, h][got_mask[l][0, h]].tolist())
+            assert a == bset, (tag, l, h, sorted(a ^ bset))
+
+
+@pytest.mark.parametrize("method", ["snapkv", "h2o"])
+def test_sp_prefill_gemma2_semantics(method):
+    """SP prefill with the full Gemma-2 stack: query_pre_attn_scalar scale,
+    tanh logit soft-capping (attention AND scorers), alternating
+    sliding/full layers (traced per-layer window in the ring), unit-offset
+    RMSNorm, post-block norms, scaled embeddings, GeGLU, final-logit cap.
+    Parity vs the single-chip prefill on identical weights/tokens."""
+    spec = ModelSpec.tiny(
+        query_pre_attn_scalar=32.0,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        rmsnorm_unit_offset=True,
+        scale_embeddings=True,
+        post_block_norms=True,
+        sliding_window=48,
+        layer_types=("sliding_attention", "full_attention") * 2,
+        hidden_act="gelu_tanh",
+    )
+    params = jl.init_params(spec, jax.random.PRNGKey(1), dtype=jnp.float32)
+    toks = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, size=(1, 128)), jnp.int32
+    )
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method=method, max_capacity_prompt=32,
+                           window_size=8, kernel_size=1)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8,
+                     attn_scale=spec.attn_scale,
+                     attn_softcap=spec.attn_logit_softcapping)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    _kept_sets_equal(ref_cache, got_cache, f"gemma2/{method}")
+
+
+def test_sp_prefill_uniform_sliding_window():
+    """Mistral-style uniform sliding window: the ring must band every
+    layer's attention exactly like the single-chip dense path (regression:
+    SP used to ignore ``spec.sliding_window`` entirely)."""
+    spec = ModelSpec.tiny(sliding_window=32)
+    params = jl.init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    toks = jnp.asarray(
+        np.random.default_rng(2).integers(0, 256, size=(1, 128)), jnp.int32
+    )
+    tl = jnp.asarray([128], jnp.int32)
+    comp = CompressionSpec(method="snapkv", max_capacity_prompt=32,
+                           window_size=8, kernel_size=1)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    _kept_sets_equal(ref_cache, got_cache, "sliding/snapkv")
