@@ -53,6 +53,7 @@ def _kernel(
     nq: int,
     c0: int,
     h: int,
+    softcap: float | None,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -69,11 +70,15 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # q arrives pre-scaled by 1/sqrt(d) from the wrapper
+    # q arrives pre-scaled by the softmax scale from the wrapper
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [q_block, k_tile]
+    if softcap is not None:
+        # Gemma-2: tanh-cap the SCALED logits BEFORE masking (capping a
+        # masked _NEG_INF would un-mask it to -softcap)
+        s = jnp.tanh(s * (1.0 / softcap)) * softcap
     rows = qi * q_block + jax.lax.broadcasted_iota(
         jnp.int32, (q_block, k_tile), 0
     )
@@ -109,7 +114,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_block", "k_tile", "interpret")
+    jax.jit,
+    static_argnames=("q_block", "k_tile", "interpret", "scale", "softcap"),
 )
 def slash_tile_attention(
     q: jax.Array,
@@ -123,6 +129,8 @@ def slash_tile_attention(
     q_block: int = 128,
     k_tile: int = 128,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float | None = None,
 ):
     """Online-softmax partials of causal attention over the selected tiles.
 
@@ -138,11 +146,12 @@ def slash_tile_attention(
     g = h // hk
     nq = n // q_block
     t = tile_idx.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
 
     # fold the softmax scale into q once (fp32 multiply, storage-dtype
-    # rounding identical to the previous in-kernel scaling)
+    # rounding identical to the previous in-kernel scaling); softcap is
+    # nonlinear and stays inside the kernel on the scaled logits
     qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k.reshape(b * hk, n, d)
     vr = v.reshape(b * hk, n, d)
@@ -209,7 +218,7 @@ def slash_tile_attention(
         acc_c, m_c, l_c = pl.pallas_call(
             functools.partial(
                 _kernel, q_block=q_block, k_tile=k_tile, num_tiles=t,
-                batch=b, nq=nq, c0=c0, h=h,
+                batch=b, nq=nq, c0=c0, h=h, softcap=softcap,
             ),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -260,6 +269,7 @@ def _db_kernel(
     h: int,
     hk: int,
     c0: int,
+    softcap: float | None,
 ):
     """One grid step = one (bh, q-block); the tile loop lives INSIDE the
     kernel with double-buffered manual DMA.  vs the grid-per-tile variant:
@@ -331,6 +341,8 @@ def _db_kernel(
             q, kbuf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if softcap is not None:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         cols = ti * k_tile + col_iota
         not_vert = vertbuf[slot][:1] == 0  # [1, k_tile]
         mask = (cols <= rows) & (cols >= pad) & not_vert
@@ -358,7 +370,8 @@ def _db_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_block", "k_tile", "interpret")
+    jax.jit,
+    static_argnames=("q_block", "k_tile", "interpret", "scale", "softcap"),
 )
 def slash_tile_attention_db(
     q: jax.Array,
@@ -372,6 +385,8 @@ def slash_tile_attention_db(
     q_block: int = 512,
     k_tile: int = 256,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float | None = None,
 ):
     """Double-buffered manual-DMA variant of :func:`slash_tile_attention`
     (same contract).  Requires ``tile_idx`` ordered valid-first per
@@ -380,7 +395,7 @@ def slash_tile_attention_db(
     hk = k.shape[1]
     nq = n // q_block
     t = tile_idx.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
 
     # fold the softmax scale into q once (fp32 multiply, storage-dtype
@@ -437,7 +452,7 @@ def slash_tile_attention_db(
         acc_c, m_c, l_c = pl.pallas_call(
             functools.partial(
                 _db_kernel, q_block=q_block, k_tile=k_tile,
-                nq=nq, num_tiles=t, h=h, hk=hk, c0=c0,
+                nq=nq, num_tiles=t, h=h, hk=hk, c0=c0, softcap=softcap,
             ),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
@@ -474,16 +489,19 @@ def _vert_kernel(
     *,
     q_block: int,
     h: int,
+    softcap: float | None,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     pad = pad_ref[bh // h]
 
-    # q arrives pre-scaled by 1/sqrt(d) from the wrapper
+    # q arrives pre-scaled by the softmax scale from the wrapper
     s = jax.lax.dot_general(
         q_ref[0], kv_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [q_block, Vs]
+    if softcap is not None:
+        s = jnp.tanh(s * (1.0 / softcap)) * softcap
     rows = qi * q_block + jax.lax.broadcasted_iota(
         jnp.int32, (q_block, s.shape[1]), 0
     )
@@ -503,7 +521,9 @@ def _vert_kernel(
     l_out[0] = jnp.broadcast_to(l[:, 0][None, :], (8, q_block))
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("q_block", "interpret", "scale", "softcap")
+)
 def vertical_attention_partials_kernel(
     q: jax.Array,
     k_vert: jax.Array,
@@ -514,6 +534,8 @@ def vertical_attention_partials_kernel(
     *,
     q_block: int = 512,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float | None = None,
 ):
     """Pallas one-shot partials of all queries vs the gathered vertical
     columns (the XLA scan variant measured 31 ms/layer at 8k for ~1 ms of
@@ -525,7 +547,7 @@ def vertical_attention_partials_kernel(
     b, h, n, d = q.shape
     vs = k_vert.shape[2]
     nq = n // q_block
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
     qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
     kr = k_vert.reshape(b * h, vs, d)
@@ -553,7 +575,8 @@ def vertical_attention_partials_kernel(
         ],
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_vert_kernel, q_block=q_block, h=h),
+        functools.partial(_vert_kernel, q_block=q_block, h=h,
+                          softcap=softcap),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),

@@ -481,12 +481,25 @@ def prefill(
             # compaction all expand GQA groups inside their contractions, so no
             # O(H*N*D) repeat_kv buffer is ever materialised (the reference
             # repeats first, llama_model.py:158-159 — same numbers, 4x the HBM).
-            if (subplan.spec.method == "minference"
-                    and n >= subplan.spec.minference_dense_below):
-                if asoftcap is not None or ascale is not None:
-                    raise NotImplementedError(
-                        "minference sparse prefill does not support Gemma-2 "
-                        "logit soft-capping / query_pre_attn_scalar")
+            def dense_attn(win):
+                if attention_impl in ("pallas", "pallas_interpret"):
+                    from ..kernels import flash_causal_attention
+
+                    return flash_causal_attention(
+                        q, k, v, true_len,
+                        block_q=min(prefill_block, n),
+                        block_k=min(prefill_block, n),
+                        sliding_window=win,
+                        interpret=attention_impl == "pallas_interpret",
+                        scale=ascale, softcap=asoftcap,
+                    )
+                return causal_prefill_attention(
+                    q, k, v, true_len=true_len,
+                    block=prefill_block, sliding_window=win,
+                    scale=ascale, softcap=asoftcap,
+                )
+
+            def sparse_attn():
                 from ..ops.sparse_prefill import (
                     estimate_vertical_slash,
                     sparse_prefill_attention,
@@ -497,44 +510,42 @@ def prefill(
                     vertical_size=subplan.spec.minference_vertical_size,
                     slash_size=subplan.spec.minference_slash_size,
                     last_q=subplan.spec.minference_last_q,
+                    scale=ascale, softcap=asoftcap,
                 )
-                attn = sparse_prefill_attention(
+                return sparse_prefill_attention(
                     q, k, v, pattern, true_len=true_len,
                     tile_budget=subplan.spec.minference_tile_budget,
                     interpret=attention_impl != "pallas",
                     slash_impl=subplan.spec.minference_slash_impl,
+                    scale=ascale, softcap=asoftcap,
                 )
-            else:
-                def dense_attn(win):
-                    if attention_impl in ("pallas", "pallas_interpret"):
-                        from ..kernels import flash_causal_attention
 
-                        return flash_causal_attention(
-                            q, k, v, true_len,
-                            block_q=min(prefill_block, n),
-                            block_k=min(prefill_block, n),
-                            sliding_window=win,
-                            interpret=attention_impl == "pallas_interpret",
-                            scale=ascale, softcap=asoftcap,
-                        )
-                    return causal_prefill_attention(
-                        q, k, v, true_len=true_len,
-                        block=prefill_block, sliding_window=win,
-                        scale=ascale, softcap=asoftcap,
-                    )
-
+            if (subplan.spec.method == "minference"
+                    and n >= subplan.spec.minference_dense_below):
                 if sliding_flags is None:
-                    attn = dense_attn(spec.sliding_window)
+                    attn = sparse_attn()
                 else:
-                    # alternating sliding/full layers (Gemma-2): both
-                    # branches are compiled statically (the sliding branch
-                    # keeps its banded tile pruning) and the traced layer
-                    # index picks one at run time
+                    # Gemma-2 alternating layers: the vertical+slash
+                    # pattern has no window semantics, and a sliding
+                    # layer's banded flash prefill is already linear-cost
+                    # — MInference only pays off on FULL-attention layers
                     attn = jax.lax.cond(
                         sliding_flags[li],
                         lambda: dense_attn(spec.sliding_window),
-                        lambda: dense_attn(None),
+                        sparse_attn,
                     )
+            elif sliding_flags is None:
+                attn = dense_attn(spec.sliding_window)
+            else:
+                # alternating sliding/full layers (Gemma-2): both
+                # branches are compiled statically (the sliding branch
+                # keeps its banded tile pruning) and the traced layer
+                # index picks one at run time
+                attn = jax.lax.cond(
+                    sliding_flags[li],
+                    lambda: dense_attn(spec.sliding_window),
+                    lambda: dense_attn(None),
+                )
             attn = attn.transpose(0, 2, 1, 3).reshape(b, n, -1)
             ao = mm(attn, wts["wo"])
             if spec.post_block_norms:

@@ -56,6 +56,8 @@ def estimate_vertical_slash(
     vertical_size: int,
     slash_size: int,
     last_q: int = 64,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> VerticalSlashPattern:
     """Estimate the per-head pattern from the last ``last_q`` queries
     (the MInference estimation recipe).
@@ -71,15 +73,20 @@ def estimate_vertical_slash(
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]  # [B, N]
 
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
     qw = q[:, :, n - w :, :].astype(jnp.float32)
     kf = k.astype(jnp.float32)
     if hk == h:
-        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) / math.sqrt(d)
+        logits = jnp.einsum("bhwd,bhnd->bhwn", qw, kf) * sc
     else:
         g = h // hk
         logits = jnp.einsum(
             "bkgwd,bknd->bkgwn", qw.reshape(b, hk, g, w, d), kf
-        ).reshape(b, h, w, n) / math.sqrt(d)
+        ).reshape(b, h, w, n) * sc
+    if softcap is not None:
+        # pattern estimation follows the model's ACTUAL attention (Gemma-2
+        # tanh soft-capping of the scaled logits, masks after)
+        logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
     # causal inside the trailing w x w block
     i = jnp.arange(w)[:, None]
     j = jnp.arange(w)[None, :]
@@ -209,6 +216,8 @@ def sparse_prefill_attention(
     interpret: bool = False,
     slash_impl: str = "grid",
     block: int | None = None,  # legacy knob, accepted and ignored
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Block-sparse causal attention over the pattern (vertical columns
     exact via XLA partials; slash coverage block-granular via the Pallas
@@ -239,12 +248,14 @@ def sparse_prefill_attention(
     acc_v, m_v, l_v = vertical_attention_partials_kernel(
         q, k_vert, v_vert, pattern.vert_idx, pattern.vert_valid, true_len,
         q_block=q_block, interpret=interpret,  # q_block already divides n
+        scale=scale, softcap=softcap,
     )
     slash_fn = (slash_tile_attention_db if slash_impl == "db"
                 else slash_tile_attention)
     acc_s, m_s, l_s = slash_fn(
         q, k, v, tile_idx, tile_valid, pattern.vert, true_len,
         q_block=q_block, k_tile=k_tile, interpret=interpret,
+        scale=scale, softcap=softcap,
     )
     m_all = jnp.maximum(m_v, m_s)
     w_v = jnp.where(m_v <= _NEG_INF / 2, 0.0,
@@ -266,6 +277,8 @@ def sparse_prefill_attention_dense(
     q_block: int = 128,
     k_tile: int = 128,
     tile_budget: int = 16,
+    scale: float | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """O(N^2) oracle applying the IDENTICAL coverage as the gathered path
     (vertical columns exact + block-granular slash tiles).  Test-only."""
@@ -275,7 +288,7 @@ def sparse_prefill_attention_dense(
     if n % k_tile != 0:
         k_tile = math.gcd(n, k_tile) or n
     nq, nk = n // q_block, n // k_tile
-    scale = 1.0 / math.sqrt(d)
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)
     col = jnp.arange(n, dtype=jnp.int32)
     colv = col[None, :] >= pad[:, None]
@@ -296,6 +309,8 @@ def sparse_prefill_attention_dense(
     mask = allowed & causal[None, None] & colv[:, None, None, :]
     logits = jnp.einsum("bhqd,bhnd->bhqn", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
     logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(mask.any(-1, keepdims=True), probs, 0.0)
