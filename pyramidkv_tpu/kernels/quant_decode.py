@@ -10,10 +10,18 @@ dequantizes the region in VMEM — decode traffic for the quantized region
 drops to ~nbits/16 of the bf16 cache, which is the whole point of cache
 quantization on a bandwidth-bound decode.
 
-Layout (from ``ops.quant.quantize_kv_region``):
+Layout (from ``ops.quant.quantize_kv_region``): codes are PLANAR-packed
+along the SLOT axis — byte j holds slots {j + p*(S/per)} in bit-plane p:
   K grouped along slots (KIVI axis_key=1):  codes [BH, D, S/per] int8,
     scale/zero [BH, D, S/64];
-  V grouped along channels: codes [BH, S, Dp/per], scale/zero [BH, S, Dp/64].
+  V grouped along channels: codes [BH, S/per, Dp], scale/zero [BH, S, Dp/64].
+
+Planar packing makes the in-kernel unpack ``per`` shifted copies whose
+planes simply SPLIT the softmax/PV reduction (per-plane logit tiles merged
+under one max; per-plane PV partial dots summed) — no element interleave
+and no lane concat.  The previous pairwise layout needed the interleave
+expressed as ``per`` 0/1 scatter MATMULS (O(D * S^2 / per) f32 FLOPs),
+which capped the kernel at small regions.
 
 Each grid step processes one (batch, query-head) row's ENTIRE region in
 VMEM (Mosaic requires block minor dims to be 128-aligned or whole-array;
@@ -40,33 +48,20 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 MAX_KERNEL_SLOTS = 8192
 
 
-def _unpack_f32(codes, nbits):
-    """int8-packed [R, W] -> f32 [R, W*per] WITHOUT reshapes.
-
-    Mosaic rejects both minor-dim inserts on i8 vectors and 2D->3D shape
-    casts, so the interleave (position j = i*per + (j mod per)) is done as
-    ``per`` static 0/1 scatter MATMULS: out = sum_p vals_p @ P_p where
-    P_p[i, j] = (j == i*per + p) is built from 2D iotas in VREGs."""
-    r, wdt = codes.shape
+def _plane_f32(codes_u32, nbits, p):
+    """Bit-plane ``p`` of uint8-semantics int32 codes as f32 (planar
+    packing: the plane IS a contiguous span of positions — no interleave)."""
     if nbits == 8:
-        # uint8 semantics on an int8 carrier, 32-bit ops only
-        u = codes.astype(jnp.int32)
-        return jnp.where(u < 0, u + 256, u).astype(jnp.float32)
-    per = 8 // nbits
+        return codes_u32.astype(jnp.float32)
+    return ((codes_u32 >> (p * nbits)) & ((1 << nbits) - 1)).astype(
+        jnp.float32)
+
+
+def _u32(codes):
+    """uint8 semantics on an int8 carrier, 32-bit ops only (Mosaic has no
+    u8 vector arithmetic)."""
     u = codes.astype(jnp.int32)
-    u = jnp.where(u < 0, u + 256, u)
-    n_out = wdt * per
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (wdt, n_out), 0)
-    cols_j = jax.lax.broadcasted_iota(jnp.int32, (wdt, n_out), 1)
-    out = jnp.zeros((r, n_out), jnp.float32)
-    for p in range(per):
-        vals = ((u >> (p * nbits)) & ((1 << nbits) - 1)).astype(jnp.float32)
-        scatter = (cols_j == rows_i * per + p).astype(jnp.float32)
-        out = out + jax.lax.dot_general(
-            vals, scatter, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    return out
+    return jnp.where(u < 0, u + 256, u)
 
 
 def _expand_groups(scales, group, n_out):
@@ -84,10 +79,10 @@ def _expand_groups(scales, group, n_out):
 
 def _kernel(
     q_ref,        # [1, 8, D] f32 (query row broadcast over sublanes)
-    kc_ref,       # [1, D, S/per] int8
+    kc_ref,       # [1, D, S/per] int8 (slot-planar)
     ks_ref,       # [1, D, G] f32
     kz_ref,       # [1, D, G] f32
-    vc_ref,       # [1, S, Dp/per] int8
+    vc_ref,       # [1, S/per, Dp] int8 (slot-planar)
     vs_ref,       # [1, S, Gv] f32
     vz_ref,       # [1, S, Gv] f32
     mask_ref,     # [1, 8, S] i32 (broadcast over sublanes)
@@ -101,35 +96,56 @@ def _kernel(
     head_dim: int,
 ):
     d = head_dim
-
-    # ---- dequantize K in VMEM: [D, S] f32 (all 2D ops) ----
-    kcodes = _unpack_f32(kc_ref[0], nbits)            # [D, S] f32
-    khat = (kcodes * _expand_groups(ks_ref[0], group, s_pad)
-            + _expand_groups(kz_ref[0], group, s_pad))
-
+    per = 8 // nbits
+    w = s_pad // per          # slots per plane
+    gpl = w // group          # K scale groups per plane
     q = q_ref[0][:1]  # [1, D] f32 (already scaled by 1/sqrt(D))
-    s = jax.lax.dot_general(
-        q, khat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, S]
-    valid = mask_ref[0][:1] > 0  # [1, S]
-    s = jnp.where(valid, s, _NEG_INF)
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - jnp.maximum(m, _NEG_INF / 2))
-    p = jnp.where(valid, p, 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    # ---- per-plane logits (a plane is a CONTIGUOUS slot span) ----
+    ku = _u32(kc_ref[0])               # [D, S/per]
+    s_planes, valid_planes = [], []
+    for p in range(per):
+        khat_p = _plane_f32(ku, nbits, p)          # [D, w]
+        ks_p = jax.lax.slice_in_dim(ks_ref[0], p * gpl, (p + 1) * gpl,
+                                    axis=1)
+        kz_p = jax.lax.slice_in_dim(kz_ref[0], p * gpl, (p + 1) * gpl,
+                                    axis=1)
+        khat_p = (khat_p * _expand_groups(ks_p, group, w)
+                  + _expand_groups(kz_p, group, w))
+        s_p = jax.lax.dot_general(
+            q, khat_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, w]
+        valid_p = jax.lax.slice_in_dim(
+            mask_ref[0][:1], p * w, (p + 1) * w, axis=1) > 0
+        s_planes.append(jnp.where(valid_p, s_p, _NEG_INF))
+        valid_planes.append(valid_p)
 
-    # ---- dequantize V: [S, D] f32 ----
-    vcodes = _unpack_f32(vc_ref[0], nbits)            # [S, Dp] f32
-    dp = vcodes.shape[-1]
-    vhat = (vcodes * _expand_groups(vs_ref[0], group, dp)
-            + _expand_groups(vz_ref[0], group, dp))[:, :d]
+    m = s_planes[0].max(axis=1, keepdims=True)
+    for s_p in s_planes[1:]:
+        m = jnp.maximum(m, s_p.max(axis=1, keepdims=True))
+    m_safe = jnp.maximum(m, _NEG_INF / 2)
 
-    pv = jax.lax.dot_general(
-        p, vhat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, D]
+    # ---- per-plane PV partials share the reduction: no concat needed ----
+    vu = _u32(vc_ref[0])               # [S/per, Dp]
+    l = jnp.zeros_like(m)
+    pv = None
+    for p in range(per):
+        pe = jnp.where(valid_planes[p],
+                       jnp.exp(s_planes[p] - m_safe), 0.0)   # [1, w]
+        l = l + jnp.sum(pe, axis=1, keepdims=True)
+        vhat_p = _plane_f32(vu, nbits, p)                    # [w, Dp]
+        vs_p = jax.lax.slice_in_dim(vs_ref[0], p * w, (p + 1) * w, axis=0)
+        vz_p = jax.lax.slice_in_dim(vz_ref[0], p * w, (p + 1) * w, axis=0)
+        dp = vhat_p.shape[-1]
+        vhat_p = (vhat_p * _expand_groups(vs_p, group, dp)
+                  + _expand_groups(vz_p, group, dp))[:, :d]
+        pv_p = jax.lax.dot_general(
+            pe, vhat_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, D]
+        pv = pv_p if pv is None else pv + pv_p
+
     acc_out[0] = jnp.broadcast_to(pv, (8, d))
     m_out[0] = jnp.broadcast_to(m, (8, 128))
     l_out[0] = jnp.broadcast_to(l, (8, 128))
@@ -153,8 +169,10 @@ def quant_decode_attention(
 
     Args:
       q: [B, H, D] query (unscaled).
-      kc/ks/kz: key codes [B, Hk, D, S/per] int8 + scale/zero [B, Hk, D, S/64].
-      vc/vs/vz: value codes [B, Hk, S, Dp/per] + scale/zero [B, Hk, S, Dp/64].
+      kc/ks/kz: key codes [B, Hk, D, S/per] int8 + scale/zero [B, Hk, D, S/64]
+        (slot-planar packing: see ``ops.quant._pack``).
+      vc/vs/vz: value codes [B, Hk, S/per, Dp] (slot-planar) + scale/zero
+        [B, Hk, S, Dp/64].
       mask: [B, Hk, S] bool — slot validity over the PADDED region.
 
     Returns (acc [B, H, D] f32, m [B, H] f32, l [B, H] f32) such that the
@@ -165,17 +183,9 @@ def quant_decode_attention(
     g = h // hk
     per = 8 // nbits
     s_pad = kc.shape[-1] * per
-    dp = vc.shape[-1] * per
-
-    # K codes are slot-padded to a group multiple by quantize_kv_region;
-    # V codes (quantized along channels) keep the raw slot count — pad
-    # them (and a raw-slot mask) up to s_pad here.  Zero codes/scales
-    # dequantize to exactly 0 and the mask keeps those slots dead.
-    if vc.shape[2] != s_pad:
-        padn = ((0, 0), (0, 0), (0, s_pad - vc.shape[2]), (0, 0))
-        vc = jnp.pad(vc, padn)
-        vs = jnp.pad(vs, padn)
-        vz = jnp.pad(vz, padn)
+    dp = vc.shape[-1]
+    # quantize_kv_region slot-pads BOTH K and V codes to group*per
+    assert vc.shape[2] * per == s_pad, (vc.shape, s_pad)
     if mask.shape[-1] != s_pad:
         mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
 
@@ -185,7 +195,7 @@ def quant_decode_attention(
     kcr = kc.reshape(b * hk, d, s_pad // per)
     ksr = ks.reshape(b * hk, d, s_pad // group_size)
     kzr = kz.reshape(b * hk, d, s_pad // group_size)
-    vcr = vc.reshape(b * hk, s_pad, dp // per)
+    vcr = vc.reshape(b * hk, s_pad // per, dp)
     vsr = vs.reshape(b * hk, s_pad, dp // group_size)
     vzr = vz.reshape(b * hk, s_pad, dp // group_size)
     mr = jnp.broadcast_to(

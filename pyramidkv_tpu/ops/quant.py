@@ -32,27 +32,43 @@ class QuantizedTensor(NamedTuple):
     outliers: jax.Array | None
 
 
-def _pack(vals: jax.Array, nbits: int) -> jax.Array:
-    """Pack unsigned ints < 2^nbits along the last axis into int8."""
+def _pack(vals: jax.Array, nbits: int, axis: int = -1) -> jax.Array:
+    """Pack unsigned ints < 2^nbits along ``axis`` into int8, PLANAR layout.
+
+    Byte j holds positions {j + p*(n/per)} in bit-plane p (NOT adjacent
+    positions): unpacking is then ``per`` shifted copies + one contiguous
+    concat instead of an element interleave, which costs lane-granular
+    relayout passes on TPU in both XLA and Mosaic (measured: interleaved
+    int4 KIVI decode ran at HALF the int8 rate despite half the bytes —
+    BASELINE r2aw).  ``axis`` need not be the minor axis (the V region
+    packs along SLOTS while its quant groups run along channels)."""
     if nbits == 8:
         return vals.astype(jnp.int8)
     per = 8 // nbits
-    *lead, n = vals.shape
-    v = vals.reshape(*lead, n // per, per).astype(jnp.uint8)
-    shifts = (jnp.arange(per, dtype=jnp.uint8) * nbits)[(None,) * (len(lead) + 1)]
-    packed = jnp.sum(v << shifts, axis=-1, dtype=jnp.uint8)
+    axis = axis % vals.ndim
+    n = vals.shape[axis]
+    assert n % per == 0, (n, per)
+    w = n // per
+    u = vals.astype(jnp.uint8)
+    planes = [
+        jax.lax.slice_in_dim(u, p * w, (p + 1) * w, axis=axis)
+        for p in range(per)
+    ]
+    packed = planes[0]
+    for p in range(1, per):
+        packed = packed | (planes[p] << jnp.uint8(p * nbits))
     return packed.astype(jnp.int8)
 
 
-def _unpack(codes: jax.Array, nbits: int) -> jax.Array:
+def _unpack(codes: jax.Array, nbits: int, axis: int = -1) -> jax.Array:
     if nbits == 8:
         return codes.astype(jnp.uint8).astype(jnp.int32)
     per = 8 // nbits
     u = codes.astype(jnp.uint8)
-    shifts = jnp.arange(per, dtype=jnp.uint8) * nbits
-    vals = (u[..., None] >> shifts[(None,) * u.ndim]) & ((1 << nbits) - 1)
-    *lead, n, _ = vals.shape
-    return vals.reshape(*lead, n * per).astype(jnp.int32)
+    mask = jnp.uint8((1 << nbits) - 1)
+    planes = [((u >> jnp.uint8(p * nbits)) & mask).astype(jnp.int32)
+              for p in range(per)]
+    return jnp.concatenate(planes, axis=axis)
 
 
 def quantize(
@@ -61,6 +77,7 @@ def quantize(
     nbits: int,
     group_size: int = 64,
     outlier_threshold: float | None = None,
+    pack_axis: int = -1,
 ) -> QuantizedTensor:
     """Asymmetric per-group min/max quantization along the last axis.
 
@@ -87,7 +104,7 @@ def quantize(
     codes = jnp.clip(jnp.round((g - mn) / scale), 0, qmax)
     codes = codes.reshape(*lead, n).astype(jnp.int32)
     return QuantizedTensor(
-        codes=_pack(codes, nbits),
+        codes=_pack(codes, nbits, axis=pack_axis),
         scale=scale.astype(jnp.float32),
         zero=mn.astype(jnp.float32),
         outliers=outliers,
@@ -95,8 +112,8 @@ def quantize(
 
 
 def dequantize(qt: QuantizedTensor, *, nbits: int, group_size: int = 64,
-               dtype=jnp.bfloat16) -> jax.Array:
-    codes = _unpack(qt.codes, nbits)
+               dtype=jnp.bfloat16, pack_axis: int = -1) -> jax.Array:
+    codes = _unpack(qt.codes, nbits, axis=pack_axis)
     *lead, n = codes.shape
     g = codes.reshape(*lead, n // group_size, group_size).astype(jnp.float32)
     x = g * qt.scale + qt.zero
@@ -176,23 +193,34 @@ def quantize_kv_region(
 ) -> QuantizedKVRegion:
     """Quantize a compacted [B, H, S, D] prefill region (slots never change
     after compaction, so this is a one-shot — no rolling re-quantization like
-    quantcache.py:83-92 needs)."""
+    quantcache.py:83-92 needs).
+
+    Both K and V codes are PLANAR-packed along the SLOT axis (K codes
+    [B,H,D,S_pad/per], V codes [B,H,S_pad/per,D_pad]): byte j holds slots
+    {j + p*(S_pad/per)}, so a decode-time unpack is ``per`` shifted copies
+    whose planes just split the softmax/PV reduction — no element
+    interleave, no concat in the Pallas kernel.  Quant GROUPS keep the
+    KIVI axes regardless (K per-channel along slots, V per-token along
+    channels).  S_pad is rounded to ``group_size * per`` so every plane is
+    group-aligned."""
     b, h, s, d = k.shape
+    per = 8 // nbits
     k_oi = k_ov = v_oi = v_ov = None
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if outlier_threshold is not None:
         kf, k_oi, k_ov = _extract_outliers(kf, outlier_threshold, outlier_budget)
         vf, v_oi, v_ov = _extract_outliers(vf, outlier_threshold, outlier_budget)
-    # keys: group along slots -> transpose to [B,H,D,S_pad]
-    s_pad = _round_up(s, group_size)
+    # keys: group + pack along slots -> transpose to [B,H,D,S_pad]
+    s_pad = _round_up(s, group_size * per)
     kt = jnp.swapaxes(kf, 2, 3)
     kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
     kq = quantize(kt, nbits=nbits, group_size=group_size)
-    # values: group along channels (d is a multiple of 64 for all our models)
+    # values: group along channels (d is a multiple of 64 for all our
+    # models), pack along SLOTS (padded to the same plane width as K)
     d_pad = _round_up(d, group_size)
-    vp = jnp.pad(vf, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
-    vq = quantize(vp, nbits=nbits, group_size=group_size)
+    vp = jnp.pad(vf, ((0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)))
+    vq = quantize(vp, nbits=nbits, group_size=group_size, pack_axis=-2)
     return QuantizedKVRegion(
         k=kq, v=vq, k_out_idx=k_oi, k_out_val=k_ov,
         v_out_idx=v_oi, v_out_val=v_ov,
@@ -207,8 +235,9 @@ def dequantize_kv_region(
     group padding applied at quantization time."""
     kt = dequantize(reg.k, nbits=nbits, group_size=group_size, dtype=jnp.float32)
     k = jnp.swapaxes(kt, 2, 3)[:, :, :num_slots, :]
-    v = dequantize(reg.v, nbits=nbits, group_size=group_size, dtype=jnp.float32)
-    v = v[:, :, :, :head_dim]
+    v = dequantize(reg.v, nbits=nbits, group_size=group_size,
+                   dtype=jnp.float32, pack_axis=-2)
+    v = v[:, :, :num_slots, :head_dim]
     if reg.k_out_idx is not None:
         k = _inject_outliers(k, reg.k_out_idx, reg.k_out_val)
     if reg.v_out_idx is not None:
@@ -255,44 +284,58 @@ def quant_region_attention_partials(
     b, h, d = q.shape
     per = 8 // nbits
     s_pad = reg.k.codes.shape[-1] * per
-    chunk = min(chunk, s_pad)
+    w = s_pad // per  # plane width in slots (planar packing, see _pack)
+    # chunks must hold whole group-aligned planes (quantize_kv_region pads
+    # S to group*per, so the gcd below stays a multiple of the alignment)
+    align = group_size * per
+    chunk = max(align, min(chunk, s_pad) // align * align)
     if s_pad % chunk != 0:
         chunk = math.gcd(s_pad, chunk)
-    assert chunk % group_size == 0, (chunk, group_size)
+    assert chunk % align == 0, (chunk, group_size, per)
     nchunks = s_pad // chunk
     hk = reg.k.codes.shape[1]
 
-    # pad V (grouped along channels, slot axis unpadded) and the mask up to
-    # the K slot padding; zero codes/scales dequantize to 0 and stay masked
-    def _pad_s(x, axis=2):
-        padn = [(0, 0)] * x.ndim
-        padn[axis] = (0, s_pad - x.shape[axis])
-        return jnp.pad(x, padn) if x.shape[axis] != s_pad else x
-
-    vc, vsc, vz = _pad_s(reg.v.codes), _pad_s(reg.v.scale), _pad_s(reg.v.zero)
-    mask = _pad_s(visible, axis=2) if visible.shape[-1] != s_pad else visible
+    mask = visible
+    if mask.shape[-1] != s_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
 
     kcodes, ksc, kz = reg.k.codes, reg.k.scale, reg.k.zero
+    vc, vsc, vz = reg.v.codes, reg.v.scale, reg.v.zero
+
+    def _planes(x, axis, unit, c):
+        """Slice chunk ``c``'s ``per`` plane ranges along ``axis``.
+
+        A byte slice of the planar-packed codes covers ``per`` slot ranges
+        (plane p: [p*w + c*chunk/per, +chunk/per)); the UNPACKED arrays
+        (scales, zeros, mask) are sliced at those ranges and concatenated
+        in the same plane order.  ``unit`` = slots per element along
+        ``axis`` (1 for slot axes, group_size for group axes)."""
+        step = chunk // (per * unit)
+        wpl = w // unit
+        parts = [jax.lax.dynamic_slice_in_dim(x, p * wpl + c * step, step,
+                                              axis=axis)
+                 for p in range(per)]
+        return parts[0] if per == 1 else jnp.concatenate(parts, axis=axis)
 
     def body(carry, c):
         acc, m, l = carry
         kc_c = jax.lax.dynamic_slice_in_dim(
             kcodes, c * (chunk // per), chunk // per, axis=3)
-        ks_c = jax.lax.dynamic_slice_in_dim(
-            ksc, c * (chunk // group_size), chunk // group_size, axis=3)
-        kz_c = jax.lax.dynamic_slice_in_dim(
-            kz, c * (chunk // group_size), chunk // group_size, axis=3)
+        ks_c = _planes(ksc, 3, group_size, c)
+        kz_c = _planes(kz, 3, group_size, c)
         kt = dequantize(QuantizedTensor(kc_c, ks_c, kz_c, None),
                         nbits=nbits, group_size=group_size,
                         dtype=jnp.bfloat16)            # [B,Hk,D,chunk]
         k_c = jnp.swapaxes(kt, 2, 3)                   # [B,Hk,chunk,D]
-        vc_c = jax.lax.dynamic_slice_in_dim(vc, c * chunk, chunk, axis=2)
-        vs_c = jax.lax.dynamic_slice_in_dim(vsc, c * chunk, chunk, axis=2)
-        vz_c = jax.lax.dynamic_slice_in_dim(vz, c * chunk, chunk, axis=2)
+        vc_c = jax.lax.dynamic_slice_in_dim(
+            vc, c * (chunk // per), chunk // per, axis=2)
+        vs_c = _planes(vsc, 2, 1, c)
+        vz_c = _planes(vz, 2, 1, c)
         v_c = dequantize(QuantizedTensor(vc_c, vs_c, vz_c, None),
                          nbits=nbits, group_size=group_size,
-                         dtype=jnp.bfloat16)[..., :head_dim]
-        m_c = jax.lax.dynamic_slice_in_dim(mask, c * chunk, chunk, axis=2)
+                         dtype=jnp.bfloat16,
+                         pack_axis=-2)[..., :head_dim]
+        m_c = _planes(mask, 2, 1, c)
         acc2, m2, l2 = decode_attention_partials(
             q, k_c, v_c, m_c, scale=scale, softcap=softcap)
         m_new = jnp.maximum(m, m2)

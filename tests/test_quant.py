@@ -90,16 +90,19 @@ def test_quantized_8bit_matches_fp_tokens():
 
 
 def test_quantized_cache_is_smaller():
+    # region slots are padded to group_size * (8 // nbits) for the planar
+    # packing (ops/quant.py::_pack), a fixed <=127-slot overhead — compare
+    # at a capacity where the real codes dominate the padding
     spec = ModelSpec.tiny()
     params = jl.init_params(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
-    ids = [int(x) for x in np.random.default_rng(8).integers(0, 256, size=60)]
+    ids = [int(x) for x in np.random.default_rng(8).integers(0, 256, size=230)]
     sizes = {}
     for qm, nbits in ((None, 8), ("kivi", 4)):
         eng = Engine(
             spec,
-            CompressionSpec(method="snapkv", max_capacity_prompt=32,
+            CompressionSpec(method="snapkv", max_capacity_prompt=160,
                             window_size=8, quant_method=qm, nbits=nbits),
-            EngineSpec(max_new_tokens=4, prefill_buckets=(64,)),
+            EngineSpec(max_new_tokens=4, prefill_buckets=(256,)),
             params,
         )
         sizes[qm] = eng.generate([ids]).kv_cache_bytes
