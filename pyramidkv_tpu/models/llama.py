@@ -681,6 +681,10 @@ _FORCE_QUANT_KERNEL = [False]
 #: full bf16 region copy per step).  Lowered by tests to exercise chunking.
 _QUANT_CHUNK_THRESHOLD = [4096]
 
+#: Slot-chunk size of that scan (bench knob; clamped to group*per
+#: alignment inside quant_region_attention_partials).
+_QUANT_CHUNK_SIZE = [4096]
+
 
 #: Decode layer-scan unroll factor (PKV_DECODE_SCAN_UNROLL, default 1).
 #: Unrolling lets XLA schedule across adjacent layers (overlap one layer's
@@ -907,6 +911,7 @@ def decode_step(
                         q, qreg, visible[:, :, :sp_], num_slots=sp_,
                         head_dim=spec.head_dim, nbits=cs.nbits,
                         group_size=cs.q_group_size,
+                        chunk=_QUANT_CHUNK_SIZE[0],
                         scale=ascale, softcap=asoftcap,
                     )
                     part_t = decode_attention_partials(
