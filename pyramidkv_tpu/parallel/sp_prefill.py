@@ -685,6 +685,23 @@ def sequence_parallel_prefill(
         k=ck, v=cv, mask=cm, positions=cp,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
     )
+    if plan.spec.quant_method is not None:
+        # The compressed cache is replicated and SMALL (cap slots), so the
+        # region is quantized after the shard_map, per layer via vmap —
+        # same storage as the single-chip scan's per-layer quantization
+        # (models/llama.py prefill quant branch), so the engine's three
+        # quantized decode paths work unchanged on an SP-produced cache.
+        from ..ops.quant import quantize_kv_region
+
+        qs = plan.spec
+        sp_q = plan.prefill_slots
+        reg = jax.vmap(lambda kk, vv: quantize_kv_region(
+            kk, vv, nbits=qs.nbits, group_size=qs.q_group_size,
+            outlier_threshold=(qs.outlier_threshold
+                               if qs.quant_method == "kvquant" else None),
+        ))(cache.k[:, :, :, :sp_q, :], cache.v[:, :, :, :sp_q, :])
+        cache = cache._replace(k=cache.k[:, :, :, sp_q:, :],
+                               v=cache.v[:, :, :, sp_q:, :], quant=reg)
     if plan.segmented:
         from ..cache import segment_cache
 

@@ -316,3 +316,35 @@ def test_sp_prefill_uniform_sliding_window():
         np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
     )
     _kept_sets_equal(ref_cache, got_cache, "sliding/snapkv")
+
+
+@pytest.mark.parametrize("quant_method,nbits", [("kivi", 4), ("kvquant", 8)])
+def test_sp_prefill_quantized_region(setup, quant_method, nbits):
+    """SP prefill + quantized prefill region: same cache layout as the
+    single-chip quant prefill (per-layer QuantizedKVRegion, bf16 decode
+    tail), greedy decode from both caches matches token-for-token."""
+    spec, params, toks = setup
+    tl = jnp.asarray([100], jnp.int32)
+    comp = CompressionSpec(method="snapkv", max_capacity_prompt=32,
+                           window_size=8, kernel_size=1,
+                           quant_method=quant_method, nbits=nbits)
+    plan = make_plan(comp, spec.num_hidden_layers, 128, 8)
+    ref_logits, ref_cache = jl.prefill(params, spec, plan, toks, tl)
+    mesh = make_mesh((1, 4), ("data", "model"))
+    got_logits, got_cache = sequence_parallel_prefill(
+        params, spec, plan, toks, tl, mesh, axis="model"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=3e-4, atol=3e-4
+    )
+    assert got_cache.quant is not None
+    assert got_cache.k.shape == ref_cache.k.shape  # bf16 decode tail only
+    t = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    tg = jnp.argmax(got_logits, -1).astype(jnp.int32)
+    rc, gc = ref_cache, got_cache
+    for _ in range(8):
+        assert int(t[0]) == int(tg[0])
+        lr, rc = jl.decode_step(params, spec, plan, rc, t)
+        lg, gc = jl.decode_step(params, spec, plan, gc, tg)
+        t = jnp.argmax(lr, -1).astype(jnp.int32)
+        tg = jnp.argmax(lg, -1).astype(jnp.int32)
