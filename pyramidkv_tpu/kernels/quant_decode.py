@@ -238,3 +238,218 @@ def quant_decode_attention(
         m[:, 0, 0].reshape(b, h),
         l[:, 0, 0].reshape(b, h),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tiled variant: long regions (32k-64k fullkv), grid over slot tiles
+# ---------------------------------------------------------------------------
+
+
+def _tiled_kernel(
+    q_ref,        # [1, Gp, D] f32 (this KV head's query rows, pre-scaled)
+    ks_ref,       # [1, D, G]  f32 (whole row — resident across tiles)
+    kz_ref,       # [1, D, G]  f32
+    vs_ref,       # [1, S, Gv] f32 (whole row)
+    vz_ref,       # [1, S, Gv] f32
+    mask_ref,     # [1, 8, S]  i32 (whole row)
+    kc_ref,       # [1, D, TB] int8 — this tile's K code bytes
+    vc_ref,       # [1, TB, Dp] int8 — this tile's V code bytes
+    acc_out,      # [1, Gp, D] f32
+    m_out,        # [1, Gp, 128] f32
+    l_out,        # [1, Gp, 128] f32
+    acc_ref, m_ref, l_ref,  # scratch [Gp, D], [Gp, 128], [Gp, 128]
+    *,
+    nbits: int,
+    group: int,
+    s_pad: int,
+    tile: int,
+    head_dim: int,
+    softcap: float | None,
+):
+    """One grid step = one (kv-head row, slot tile).  The tile's code bytes
+    cover ``per`` plane sub-ranges of slots (planar packing); each plane's
+    scales / V rows / mask are dynamic VMEM ref slices of the resident
+    whole-row inputs.  Online-softmax carry lives in scratch across tiles.
+
+    vs the chunked XLA scan (ops/quant.py::quant_region_attention_
+    partials): the dequantized bf16 tile never leaves VMEM, so HBM traffic
+    is the packed codes + scales instead of ~5x that in materialised
+    chunk copies (BASELINE r2ay: 2.5x off the bytes roofline).
+    """
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    d = head_dim
+    per = 8 // nbits
+    tb = tile // per          # tile width in BYTES (= slots per plane)
+    w = s_pad // per          # plane width in slots
+    wg = w // group           # K scale groups per plane
+    tbg = tb // group         # K scale groups per tile-plane
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]                       # [Gp, D]
+    ku = _u32(kc_ref[0])               # [D, TB]
+    vu = _u32(vc_ref[0])               # [TB, Dp]
+
+    # ---- per-plane logits for this tile ----
+    s_planes, valid_planes = [], []
+    for p in range(per):
+        khat_p = _plane_f32(ku, nbits, p)          # [D, TB]
+        g0 = p * wg + t * tbg
+        ks_p = ks_ref[0, :, pl.ds(g0, tbg)]        # [D, TBG]
+        kz_p = kz_ref[0, :, pl.ds(g0, tbg)]
+        khat_p = (khat_p * _expand_groups(ks_p, group, tb)
+                  + _expand_groups(kz_p, group, tb))
+        s_p = jax.lax.dot_general(
+            q, khat_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Gp, TB]
+        if softcap is not None:
+            s_p = jnp.tanh(s_p * (1.0 / softcap)) * softcap
+        valid_p = mask_ref[0, :1, pl.ds(p * w + t * tb, tb)] > 0  # [1, TB]
+        s_planes.append(jnp.where(valid_p, s_p, _NEG_INF))
+        valid_planes.append(valid_p)
+
+    m_cur = s_planes[0].max(axis=1, keepdims=True)
+    for s_p in s_planes[1:]:
+        m_cur = jnp.maximum(m_cur, s_p.max(axis=1, keepdims=True))
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    m_safe = jnp.maximum(m_new, _NEG_INF / 2)
+    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
+
+    l_add = jnp.zeros_like(m_new)
+    pv = jnp.zeros((q.shape[0], d), jnp.float32)
+    for p in range(per):
+        pe = jnp.where(valid_planes[p],
+                       jnp.exp(s_planes[p] - m_safe), 0.0)  # [Gp, TB]
+        l_add = l_add + jnp.sum(pe, axis=1, keepdims=True)
+        vhat_p = _plane_f32(vu, nbits, p)                   # [TB, Dp]
+        r0 = p * w + t * tb
+        vs_p = vs_ref[0, pl.ds(r0, tb), :]                  # [TB, Gv]
+        vz_p = vz_ref[0, pl.ds(r0, tb), :]
+        dp = vhat_p.shape[-1]
+        vhat_p = (vhat_p * _expand_groups(vs_p, group, dp)
+                  + _expand_groups(vz_p, group, dp))[:, :d]
+        pv = pv + jax.lax.dot_general(
+            pe, vhat_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(alpha * l_ref[:, :1] + l_add, l_ref.shape)
+
+    @pl.when(t == nt - 1)
+    def _fin():
+        acc_out[0] = acc_ref[:]
+        m_out[0] = jnp.broadcast_to(m_ref[:, :1], m_out.shape[1:])
+        l_out[0] = jnp.broadcast_to(l_ref[:, :1], l_out.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "group_size", "tile", "interpret", "scale",
+                     "softcap"),
+)
+def quant_decode_attention_tiled(
+    q: jax.Array,
+    kc: jax.Array, ks: jax.Array, kz: jax.Array,
+    vc: jax.Array, vs: jax.Array, vz: jax.Array,
+    mask: jax.Array,
+    *,
+    nbits: int,
+    group_size: int = 64,
+    tile: int = 4096,
+    interpret: bool = False,
+    scale: float | None = None,
+    softcap: float | None = None,
+):
+    """Tiled fused dequant decode attention over a LONG quantized region.
+
+    Same contract/layout as :func:`quant_decode_attention` (planar codes),
+    but the grid runs (kv-head rows) x (slot tiles) with an online-softmax
+    carry, each KV head computing all of its GQA query rows at once —
+    dequantization happens exactly once per tile regardless of the group
+    size, and the bf16/f32 dequantized tile never touches HBM.
+    """
+    import math as _math
+
+    b, h, d = q.shape
+    hk = kc.shape[1]
+    g = h // hk
+    gp = max(8, ((g + 7) // 8) * 8)
+    per = 8 // nbits
+    s_pad = kc.shape[-1] * per
+    dp = vc.shape[-1]
+    assert vc.shape[2] * per == s_pad, (vc.shape, s_pad)
+    if mask.shape[-1] != s_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
+
+    align = group_size * per
+    tile = max(align, min(tile, s_pad) // align * align)
+    if s_pad % tile != 0:
+        tile = _math.gcd(s_pad, tile)
+    nt = s_pad // tile
+    tb = tile // per
+
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    qg = (q.astype(jnp.float32) * sc).reshape(b * hk, g, d)
+    qg = jnp.pad(qg, ((0, 0), (0, gp - g), (0, 0)))
+    kcr = kc.reshape(b * hk, d, s_pad // per)
+    ksr = ks.reshape(b * hk, d, s_pad // group_size)
+    kzr = kz.reshape(b * hk, d, s_pad // group_size)
+    vcr = vc.reshape(b * hk, s_pad // per, dp)
+    vsr = vs.reshape(b * hk, s_pad, dp // group_size)
+    vzr = vz.reshape(b * hk, s_pad, dp // group_size)
+    mr = jnp.broadcast_to(
+        mask.reshape(b * hk, 1, s_pad).astype(jnp.int32), (b * hk, 8, s_pad)
+    )
+
+    def row(shape):
+        return pl.BlockSpec((1,) + shape[1:], lambda bh, t: (bh, 0, 0))
+
+    acc, m, l = pl.pallas_call(
+        functools.partial(
+            _tiled_kernel, nbits=nbits, group=group_size, s_pad=s_pad,
+            tile=tile, head_dim=d, softcap=softcap,
+        ),
+        grid=(b * hk, nt),
+        in_specs=[
+            row(qg.shape),
+            row(ksr.shape), row(kzr.shape),
+            row(vsr.shape), row(vzr.shape),
+            row(mr.shape),
+            pl.BlockSpec((1, d, tb), lambda bh, t: (bh, 0, t)),
+            pl.BlockSpec((1, tb, dp), lambda bh, t: (bh, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gp, d), lambda bh, t: (bh, 0, 0)),
+            pl.BlockSpec((1, gp, 128), lambda bh, t: (bh, 0, 0)),
+            pl.BlockSpec((1, gp, 128), lambda bh, t: (bh, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gp, d), jnp.float32),
+            pltpu.VMEM((gp, 128), jnp.float32),
+            pltpu.VMEM((gp, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * hk, gp, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * hk, gp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * hk, gp, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, ksr, kzr, vsr, vzr, mr, kcr, vcr)
+    return (
+        acc[:, :g, :].reshape(b, h, d),
+        m[:, :g, 0].reshape(b, h),
+        l[:, :g, 0].reshape(b, h),
+    )

@@ -896,24 +896,46 @@ def decode_step(
                     )
                 elif (cs.quant_method == "kivi"
                       and s_pad_k > _QUANT_CHUNK_THRESHOLD[0]):
-                    # long regions: scan slot chunks with online-softmax
-                    # partials so XLA fuses the dequant into each chunk's
-                    # dots instead of materialising a full bf16 copy of
-                    # the region per step (32k fullkv: 10.4 -> see
-                    # BASELINE r2aw)
+                    # long regions.  Preferred path: the TILED fused kernel
+                    # (grid over slot tiles, dequant stays in VMEM — the
+                    # chunked XLA scan materialises every dequantized bf16
+                    # chunk through HBM and measured ~2.5x off the bytes
+                    # roofline, BASELINE r2ay).  XLA scan remains the
+                    # non-Pallas/CPU fallback.
                     from ..ops.attention import (
                         decode_attention_partials,
                         merge_attention_partials,
                     )
-                    from ..ops.quant import quant_region_attention_partials
 
-                    part_r = quant_region_attention_partials(
-                        q, qreg, visible[:, :, :sp_], num_slots=sp_,
-                        head_dim=spec.head_dim, nbits=cs.nbits,
-                        group_size=cs.q_group_size,
-                        chunk=_QUANT_CHUNK_SIZE[0],
-                        scale=ascale, softcap=asoftcap,
-                    )
+                    rmask = visible[:, :, :sp_]
+                    if subplan.use_pallas or _FORCE_QUANT_KERNEL[0]:
+                        from ..kernels.quant_decode import (
+                            quant_decode_attention_tiled,
+                        )
+
+                        part_r = quant_decode_attention_tiled(
+                            q, qreg.k.codes,
+                            qreg.k.scale[..., 0], qreg.k.zero[..., 0],
+                            qreg.v.codes,
+                            qreg.v.scale[..., 0], qreg.v.zero[..., 0],
+                            rmask, nbits=cs.nbits,
+                            group_size=cs.q_group_size,
+                            tile=_QUANT_CHUNK_SIZE[0],
+                            interpret=_FORCE_QUANT_KERNEL[0],
+                            scale=ascale, softcap=asoftcap,
+                        )
+                    else:
+                        from ..ops.quant import (
+                            quant_region_attention_partials,
+                        )
+
+                        part_r = quant_region_attention_partials(
+                            q, qreg, rmask, num_slots=sp_,
+                            head_dim=spec.head_dim, nbits=cs.nbits,
+                            group_size=cs.q_group_size,
+                            chunk=_QUANT_CHUNK_SIZE[0],
+                            scale=ascale, softcap=asoftcap,
+                        )
                     part_t = decode_attention_partials(
                         q, layer.k, layer.v, visible[:, :, sp_:],
                         scale=ascale, softcap=asoftcap,

@@ -82,3 +82,31 @@ def test_engine_tokens_identical_across_paths():
     finally:
         jl._QUANT_CHUNK_THRESHOLD[0] = old
     assert a.tokens[0] == b.tokens[0]
+
+
+def test_engine_tokens_identical_tiled_kernel_path():
+    """Greedy tokens through the TILED fused-kernel region path (forced in
+    interpret mode, with the one-shot small-region kernel disabled so the
+    tiled branch actually dispatches) equal the default path's tokens."""
+    from pyramidkv_tpu.kernels import quant_decode as qd
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(43), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompt = [int(t) for t in rng.integers(0, spec.vocab_size, 120)]
+    cs = CompressionSpec(method="fullkv", quant_method="kivi", nbits=4)
+    es = EngineSpec(max_new_tokens=8, prefill_buckets=(128,))
+    a = Engine(spec, cs, es, params).generate([prompt], eos_token_ids=())
+    old_thresh = jl._QUANT_CHUNK_THRESHOLD[0]
+    old_force = jl._FORCE_QUANT_KERNEL[0]
+    old_max = qd.MAX_KERNEL_SLOTS
+    jl._QUANT_CHUNK_THRESHOLD[0] = 16
+    jl._FORCE_QUANT_KERNEL[0] = True
+    qd.MAX_KERNEL_SLOTS = 0  # skip the one-shot kernel branch
+    try:
+        b = Engine(spec, cs, es, params).generate([prompt], eos_token_ids=())
+    finally:
+        jl._QUANT_CHUNK_THRESHOLD[0] = old_thresh
+        jl._FORCE_QUANT_KERNEL[0] = old_force
+        qd.MAX_KERNEL_SLOTS = old_max
+    assert a.tokens[0] == b.tokens[0]

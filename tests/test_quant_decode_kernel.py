@@ -111,3 +111,60 @@ def test_engine_kernel_path_nonmultiple_slots():
             jl._FORCE_QUANT_KERNEL[0] = False
 
     assert run(True) == run(False)
+
+
+@pytest.mark.parametrize("nbits", [8, 4, 2])
+@pytest.mark.parametrize("hk", [4, 2])
+def test_tiled_kernel_matches_xla_dequant(nbits, hk):
+    """Tiled (grid-over-slot-tiles) fused kernel == XLA dequant attention,
+    including GQA rows (dequant once per KV head) and multi-tile carries."""
+    from pyramidkv_tpu.kernels.quant_decode import quant_decode_attention_tiled
+
+    b, h, s, d = 1, 4, 1024, 32
+    rng = np.random.default_rng(nbits * 7 + hk)
+    k = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, hk, s)) > 0.2)
+
+    reg = quantize_kv_region(k, v, nbits=nbits, group_size=32)
+    k_hat, v_hat = dequantize_kv_region(
+        reg, num_slots=s, head_dim=d, nbits=nbits, group_size=32,
+        dtype=jnp.float32,
+    )
+    want = np.asarray(decode_attention(q, k_hat, v_hat, mask))
+
+    acc, m, l = quant_decode_attention_tiled(
+        q, reg.k.codes, reg.k.scale[..., 0], reg.k.zero[..., 0],
+        reg.v.codes, reg.v.scale[..., 0], reg.v.zero[..., 0],
+        mask, nbits=nbits, group_size=32, tile=256, interpret=True,
+    )
+    got = np.asarray(acc / np.maximum(np.asarray(l)[..., None], 1e-30))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_kernel_scale_softcap():
+    """Gemma-2 semantics through the tiled kernel (scale + tanh softcap)."""
+    from pyramidkv_tpu.kernels.quant_decode import quant_decode_attention_tiled
+    from pyramidkv_tpu.ops.attention import decode_attention_partials
+
+    b, hk, h, s, d = 1, 2, 4, 512, 32
+    rng = np.random.default_rng(5)
+    k = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, hk, s)) > 0.1)
+    reg = quantize_kv_region(k, v, nbits=4, group_size=64)
+    k_hat, v_hat = dequantize_kv_region(
+        reg, num_slots=s, head_dim=d, nbits=4, group_size=64,
+        dtype=jnp.float32)
+    acc_w, _, l_w = decode_attention_partials(q, k_hat, v_hat, mask,
+                                              scale=0.3, softcap=6.0)
+    want = np.asarray(acc_w / np.maximum(np.asarray(l_w)[..., None], 1e-30))
+    acc, m, l = quant_decode_attention_tiled(
+        q, reg.k.codes, reg.k.scale[..., 0], reg.k.zero[..., 0],
+        reg.v.codes, reg.v.scale[..., 0], reg.v.zero[..., 0],
+        mask, nbits=4, group_size=64, tile=256, interpret=True,
+        scale=0.3, softcap=6.0)
+    got = np.asarray(acc / np.maximum(np.asarray(l)[..., None], 1e-30))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
