@@ -450,11 +450,6 @@ class Engine:
             # any speculative margin beyond that stays empty, so recency
             # shifts must window on the FILLED region
             filled = min(ds, self.engine_spec.max_new_tokens)
-            if eviction == "l2norm" and plan.think_narrow:
-                raise NotImplementedError(
-                    "l2norm decode eviction with the ThinK narrow K layout"
-                )
-
             seg_ps = tuple(s[2] + plan.window for s in plan.segments)
 
             @jax.jit

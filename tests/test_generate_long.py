@@ -159,3 +159,48 @@ def test_generate_long_l2norm_eviction():
             want = set(src_pos[l, 0, h][np.argsort(norms[l, 0, h])[:keep]])
             got = set(kept_pos[l, 0, h].tolist())
             assert got == want, (l, h, got, want)
+
+
+def test_generate_long_l2norm_eviction_think_narrow():
+    """l2norm decode eviction with the ThinK NARROW K layout: the K buffer
+    holds only (recent + window + decode) full-width rows, so the decode
+    region sits at a different K offset than the mask/V offset — the roll
+    must score norms at the K offset and apply the picks everywhere."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(6), dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(method="think", max_capacity_prompt=16,
+                        window_size=4, pruning_ratio=0.5),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(64,)), params,
+    )
+    out = eng.generate_long([IDS], max_new_tokens=25, eviction="l2norm")
+    assert len(out.tokens[0]) == 25
+    import numpy as np
+
+    _, cache = eng._get_prefill(64)(
+        params, jnp.asarray([[0] * (64 - len(IDS)) + IDS], jnp.int32),
+        jnp.asarray([len(IDS)], jnp.int32), jax.random.PRNGKey(0),
+    )
+    decode_fn = eng._get_decode(64)
+    _, steps, cache, last, done = decode_fn(
+        params, cache, jnp.asarray([1], jnp.int32),
+        jnp.asarray([-1], jnp.int32), jax.random.PRNGKey(0), jnp.int32(7),
+    )
+    plan = eng.plan_for(64)
+    ps, ds = plan.prefill_slots, plan.decode_slots
+    k_off = ps - plan.think_pruned_slots
+    keep = 4
+    rolled = eng._get_roll(64, keep, "l2norm")(cache)
+    dec_k = np.asarray(cache.k)[:, :, :, k_off:k_off + ds]
+    dec_m = np.asarray(cache.mask)[:, :, :, ps:ps + ds]
+    norms = np.sqrt((dec_k.astype(np.float64) ** 2).sum(-1))
+    norms[~dec_m] = np.inf
+    kept_pos = np.asarray(rolled.positions)[:, :, :, ps:ps + keep]
+    src_pos = np.asarray(cache.positions)[:, :, :, ps:ps + ds]
+    L, B, H = norms.shape[:3]
+    for l in range(L):
+        for h in range(H):
+            want = set(src_pos[l, 0, h][np.argsort(norms[l, 0, h])[:keep]])
+            got = set(kept_pos[l, 0, h].tolist())
+            assert got == want, (l, h, got, want)
