@@ -244,46 +244,50 @@ def quant_decode_attention(
 # Tiled variant: long regions (32k-64k fullkv), grid over slot tiles
 # ---------------------------------------------------------------------------
 
+#: Mosaic requires DYNAMIC (grid-dependent) lane offsets to be provably
+#: 128-aligned, so every per-plane operand (scales, zeros, V rows, mask)
+#: is delivered through BlockSpec index maps instead of in-kernel dynamic
+#: slices; a K-scale block is exactly 128 lanes when the tile holds
+#: 128 groups PER PLANE: tile = 128 * group * per slots (8192 bytes).
+_TILE_BYTES = 8192
+
+
+def tiled_kernel_tile(nbits: int, group_size: int) -> int:
+    """Slot-tile size of the tiled kernel for this (nbits, group) combo."""
+    return 128 * group_size * (8 // nbits)
+
 
 def _tiled_kernel(
-    q_ref,        # [1, Gp, D] f32 (this KV head's query rows, pre-scaled)
-    ks_ref,       # [1, D, G]  f32 (whole row — resident across tiles)
-    kz_ref,       # [1, D, G]  f32
-    vs_ref,       # [1, S, Gv] f32 (whole row)
-    vz_ref,       # [1, S, Gv] f32
-    mask_ref,     # [1, 8, S]  i32 (whole row)
-    kc_ref,       # [1, D, TB] int8 — this tile's K code bytes
-    vc_ref,       # [1, TB, Dp] int8 — this tile's V code bytes
-    acc_out,      # [1, Gp, D] f32
-    m_out,        # [1, Gp, 128] f32
-    l_out,        # [1, Gp, 128] f32
-    acc_ref, m_ref, l_ref,  # scratch [Gp, D], [Gp, 128], [Gp, 128]
-    *,
+    *refs,
     nbits: int,
     group: int,
-    s_pad: int,
-    tile: int,
     head_dim: int,
     softcap: float | None,
 ):
-    """One grid step = one (kv-head row, slot tile).  The tile's code bytes
-    cover ``per`` plane sub-ranges of slots (planar packing); each plane's
-    scales / V rows / mask are dynamic VMEM ref slices of the resident
-    whole-row inputs.  Online-softmax carry lives in scratch across tiles.
+    """One grid step = one (kv-head row, slot tile).
+
+    refs layout (inputs, outputs, scratch):
+      q [1,Gp,D] f32 (pre-scaled), kc [1,D,TB] int8, vc [1,TB,Dp] int8,
+      then per bit-plane p: ks/kz [1,D,TBG] f32, vs/vz [1,TB,Gv] f32,
+      mask [1,8,TB] i32 — each plane's block is selected by its OWN
+      BlockSpec index map (plane p of tile t = block p*nt + t), so the
+      kernel contains no dynamic slicing at all.
+      outputs acc [1,Gp,D], m/l [1,Gp,128]; scratch acc/m/l.
 
     vs the chunked XLA scan (ops/quant.py::quant_region_attention_
-    partials): the dequantized bf16 tile never leaves VMEM, so HBM traffic
-    is the packed codes + scales instead of ~5x that in materialised
-    chunk copies (BASELINE r2ay: 2.5x off the bytes roofline).
+    partials): the dequantized bf16/f32 tile never leaves VMEM, so HBM
+    traffic is the packed codes + scales instead of ~5x that in
+    materialised chunk copies (BASELINE r2ay: 2.5x off the bytes
+    roofline).
     """
+    per = 8 // nbits
+    q_ref, kc_ref, vc_ref = refs[0], refs[1], refs[2]
+    plane_refs = refs[3:3 + 5 * per]
+    acc_out, m_out, l_out = refs[3 + 5 * per:6 + 5 * per]
+    acc_ref, m_ref, l_ref = refs[6 + 5 * per:]
+    d = head_dim
     t = pl.program_id(1)
     nt = pl.num_programs(1)
-    d = head_dim
-    per = 8 // nbits
-    tb = tile // per          # tile width in BYTES (= slots per plane)
-    w = s_pad // per          # plane width in slots
-    wg = w // group           # K scale groups per plane
-    tbg = tb // group         # K scale groups per tile-plane
 
     @pl.when(t == 0)
     def _init():
@@ -293,15 +297,14 @@ def _tiled_kernel(
 
     q = q_ref[0]                       # [Gp, D]
     ku = _u32(kc_ref[0])               # [D, TB]
-    vu = _u32(vc_ref[0])               # [TB, Dp]
+    tb = ku.shape[-1]
 
-    # ---- per-plane logits for this tile ----
     s_planes, valid_planes = [], []
     for p in range(per):
-        khat_p = _plane_f32(ku, nbits, p)          # [D, TB]
-        g0 = p * wg + t * tbg
-        ks_p = ks_ref[0, :, pl.ds(g0, tbg)]        # [D, TBG]
-        kz_p = kz_ref[0, :, pl.ds(g0, tbg)]
+        ks_p = plane_refs[5 * p + 0][0]      # [D, TBG]
+        kz_p = plane_refs[5 * p + 1][0]
+        mask_p = plane_refs[5 * p + 4][0]    # [8, TB] i32
+        khat_p = _plane_f32(ku, nbits, p)    # [D, TB]
         khat_p = (khat_p * _expand_groups(ks_p, group, tb)
                   + _expand_groups(kz_p, group, tb))
         s_p = jax.lax.dot_general(
@@ -310,7 +313,7 @@ def _tiled_kernel(
         )  # [Gp, TB]
         if softcap is not None:
             s_p = jnp.tanh(s_p * (1.0 / softcap)) * softcap
-        valid_p = mask_ref[0, :1, pl.ds(p * w + t * tb, tb)] > 0  # [1, TB]
+        valid_p = mask_p[:1] > 0
         s_planes.append(jnp.where(valid_p, s_p, _NEG_INF))
         valid_planes.append(valid_p)
 
@@ -323,16 +326,16 @@ def _tiled_kernel(
     alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
     alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
 
+    vu = _u32(vc_ref[0])               # [TB, Dp]
     l_add = jnp.zeros_like(m_new)
     pv = jnp.zeros((q.shape[0], d), jnp.float32)
     for p in range(per):
+        vs_p = plane_refs[5 * p + 2][0]      # [TB, Gv]
+        vz_p = plane_refs[5 * p + 3][0]
         pe = jnp.where(valid_planes[p],
                        jnp.exp(s_planes[p] - m_safe), 0.0)  # [Gp, TB]
         l_add = l_add + jnp.sum(pe, axis=1, keepdims=True)
         vhat_p = _plane_f32(vu, nbits, p)                   # [TB, Dp]
-        r0 = p * w + t * tb
-        vs_p = vs_ref[0, pl.ds(r0, tb), :]                  # [TB, Gv]
-        vz_p = vz_ref[0, pl.ds(r0, tb), :]
         dp = vhat_p.shape[-1]
         vhat_p = (vhat_p * _expand_groups(vs_p, group, dp)
                   + _expand_groups(vz_p, group, dp))[:, :d]
@@ -365,7 +368,7 @@ def quant_decode_attention_tiled(
     *,
     nbits: int,
     group_size: int = 64,
-    tile: int = 4096,
+    tile: int | None = None,
     interpret: bool = False,
     scale: float | None = None,
     softcap: float | None = None,
@@ -376,7 +379,10 @@ def quant_decode_attention_tiled(
     but the grid runs (kv-head rows) x (slot tiles) with an online-softmax
     carry, each KV head computing all of its GQA query rows at once —
     dequantization happens exactly once per tile regardless of the group
-    size, and the bf16/f32 dequantized tile never touches HBM.
+    size.  Requires ``s_pad % tile == 0`` with the default
+    ``tile = tiled_kernel_tile(nbits, group_size)`` (128 scale groups per
+    plane per tile, the Mosaic lane-block quantum); the engine falls back
+    to the chunked XLA path for unaligned regions.
     """
     import math as _math
 
@@ -387,16 +393,18 @@ def quant_decode_attention_tiled(
     per = 8 // nbits
     s_pad = kc.shape[-1] * per
     dp = vc.shape[-1]
+    gv = vs.shape[-1]
     assert vc.shape[2] * per == s_pad, (vc.shape, s_pad)
     if mask.shape[-1] != s_pad:
         mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
 
-    align = group_size * per
-    tile = max(align, min(tile, s_pad) // align * align)
-    if s_pad % tile != 0:
-        tile = _math.gcd(s_pad, tile)
+    if tile is None:
+        tile = tiled_kernel_tile(nbits, group_size)
+    assert s_pad % tile == 0 and tile % (group_size * per) == 0, (
+        s_pad, tile, group_size, per)
     nt = s_pad // tile
-    tb = tile // per
+    tb = tile // per                    # tile bytes == plane slots
+    tbg = tb // group_size              # scale groups per plane block
 
     sc = scale if scale is not None else 1.0 / math.sqrt(d)
     qg = (q.astype(jnp.float32) * sc).reshape(b * hk, g, d)
@@ -405,29 +413,39 @@ def quant_decode_attention_tiled(
     ksr = ks.reshape(b * hk, d, s_pad // group_size)
     kzr = kz.reshape(b * hk, d, s_pad // group_size)
     vcr = vc.reshape(b * hk, s_pad // per, dp)
-    vsr = vs.reshape(b * hk, s_pad, dp // group_size)
-    vzr = vz.reshape(b * hk, s_pad, dp // group_size)
+    vsr = vs.reshape(b * hk, s_pad, gv)
+    vzr = vz.reshape(b * hk, s_pad, gv)
     mr = jnp.broadcast_to(
         mask.reshape(b * hk, 1, s_pad).astype(jnp.int32), (b * hk, 8, s_pad)
     )
 
-    def row(shape):
-        return pl.BlockSpec((1,) + shape[1:], lambda bh, t: (bh, 0, 0))
+    # plane p of tile t = lane/sublane block p*nt + t of the shared array
+    def kplane(p):
+        return pl.BlockSpec((1, d, tbg), lambda bh, t, p=p: (bh, 0, p * nt + t))
+
+    def vplane(p):
+        return pl.BlockSpec((1, tb, gv), lambda bh, t, p=p: (bh, p * nt + t, 0))
+
+    def mplane(p):
+        return pl.BlockSpec((1, 8, tb), lambda bh, t, p=p: (bh, 0, p * nt + t))
+
+    in_specs = [
+        pl.BlockSpec((1, gp, d), lambda bh, t: (bh, 0, 0)),
+        pl.BlockSpec((1, d, tb), lambda bh, t: (bh, 0, t)),
+        pl.BlockSpec((1, tb, dp), lambda bh, t: (bh, t, 0)),
+    ]
+    args = [qg, kcr, vcr]
+    for p in range(per):
+        in_specs += [kplane(p), kplane(p), vplane(p), vplane(p), mplane(p)]
+        args += [ksr, kzr, vsr, vzr, mr]
 
     acc, m, l = pl.pallas_call(
         functools.partial(
-            _tiled_kernel, nbits=nbits, group=group_size, s_pad=s_pad,
-            tile=tile, head_dim=d, softcap=softcap,
+            _tiled_kernel, nbits=nbits, group=group_size, head_dim=d,
+            softcap=softcap,
         ),
         grid=(b * hk, nt),
-        in_specs=[
-            row(qg.shape),
-            row(ksr.shape), row(kzr.shape),
-            row(vsr.shape), row(vzr.shape),
-            row(mr.shape),
-            pl.BlockSpec((1, d, tb), lambda bh, t: (bh, 0, t)),
-            pl.BlockSpec((1, tb, dp), lambda bh, t: (bh, t, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, gp, d), lambda bh, t: (bh, 0, 0)),
             pl.BlockSpec((1, gp, 128), lambda bh, t: (bh, 0, 0)),
@@ -447,7 +465,7 @@ def quant_decode_attention_tiled(
             jax.ShapeDtypeStruct((b * hk, gp, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qg, ksr, kzr, vsr, vzr, mr, kcr, vcr)
+    )(*args)
     return (
         acc[:, :g, :].reshape(b, h, d),
         m[:, :g, 0].reshape(b, h),

@@ -908,11 +908,21 @@ def decode_step(
                     )
 
                     rmask = visible[:, :, :sp_]
+                    tile_k = 0
                     if subplan.use_pallas or _FORCE_QUANT_KERNEL[0]:
                         from ..kernels.quant_decode import (
                             quant_decode_attention_tiled,
+                            tiled_kernel_tile,
                         )
 
+                        tile_k = tiled_kernel_tile(cs.nbits,
+                                                   cs.q_group_size)
+                        if _FORCE_QUANT_KERNEL[0]:
+                            # interpret-mode tests: tiny aligned tiles
+                            tile_k = math.gcd(s_pad_k, tile_k)
+                        if s_pad_k % tile_k != 0:
+                            tile_k = 0  # unaligned region: XLA fallback
+                    if tile_k:
                         part_r = quant_decode_attention_tiled(
                             q, qreg.k.codes,
                             qreg.k.scale[..., 0], qreg.k.zero[..., 0],
@@ -920,7 +930,7 @@ def decode_step(
                             qreg.v.scale[..., 0], qreg.v.zero[..., 0],
                             rmask, nbits=cs.nbits,
                             group_size=cs.q_group_size,
-                            tile=_QUANT_CHUNK_SIZE[0],
+                            tile=tile_k,
                             interpret=_FORCE_QUANT_KERNEL[0],
                             scale=ascale, softcap=asoftcap,
                         )

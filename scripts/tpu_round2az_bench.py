@@ -43,14 +43,18 @@ def tiled_parity():
         quantize_kv_region,
     )
 
-    b, hk, h, s, d = 1, 8, 32, 8192, 128
+    from pyramidkv_tpu.kernels.quant_decode import tiled_kernel_tile
+
+    b, hk, h, d = 1, 8, 32, 128
     rng = np.random.default_rng(1)
-    k = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(b, h, d)).astype(np.float32))
-    mask = jnp.asarray(rng.random((b, hk, s)) > 0.1)
     for nbits in (8, 4, 2):
         try:
+            # two tiles at the real-Mosaic tile quantum for this nbits
+            s = 2 * tiled_kernel_tile(nbits, 64)
+            k = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(b, hk, s, d)).astype(np.float32))
+            mask = jnp.asarray(rng.random((b, hk, s)) > 0.1)
             reg = quantize_kv_region(k, v, nbits=nbits, group_size=64)
             k_hat, v_hat = dequantize_kv_region(
                 reg, num_slots=s, head_dim=d, nbits=nbits, group_size=64,
@@ -61,7 +65,7 @@ def tiled_parity():
             acc, m, l = quant_decode_attention_tiled(
                 q, reg.k.codes, reg.k.scale[..., 0], reg.k.zero[..., 0],
                 reg.v.codes, reg.v.scale[..., 0], reg.v.zero[..., 0],
-                mask, nbits=nbits, group_size=64, tile=2048)
+                mask, nbits=nbits, group_size=64)
             got = np.asarray(acc / np.maximum(np.asarray(l)[..., None],
                                               1e-30))
             err = float(np.abs(got - want).max())
