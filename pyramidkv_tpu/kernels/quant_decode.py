@@ -296,57 +296,69 @@ def _tiled_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     q = q_ref[0]                       # [Gp, D]
-    ku = _u32(kc_ref[0])               # [D, TB]
-    tb = ku.shape[-1]
+    tb = kc_ref.shape[-1]
+    gp = q.shape[0]
 
-    s_planes, valid_planes = [], []
+    # Static inner sub-tiling: a flat body at TB=8192 spills ~30 MB of
+    # vector temporaries ([D, TB] f32 khat + expansion matrices) past the
+    # 16 MB scoped-VMEM limit; 1024-byte sub-chunks keep live temporaries
+    # ~0.5 MB each.  All offsets are STATIC (Mosaic allows any static
+    # offset; only dynamic ones must prove 128-alignment).
+    sub = min(1024, tb)
+    assert tb % sub == 0
+    gsub = sub // group  # scale groups per sub-chunk (>=1: tile aligned)
+
+    m_run = jnp.full((gp, 1), _NEG_INF, jnp.float32)
+    l_run = jnp.zeros((gp, 1), jnp.float32)
+    pv_run = jnp.zeros((gp, d), jnp.float32)
     for p in range(per):
-        ks_p = plane_refs[5 * p + 0][0]      # [D, TBG]
-        kz_p = plane_refs[5 * p + 1][0]
-        mask_p = plane_refs[5 * p + 4][0]    # [8, TB] i32
-        khat_p = _plane_f32(ku, nbits, p)    # [D, TB]
-        khat_p = (khat_p * _expand_groups(ks_p, group, tb)
-                  + _expand_groups(kz_p, group, tb))
-        s_p = jax.lax.dot_general(
-            q, khat_p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Gp, TB]
-        if softcap is not None:
-            s_p = jnp.tanh(s_p * (1.0 / softcap)) * softcap
-        valid_p = mask_p[:1] > 0
-        s_planes.append(jnp.where(valid_p, s_p, _NEG_INF))
-        valid_planes.append(valid_p)
+        ks_b, kz_b, vs_b, vz_b, mask_b = plane_refs[5 * p:5 * p + 5]
+        for i in range(tb // sub):
+            ku = _u32(kc_ref[0, :, i * sub:(i + 1) * sub])   # [D, sub]
+            khat = _plane_f32(ku, nbits, p)
+            ks_pi = ks_b[0, :, i * gsub:(i + 1) * gsub]      # [D, gsub]
+            kz_pi = kz_b[0, :, i * gsub:(i + 1) * gsub]
+            khat = (khat * _expand_groups(ks_pi, group, sub)
+                    + _expand_groups(kz_pi, group, sub))
+            s = jax.lax.dot_general(
+                q, khat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Gp, sub]
+            if softcap is not None:
+                s = jnp.tanh(s * (1.0 / softcap)) * softcap
+            valid = mask_b[0, :1, i * sub:(i + 1) * sub] > 0
+            s = jnp.where(valid, s, _NEG_INF)
+            m_c = s.max(axis=1, keepdims=True)
+            m_n = jnp.maximum(m_run, m_c)
+            m_sf = jnp.maximum(m_n, _NEG_INF / 2)
+            a = jnp.exp(jnp.minimum(m_run - m_n, 0.0))
+            a = jnp.where(m_run <= _NEG_INF / 2, 0.0, a)
+            pe = jnp.where(valid, jnp.exp(s - m_sf), 0.0)    # [Gp, sub]
+            vu = _u32(vc_ref[0, i * sub:(i + 1) * sub, :])   # [sub, Dp]
+            vhat = _plane_f32(vu, nbits, p)
+            dp = vhat.shape[-1]
+            vs_pi = vs_b[0, i * sub:(i + 1) * sub, :]        # [sub, Gv]
+            vz_pi = vz_b[0, i * sub:(i + 1) * sub, :]
+            vhat = (vhat * _expand_groups(vs_pi, group, dp)
+                    + _expand_groups(vz_pi, group, dp))[:, :d]
+            pv_run = pv_run * a + jax.lax.dot_general(
+                pe, vhat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_run = l_run * a + jnp.sum(pe, axis=1, keepdims=True)
+            m_run = m_n
 
-    m_cur = s_planes[0].max(axis=1, keepdims=True)
-    for s_p in s_planes[1:]:
-        m_cur = jnp.maximum(m_cur, s_p.max(axis=1, keepdims=True))
+    # merge the tile's running partials into the cross-tile scratch carry
     m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    m_safe = jnp.maximum(m_new, _NEG_INF / 2)
-    alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
-    alpha = jnp.where(m_prev <= _NEG_INF / 2, 0.0, alpha)
-
-    vu = _u32(vc_ref[0])               # [TB, Dp]
-    l_add = jnp.zeros_like(m_new)
-    pv = jnp.zeros((q.shape[0], d), jnp.float32)
-    for p in range(per):
-        vs_p = plane_refs[5 * p + 2][0]      # [TB, Gv]
-        vz_p = plane_refs[5 * p + 3][0]
-        pe = jnp.where(valid_planes[p],
-                       jnp.exp(s_planes[p] - m_safe), 0.0)  # [Gp, TB]
-        l_add = l_add + jnp.sum(pe, axis=1, keepdims=True)
-        vhat_p = _plane_f32(vu, nbits, p)                   # [TB, Dp]
-        dp = vhat_p.shape[-1]
-        vhat_p = (vhat_p * _expand_groups(vs_p, group, dp)
-                  + _expand_groups(vz_p, group, dp))[:, :d]
-        pv = pv + jax.lax.dot_general(
-            pe, vhat_p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_new = jnp.maximum(m_prev, m_run)
+    a_prev = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+    a_prev = jnp.where(m_prev <= _NEG_INF / 2, 0.0, a_prev)
+    a_run = jnp.exp(jnp.minimum(m_run - m_new, 0.0))
+    a_run = jnp.where(m_run <= _NEG_INF / 2, 0.0, a_run)
+    acc_ref[:] = acc_ref[:] * a_prev + pv_run * a_run
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(alpha * l_ref[:, :1] + l_add, l_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_ref[:, :1] * a_prev + l_run * a_run,
+                                l_ref.shape)
 
     @pl.when(t == nt - 1)
     def _fin():
