@@ -263,19 +263,32 @@ def _tiled_kernel(
     group: int,
     head_dim: int,
     softcap: float | None,
+    sub: int,
 ):
     """One grid step = one (kv-head row, slot tile).
 
     refs layout (inputs, outputs, scratch):
       q [1,Gp,D] f32 (pre-scaled), kc [1,D,TB] int8, vc [1,TB,Dp] int8,
       then per bit-plane p: ks/kz [1,D,TBG] f32, vs/vz [1,TB,Gv] f32,
-      mask [1,8,TB] i32 — each plane's block is selected by its OWN
-      BlockSpec index map (plane p of tile t = block p*nt + t), so the
-      kernel contains no dynamic slicing at all.
+      mask [1,1,TB] i32 — each plane's block is selected by its OWN
+      BlockSpec index map (plane p of tile t = block p*nt + t).
       outputs acc [1,Gp,D], m/l [1,Gp,128]; scratch acc/m/l.
 
+    The body is a ``fori_loop`` over ``sub``-byte chunks: Mosaic's scoped
+    allocator does NOT reuse stack slots across straight-line temporaries
+    (an unrolled loop's iterations SUM — measured identical 16.25 MB/plane
+    scoped usage for one flat 8192-byte body and eight unrolled 1024-byte
+    sub-bodies), but a fori_loop body is allocated once.  All dynamic
+    slice offsets are multiples of ``sub`` (>=256), provably 128-aligned
+    on the lane dim.  Scale-group selection out of the tile's [.,TBG]
+    block can't be lane-sliced (a chunk is only sub/group = 4..16 lanes),
+    so it rides the broadcast matmul: e[g, c] = ((off+c)//group == g)
+    built from iota + the loop index, then ``scales @ e`` selects AND
+    expands in one MXU contraction.  Codes are read once per chunk and
+    shared by all bit-planes.
+
     vs the chunked XLA scan (ops/quant.py::quant_region_attention_
-    partials): the dequantized bf16/f32 tile never leaves VMEM, so HBM
+    partials): the dequantized f32 chunk never leaves VMEM, so HBM
     traffic is the packed codes + scales instead of ~5x that in
     materialised chunk copies (BASELINE r2ay: 2.5x off the bytes
     roofline).
@@ -297,56 +310,62 @@ def _tiled_kernel(
 
     q = q_ref[0]                       # [Gp, D]
     tb = kc_ref.shape[-1]
+    dp = vc_ref.shape[-1]
     gp = q.shape[0]
+    assert tb % sub == 0 and sub % group == 0, (tb, sub, group)
+    tbg = tb // group
 
-    # Static inner sub-tiling: a flat body at TB=8192 spills ~30 MB of
-    # vector temporaries ([D, TB] f32 khat + expansion matrices) past the
-    # 16 MB scoped-VMEM limit; 1024-byte sub-chunks keep live temporaries
-    # ~0.5 MB each.  All offsets are STATIC (Mosaic allows any static
-    # offset; only dynamic ones must prove 128-alignment).
-    sub = min(1024, tb)
-    assert tb % sub == 0
-    gsub = sub // group  # scale groups per sub-chunk (>=1: tile aligned)
+    # V-side channel-group expansion is chunk-independent: hoisted.
+    gv = plane_refs[2].shape[-1]
+    ev_rows = jax.lax.broadcasted_iota(jnp.int32, (gv, dp), 0)
+    ev_cols = jax.lax.broadcasted_iota(jnp.int32, (gv, dp), 1)
+    e_v = (ev_cols // group == ev_rows).astype(jnp.float32)
 
-    m_run = jnp.full((gp, 1), _NEG_INF, jnp.float32)
-    l_run = jnp.zeros((gp, 1), jnp.float32)
-    pv_run = jnp.zeros((gp, d), jnp.float32)
-    for p in range(per):
-        ks_b, kz_b, vs_b, vz_b, mask_b = plane_refs[5 * p:5 * p + 5]
-        for i in range(tb // sub):
-            ku = _u32(kc_ref[0, :, i * sub:(i + 1) * sub])   # [D, sub]
+    def _dot(a_, b_):
+        return jax.lax.dot_general(
+            a_, b_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(i, carry):
+        m_run, l_run, pv_run = carry
+        off = i * sub
+        # select-and-broadcast matrix for this chunk's K scale groups
+        rows_g = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 1)
+        e_k = ((cols + off) // group == rows_g).astype(jnp.float32)
+        ku = _u32(kc_ref[0, :, pl.ds(off, sub)])         # [D, sub]
+        vu = _u32(vc_ref[0, pl.ds(off, sub), :])         # [sub, Dp]
+        for p in range(per):
+            ks_b, kz_b, vs_b, vz_b, mask_b = plane_refs[5 * p:5 * p + 5]
             khat = _plane_f32(ku, nbits, p)
-            ks_pi = ks_b[0, :, i * gsub:(i + 1) * gsub]      # [D, gsub]
-            kz_pi = kz_b[0, :, i * gsub:(i + 1) * gsub]
-            khat = (khat * _expand_groups(ks_pi, group, sub)
-                    + _expand_groups(kz_pi, group, sub))
-            s = jax.lax.dot_general(
-                q, khat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Gp, sub]
+            khat = khat * _dot(ks_b[0], e_k) + _dot(kz_b[0], e_k)
+            s = _dot(q, khat)                            # [Gp, sub]
             if softcap is not None:
                 s = jnp.tanh(s * (1.0 / softcap)) * softcap
-            valid = mask_b[0, :1, i * sub:(i + 1) * sub] > 0
+            valid = mask_b[0, :, pl.ds(off, sub)] > 0    # [1, sub]
             s = jnp.where(valid, s, _NEG_INF)
             m_c = s.max(axis=1, keepdims=True)
             m_n = jnp.maximum(m_run, m_c)
             m_sf = jnp.maximum(m_n, _NEG_INF / 2)
             a = jnp.exp(jnp.minimum(m_run - m_n, 0.0))
             a = jnp.where(m_run <= _NEG_INF / 2, 0.0, a)
-            pe = jnp.where(valid, jnp.exp(s - m_sf), 0.0)    # [Gp, sub]
-            vu = _u32(vc_ref[0, i * sub:(i + 1) * sub, :])   # [sub, Dp]
+            pe = jnp.where(valid, jnp.exp(s - m_sf), 0.0)  # [Gp, sub]
             vhat = _plane_f32(vu, nbits, p)
-            dp = vhat.shape[-1]
-            vs_pi = vs_b[0, i * sub:(i + 1) * sub, :]        # [sub, Gv]
-            vz_pi = vz_b[0, i * sub:(i + 1) * sub, :]
-            vhat = (vhat * _expand_groups(vs_pi, group, dp)
-                    + _expand_groups(vz_pi, group, dp))[:, :d]
-            pv_run = pv_run * a + jax.lax.dot_general(
-                pe, vhat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            vs_pi = vs_b[0, pl.ds(off, sub), :]          # [sub, Gv]
+            vz_pi = vz_b[0, pl.ds(off, sub), :]
+            vhat = (vhat * _dot(vs_pi, e_v) + _dot(vz_pi, e_v))[:, :d]
+            pv_run = pv_run * a + _dot(pe, vhat)
             l_run = l_run * a + jnp.sum(pe, axis=1, keepdims=True)
             m_run = m_n
+        return m_run, l_run, pv_run
+
+    m_run, l_run, pv_run = jax.lax.fori_loop(
+        0, tb // sub, body,
+        (jnp.full((gp, 1), _NEG_INF, jnp.float32),
+         jnp.zeros((gp, 1), jnp.float32),
+         jnp.zeros((gp, d), jnp.float32)),
+    )
 
     # merge the tile's running partials into the cross-tile scratch carry
     m_prev = m_ref[:, :1]
@@ -427,9 +446,15 @@ def quant_decode_attention_tiled(
     vcr = vc.reshape(b * hk, s_pad // per, dp)
     vsr = vs.reshape(b * hk, s_pad, gv)
     vzr = vz.reshape(b * hk, s_pad, gv)
-    mr = jnp.broadcast_to(
-        mask.reshape(b * hk, 1, s_pad).astype(jnp.int32), (b * hk, 8, s_pad)
-    )
+    mr = mask.reshape(b * hk, 1, s_pad).astype(jnp.int32)
+
+    # fori_loop chunk: one body allocation regardless of tile length; sized
+    # so per-chunk f32 temporaries ([D, sub] x ~4 per plane) stay ~4-5 MB
+    # total across the in-body plane unroll.
+    sub = max(group_size, min(tb, 1024 // per))
+    while tb % sub:
+        sub //= 2
+    assert sub % group_size == 0, (sub, group_size)
 
     # plane p of tile t = lane/sublane block p*nt + t of the shared array
     def kplane(p):
@@ -439,7 +464,7 @@ def quant_decode_attention_tiled(
         return pl.BlockSpec((1, tb, gv), lambda bh, t, p=p: (bh, p * nt + t, 0))
 
     def mplane(p):
-        return pl.BlockSpec((1, 8, tb), lambda bh, t, p=p: (bh, 0, p * nt + t))
+        return pl.BlockSpec((1, 1, tb), lambda bh, t, p=p: (bh, 0, p * nt + t))
 
     in_specs = [
         pl.BlockSpec((1, gp, d), lambda bh, t: (bh, 0, 0)),
@@ -454,7 +479,7 @@ def quant_decode_attention_tiled(
     acc, m, l = pl.pallas_call(
         functools.partial(
             _tiled_kernel, nbits=nbits, group=group_size, head_dim=d,
-            softcap=softcap,
+            softcap=softcap, sub=sub,
         ),
         grid=(b * hk, nt),
         in_specs=in_specs,
