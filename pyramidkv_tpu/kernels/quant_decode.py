@@ -269,9 +269,12 @@ def _tiled_kernel(
 
     refs layout (inputs, outputs, scratch):
       q [1,Gp,D] f32 (pre-scaled), kc [1,D,TB] int8, vc [1,TB,Dp] int8,
-      then per bit-plane p: ks/kz [1,D,TBG] f32, vs/vz [1,TB,Gv] f32,
-      mask [1,1,TB] i32 — each plane's block is selected by its OWN
-      BlockSpec index map (plane p of tile t = block p*nt + t).
+      then per bit-plane p: ks/kz [1,D,TBG] f32, vs/vz [1,Gv,TB] f32
+      (LANE-major: slots on lanes — a [TB,Gv] block would pad Gv=2 lanes
+      to 128, i.e. 4 MiB of VMEM per 8192-slot block; measured as a
+      body-independent 16.25 MiB/plane scoped floor), mask [1,1,TB] i32 —
+      each plane's block is selected by its OWN BlockSpec index map
+      (plane p of tile t = block p*nt + t).
       outputs acc [1,Gp,D], m/l [1,Gp,128]; scratch acc/m/l.
 
     The body is a ``fori_loop`` over ``sub``-byte chunks: Mosaic's scoped
@@ -316,7 +319,7 @@ def _tiled_kernel(
     tbg = tb // group
 
     # V-side channel-group expansion is chunk-independent: hoisted.
-    gv = plane_refs[2].shape[-1]
+    gv = plane_refs[2].shape[1]
     ev_rows = jax.lax.broadcasted_iota(jnp.int32, (gv, dp), 0)
     ev_cols = jax.lax.broadcasted_iota(jnp.int32, (gv, dp), 1)
     e_v = (ev_cols // group == ev_rows).astype(jnp.float32)
@@ -324,6 +327,12 @@ def _tiled_kernel(
     def _dot(a_, b_):
         return jax.lax.dot_general(
             a_, b_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _dot_t(a_, b_):  # contract dim 0 of both: [G,S]x[G,D] -> [S,D]
+        return jax.lax.dot_general(
+            a_, b_, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -352,9 +361,9 @@ def _tiled_kernel(
             a = jnp.where(m_run <= _NEG_INF / 2, 0.0, a)
             pe = jnp.where(valid, jnp.exp(s - m_sf), 0.0)  # [Gp, sub]
             vhat = _plane_f32(vu, nbits, p)
-            vs_pi = vs_b[0, pl.ds(off, sub), :]          # [sub, Gv]
-            vz_pi = vz_b[0, pl.ds(off, sub), :]
-            vhat = (vhat * _dot(vs_pi, e_v) + _dot(vz_pi, e_v))[:, :d]
+            vs_pi = vs_b[0, :, pl.ds(off, sub)]          # [Gv, sub]
+            vz_pi = vz_b[0, :, pl.ds(off, sub)]
+            vhat = (vhat * _dot_t(vs_pi, e_v) + _dot_t(vz_pi, e_v))[:, :d]
             pv_run = pv_run * a + _dot(pe, vhat)
             l_run = l_run * a + jnp.sum(pe, axis=1, keepdims=True)
             m_run = m_n
@@ -444,14 +453,17 @@ def quant_decode_attention_tiled(
     ksr = ks.reshape(b * hk, d, s_pad // group_size)
     kzr = kz.reshape(b * hk, d, s_pad // group_size)
     vcr = vc.reshape(b * hk, s_pad // per, dp)
-    vsr = vs.reshape(b * hk, s_pad, gv)
-    vzr = vz.reshape(b * hk, s_pad, gv)
+    # LANE-major scale/zero layout ([.., Gv, S]): slots on the lane dim so
+    # a block is [Gv->8 sublanes, TB lanes] (256 KB) instead of Gv=2 lanes
+    # padded to 128 (4 MiB) — the dominant scoped-VMEM term otherwise.
+    vsr = vs.reshape(b * hk, s_pad, gv).swapaxes(1, 2)
+    vzr = vz.reshape(b * hk, s_pad, gv).swapaxes(1, 2)
     mr = mask.reshape(b * hk, 1, s_pad).astype(jnp.int32)
 
     # fori_loop chunk: one body allocation regardless of tile length; sized
-    # so per-chunk f32 temporaries ([D, sub] x ~4 per plane) stay ~4-5 MB
+    # so per-chunk f32 temporaries ([D, sub] x ~4 per plane) stay ~2 MB
     # total across the in-body plane unroll.
-    sub = max(group_size, min(tb, 1024 // per))
+    sub = max(group_size, min(tb, 512 // per))
     while tb % sub:
         sub //= 2
     assert sub % group_size == 0, (sub, group_size)
@@ -461,7 +473,7 @@ def quant_decode_attention_tiled(
         return pl.BlockSpec((1, d, tbg), lambda bh, t, p=p: (bh, 0, p * nt + t))
 
     def vplane(p):
-        return pl.BlockSpec((1, tb, gv), lambda bh, t, p=p: (bh, p * nt + t, 0))
+        return pl.BlockSpec((1, gv, tb), lambda bh, t, p=p: (bh, 0, p * nt + t))
 
     def mplane(p):
         return pl.BlockSpec((1, 1, tb), lambda bh, t, p=p: (bh, 0, p * nt + t))
