@@ -264,6 +264,7 @@ def _tiled_kernel(
     head_dim: int,
     softcap: float | None,
     sub: int,
+    mm_bf16: bool,
 ):
     """One grid step = one (kv-head row, slot tile).
 
@@ -300,7 +301,7 @@ def _tiled_kernel(
     q_ref, kc_ref, vc_ref = refs[0], refs[1], refs[2]
     plane_refs = refs[3:3 + 5 * per]
     acc_out, m_out, l_out = refs[3 + 5 * per:6 + 5 * per]
-    acc_ref, m_ref, l_ref = refs[6 + 5 * per:]
+    acc_ref, m_ref, l_ref, qhat_ref = refs[6 + 5 * per:]
     d = head_dim
     t = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -317,6 +318,7 @@ def _tiled_kernel(
     gp = q.shape[0]
     assert tb % sub == 0 and sub % group == 0, (tb, sub, group)
     tbg = tb // group
+    gsub = sub // group
 
     # V-side channel-group expansion is chunk-independent: hoisted.
     gv = plane_refs[2].shape[1]
@@ -336,20 +338,45 @@ def _tiled_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    # K-scale folding (once per tile, per plane): a broadcast-by-matmul
+    # ks@e_k costs 128 MACs per logit — 16-32x the attention dot itself and
+    # measured ~33 ms/step at 64k (f32 MXU).  Instead fold the per-group
+    # scale into the QUERY: qhat[g*Gp+r, :] = q[r, :] * ks[:, g], matmul the
+    # RAW code plane once per chunk ([gsub*Gp, D] @ [D, sub]), and pick each
+    # column's own group row with an iota select — MXU work drops to
+    # gsub x the attention dot.  The zero term is rank-1 in d: z_log =
+    # (q @ kz)[r, g(j)], one [Gp,TBG] matmul per plane + a tiny broadcast.
+    zlog_p = []
+    for p in range(per):
+        ks_b, kz_b = plane_refs[5 * p], plane_refs[5 * p + 1]
+        kst = ks_b[0].T                                  # [TBG, D]
+        qhat_ref[p] = (kst[:, None, :] * q[None, :, :]).reshape(tbg * gp, d)
+        zlog_p.append(_dot(q, kz_b[0]))                  # [Gp, TBG]
+
     def body(i, carry):
         m_run, l_run, pv_run = carry
         off = i * sub
-        # select-and-broadcast matrix for this chunk's K scale groups
-        rows_g = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 1)
-        e_k = ((cols + off) // group == rows_g).astype(jnp.float32)
         ku = _u32(kc_ref[0, :, pl.ds(off, sub)])         # [D, sub]
         vu = _u32(vc_ref[0, pl.ds(off, sub), :])         # [sub, Dp]
+        # chunk-local group index of every column, and its one-hot selects
+        rows_s = jax.lax.broadcasted_iota(jnp.int32, (gsub, 1, sub), 0)
+        cols_s = jax.lax.broadcasted_iota(jnp.int32, (gsub, 1, sub), 2)
+        sel = (cols_s // group == rows_s).astype(jnp.float32)
+        rows_z = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 0)
+        cols_z = jax.lax.broadcasted_iota(jnp.int32, (tbg, sub), 1)
+        e_z = ((cols_z + off) // group == rows_z).astype(jnp.float32)
         for p in range(per):
-            ks_b, kz_b, vs_b, vz_b, mask_b = plane_refs[5 * p:5 * p + 5]
-            khat = _plane_f32(ku, nbits, p)
-            khat = khat * _dot(ks_b[0], e_k) + _dot(kz_b[0], e_k)
-            s = _dot(q, khat)                            # [Gp, sub]
+            mask_b = plane_refs[5 * p + 4]
+            khat = _plane_f32(ku, nbits, p)              # [D, sub] raw codes
+            qh_i = qhat_ref[p, pl.ds(i * gsub * gp, gsub * gp), :]
+            if mm_bf16:
+                # codes <=255 are exact in bf16; qhat rounds (~0.4% rel) —
+                # f32 accumulate.  6x MXU rate vs f32 multi-pass.
+                qh_i = qh_i.astype(jnp.bfloat16)
+                khat = khat.astype(jnp.bfloat16)
+            s_all = _dot(qh_i, khat)                     # [gsub*Gp, sub]
+            s = jnp.sum(s_all.reshape(gsub, gp, sub) * sel, axis=0)
+            s = s + _dot(zlog_p[p], e_z)                 # [Gp, sub]
             if softcap is not None:
                 s = jnp.tanh(s * (1.0 / softcap)) * softcap
             valid = mask_b[0, :, pl.ds(off, sub)] > 0    # [1, sub]
@@ -360,6 +387,7 @@ def _tiled_kernel(
             a = jnp.exp(jnp.minimum(m_run - m_n, 0.0))
             a = jnp.where(m_run <= _NEG_INF / 2, 0.0, a)
             pe = jnp.where(valid, jnp.exp(s - m_sf), 0.0)  # [Gp, sub]
+            vs_b, vz_b = plane_refs[5 * p + 2], plane_refs[5 * p + 3]
             vhat = _plane_f32(vu, nbits, p)
             vs_pi = vs_b[0, :, pl.ds(off, sub)]          # [Gv, sub]
             vz_pi = vz_b[0, :, pl.ds(off, sub)]
@@ -398,7 +426,7 @@ def _tiled_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("nbits", "group_size", "tile", "interpret", "scale",
-                     "softcap"),
+                     "softcap", "mm_bf16"),
 )
 def quant_decode_attention_tiled(
     q: jax.Array,
@@ -412,6 +440,7 @@ def quant_decode_attention_tiled(
     interpret: bool = False,
     scale: float | None = None,
     softcap: float | None = None,
+    mm_bf16: bool = False,
 ):
     """Tiled fused dequant decode attention over a LONG quantized region.
 
@@ -491,7 +520,7 @@ def quant_decode_attention_tiled(
     acc, m, l = pl.pallas_call(
         functools.partial(
             _tiled_kernel, nbits=nbits, group=group_size, head_dim=d,
-            softcap=softcap, sub=sub,
+            softcap=softcap, sub=sub, mm_bf16=mm_bf16,
         ),
         grid=(b * hk, nt),
         in_specs=in_specs,
@@ -504,6 +533,8 @@ def quant_decode_attention_tiled(
             pltpu.VMEM((gp, d), jnp.float32),
             pltpu.VMEM((gp, 128), jnp.float32),
             pltpu.VMEM((gp, 128), jnp.float32),
+            # per-plane scale-folded queries (recomputed each tile)
+            pltpu.VMEM((per, tbg * gp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -933,6 +933,8 @@ def decode_step(
                             tile=tile_k,
                             interpret=_FORCE_QUANT_KERNEL[0],
                             scale=ascale, softcap=asoftcap,
+                            mm_bf16=_os.environ.get(
+                                "PKV_QUANT_MM_BF16", "0") == "1",
                         )
                     else:
                         from ..ops.quant import (

@@ -103,21 +103,33 @@ def run(tag, spec, params, method, ctx, max_new=64, **comp_kw):
 
 
 def main():
+    import os
+
     assert jax.devices()[0].platform == "tpu"
     log("leg 1: tiled kernel Mosaic parity")
     tiled_parity()
 
-    log("leg 2: tiled-kernel engine rows (d32 int4 weights)")
+    log("leg 2: tiled-kernel engine rows (d32 int4 weights), f32 mm")
     d32 = spec_depth(32)
     p4 = random_int4_params(d32, jax.random.PRNGKey(0))
     run("tiled_d32/32k_fullkv_kivi4", d32, p4, "fullkv", 32768,
         quant_method="kivi", nbits=4)
-    run("tiled_d32/32k_fullkv_kivi8", d32, p4, "fullkv", 32768,
-        quant_method="kivi", nbits=8)
-    run("tiled_d32/64k_fullkv_kivi4", d32, p4, "fullkv", 65536,
-        quant_method="kivi", nbits=4)
     run("tiled_d32/64k_fullkv_kivi8", d32, p4, "fullkv", 65536,
         quant_method="kivi", nbits=8)
+
+    log("leg 3: same rows, bf16 codes matmul (PKV_QUANT_MM_BF16=1)")
+    os.environ["PKV_QUANT_MM_BF16"] = "1"
+    run("tiled_bf16_d32/32k_fullkv_kivi4", d32, p4, "fullkv", 32768,
+        quant_method="kivi", nbits=4)
+    run("tiled_bf16_d32/32k_fullkv_kivi8", d32, p4, "fullkv", 32768,
+        quant_method="kivi", nbits=8)
+    run("tiled_bf16_d32/64k_fullkv_kivi4", d32, p4, "fullkv", 65536,
+        quant_method="kivi", nbits=4)
+    run("tiled_bf16_d32/64k_fullkv_kivi8", d32, p4, "fullkv", 65536,
+        quant_method="kivi", nbits=8)
+    run("tiled_bf16_d32/64k_fullkv_kivi2", d32, p4, "fullkv", 65536,
+        quant_method="kivi", nbits=2)
+    os.environ.pop("PKV_QUANT_MM_BF16")
     log("ALL DONE")
 
 
