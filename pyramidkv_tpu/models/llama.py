@@ -896,12 +896,14 @@ def decode_step(
                     )
                 elif (cs.quant_method == "kivi"
                       and s_pad_k > _QUANT_CHUNK_THRESHOLD[0]):
-                    # long regions.  Preferred path: the TILED fused kernel
-                    # (grid over slot tiles, dequant stays in VMEM — the
-                    # chunked XLA scan materialises every dequantized bf16
-                    # chunk through HBM and measured ~2.5x off the bytes
-                    # roofline, BASELINE r2ay).  XLA scan remains the
-                    # non-Pallas/CPU fallback.
+                    # long regions.  Default: the chunked XLA scan
+                    # (ops/quant.py).  The TILED fused kernel (grid over
+                    # slot tiles, dequant stays in VMEM) was built to cut
+                    # the scan's HBM chunk round-trips, but MEASURED SLOWER
+                    # on every row (BASELINE r2az: 32k kivi4 37.3 vs 46.2
+                    # tok/s, 64k kivi4 23.1 vs 29.3 — per-tile scale-fold
+                    # setup + f32 code matmuls outweigh the saved chunk
+                    # traffic); it stays opt-in via PKV_QUANT_TILED=1.
                     from ..ops.attention import (
                         decode_attention_partials,
                         merge_attention_partials,
@@ -909,7 +911,10 @@ def decode_step(
 
                     rmask = visible[:, :, :sp_]
                     tile_k = 0
-                    if subplan.use_pallas or _FORCE_QUANT_KERNEL[0]:
+                    use_tiled = (_os.environ.get("PKV_QUANT_TILED", "0")
+                                 == "1")
+                    if ((subplan.use_pallas and use_tiled)
+                            or _FORCE_QUANT_KERNEL[0]):
                         from ..kernels.quant_decode import (
                             quant_decode_attention_tiled,
                             tiled_kernel_tile,
