@@ -12,9 +12,9 @@ methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
 by fullkv decode tokens/s at a 32k-token prompt on the real 8B shape
 (int4 weights fit the 4.3 GB full-KV cache next to 4 GB of weights in
 16 GB HBM; at 64k fullkv does not fit at all while snapkv holds ~86
-tok/s — see BASELINE.md round-2z).  Expected: snapkv ~86 tok/s vs
-fullkv ~49 → ~1.7x decode bandwidth win on top of the 43x cache
-footprint win (101 MB vs 4303 MB).
+tok/s — see BASELINE.md round-2z).  Measured (logs/tpu_r2z): snapkv
+100.2 tok/s vs fullkv 54.1 → ~1.85x decode bandwidth win on top of the
+43x cache footprint win (101 MB vs 4303 MB).
 """
 
 import json
