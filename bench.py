@@ -12,9 +12,12 @@ methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
 by fullkv decode tokens/s at a 32k-token prompt on the real 8B shape
 (int4 weights fit the 4.3 GB full-KV cache next to 4 GB of weights in
 16 GB HBM; at 64k fullkv does not fit at all while snapkv holds ~86
-tok/s — see BASELINE.md round-2z).  Measured (logs/tpu_r2z): snapkv
-100.2 tok/s vs fullkv 54.1 → ~1.85x decode bandwidth win on top of the
-43x cache footprint win (101 MB vs 4303 MB).
+tok/s — see BASELINE.md round-2z).  Measured by this script on the real
+chip (BENCH_r02.json): snapkv 100.9 tok/s vs fullkv 54.3 → ~1.86x decode
+bandwidth win on top of the 43x cache footprint win (101 MB vs 4303 MB);
+an earlier run of the same config via scripts/tpu_round2z_bench.py logged
+85.9 / 49.4 (logs/tpu_r2z — slower because that process also ran the
+32k B=4 and 64k legs, fragmenting HBM).
 """
 
 import json

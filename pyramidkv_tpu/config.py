@@ -507,6 +507,13 @@ class EngineSpec:
     #: engine level on v5e (per-head 1-row matvecs are latency-bound while
     #: XLA fuses the dequant into larger fusions) — see BASELINE.md round 2.
     use_quant_kernel: bool = False
+    #: Opt-in: TILED fused dequant-attention kernel for LONG KIVI regions
+    #: (grid over slot tiles; built round 2, measured slower than the
+    #: chunked XLA scan on every row — BASELINE r2az — kept as a
+    #: counterfactual).  The PKV_QUANT_TILED=1 env var is an alias read at
+    #: trace time: set it before Engine construction or it has no effect
+    #: (the jit cache is not keyed on it); this knob is the reliable path.
+    use_quant_tiled: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
     greedy: bool = True
@@ -527,6 +534,12 @@ class EngineSpec:
     spec_ngram: int = 3
     #: max draft tokens proposed (and verified) per iteration.
     spec_draft_len: int = 8
+    #: ContinuousBatcher guard: speculation auto-disables above this many
+    #: lanes (with a logged warning).  The crossover is physical, not a
+    #: tuning gap — a verify forward over lanes x (k+1) rows leaves the
+    #: weight-bandwidth-bound regime past ~32-40 rows, measured -4..-34%
+    #: at >=8 lanes vs +14% at 4 (BASELINE r2as/r2at).
+    spec_max_lanes: int = 4
 
     def bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:

@@ -126,6 +126,8 @@ class Engine:
         )
         if self.engine_spec.use_quant_kernel and use_pallas:
             plan = dataclasses.replace(plan, use_quant_kernel=True)
+        if self.engine_spec.use_quant_tiled and use_pallas:
+            plan = dataclasses.replace(plan, use_quant_tiled=True)
         return plan
 
     def _get_prefill(self, bucket: int):

@@ -911,8 +911,10 @@ def decode_step(
 
                     rmask = visible[:, :, :sp_]
                     tile_k = 0
-                    use_tiled = (_os.environ.get("PKV_QUANT_TILED", "0")
-                                 == "1")
+                    use_tiled = (
+                        subplan.use_quant_tiled
+                        or _os.environ.get("PKV_QUANT_TILED", "0") == "1"
+                    )
                     if ((subplan.use_pallas and use_tiled)
                             or _FORCE_QUANT_KERNEL[0]):
                         from ..kernels.quant_decode import (

@@ -60,6 +60,8 @@ class PolicyPlan:
     attn_softcap: Optional[float] = None
     #: opt-in fused dequant decode kernel (EngineSpec.use_quant_kernel)
     use_quant_kernel: bool = False
+    #: opt-in tiled long-region dequant kernel (EngineSpec.use_quant_tiled)
+    use_quant_tiled: bool = False
     #: Contiguous layer runs with their own static slot widths:
     #: ((start, stop, width), ...).  One entry == the uniform layout (the
     #: default for most methods).  Multiple entries let methods whose

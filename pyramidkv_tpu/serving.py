@@ -90,6 +90,22 @@ class ContinuousBatcher:
             and self._plan.spec.quant_method is None
             and not self._plan.think_narrow
         )
+        if self._spec_mode and lanes > es.spec_max_lanes:
+            # measured crossover (BASELINE r2as/r2at): verify forwards over
+            # lanes x (k+1) rows leave the weight-bandwidth-bound regime
+            # past ~32-40 rows — -4% at 8 lanes, -34% at 16, vs +14% at 4.
+            # Auto-disable instead of silently serving slower.
+            import warnings
+
+            warnings.warn(
+                f"ContinuousBatcher: disabling ngram speculation at "
+                f"{lanes} lanes (> spec_max_lanes={es.spec_max_lanes}; "
+                f"measured net-negative above the crossover — see "
+                f"BASELINE.md r2as/r2at). Raise EngineSpec.spec_max_lanes "
+                f"to force it.",
+                stacklevel=2,
+            )
+            self._spec_mode = False
         #: history layout: every lane's prompt is right-aligned at
         #: ``hoff`` (the largest bucket), generated tokens append from
         #: ``hoff`` — one uniform generation offset for mixed buckets.

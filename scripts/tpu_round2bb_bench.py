@@ -16,7 +16,7 @@ import traceback
 import jax
 import numpy as np
 
-from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec
 from pyramidkv_tpu.engine import Engine
 
 sys.path.insert(0, "/root/repo/scripts")

@@ -321,3 +321,49 @@ def test_cb_speculative_with_int4_kernel():
             assert out[r.request_id].tokens == want, r.request_id
     finally:
         W._FORCE_INT4_KERNEL[0] = False
+
+
+def test_cb_speculative_guard_above_crossover(eng):
+    """Speculation auto-disables (with a warning) above spec_max_lanes —
+    the measured crossover where verify rows leave the weight-bandwidth
+    regime (BASELINE r2as/r2at: -4..-34% at >=8 lanes).  No silent slow
+    configs; raising spec_max_lanes forces it back on."""
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    es = EngineSpec(max_new_tokens=8, prefill_buckets=(32,),
+                    speculative="ngram", spec_draft_len=3)
+    spec_eng = Engine(eng.model_spec, cs, es, eng.params)
+    with pytest.warns(UserWarning, match="spec_max_lanes"):
+        cb = ContinuousBatcher(spec_eng, lanes=8, quantum=2)
+    assert not cb._spec_mode
+
+    # at/below the threshold: no warning, speculation stays on
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        cb4 = ContinuousBatcher(spec_eng, lanes=4, quantum=2)
+    assert cb4._spec_mode
+
+    # explicit opt-out of the guard via spec_max_lanes
+    import dataclasses
+
+    es16 = dataclasses.replace(es, spec_max_lanes=16)
+    forced = Engine(eng.model_spec, cs, es16, eng.params)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        cb8 = ContinuousBatcher(forced, lanes=8, quantum=2)
+    assert cb8._spec_mode
+
+    # the guarded batcher still serves correct tokens (plain quanta)
+    rng = np.random.default_rng(40)
+    reqs = [
+        Request(request_id=f"g{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=4)
+        for i, n in enumerate((10, 18))
+    ]
+    out = cb.run(list(reqs))
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
+        assert out[r.request_id].tokens == want, r.request_id

@@ -161,3 +161,55 @@ def test_gemma2_sliding_alternation_matters(tmp_path):
                                     layer_types=None)
     lb, _ = jl.prefill(params, spec_full, plan, ids, tl)
     assert not np.allclose(np.asarray(la), np.asarray(lb), atol=1e-3)
+
+
+def test_gemma2_softcap_skips_quant_kernel_fallback(tmp_path, monkeypatch):
+    """The opt-in fused dequant decode kernel has no softcap/custom-scale
+    support (models/llama.py ``use_kernel`` gate), so Gemma-2 engines must
+    silently take the XLA dequant fallback even when the kernel is forced —
+    and the fallback must actually produce tokens.  A Llama-shaped spec in
+    the same configuration DOES hit the kernel (sentinel raises), proving
+    the gate discriminates on softcap, not on something else."""
+    import dataclasses
+
+    from pyramidkv_tpu.config import ModelSpec
+    from pyramidkv_tpu.kernels import quant_decode
+
+    class _KernelHit(RuntimeError):
+        pass
+
+    def _boom(*a, **kw):
+        raise _KernelHit("one-shot quant kernel invoked")
+
+    monkeypatch.setattr(quant_decode, "quant_decode_attention", _boom)
+
+    base = ModelSpec.tiny()
+    g2 = dataclasses.replace(
+        base,
+        query_pre_attn_scalar=32.0,
+        attn_logit_softcapping=5.0,
+        final_logit_softcapping=3.0,
+    )
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4, quant_method="kivi", nbits=8)
+    es = EngineSpec(max_new_tokens=6, prefill_buckets=(32,))
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(0, base.vocab_size, size=24)]
+
+    jl._FORCE_QUANT_KERNEL[0] = True
+    try:
+        g2_params = jl.init_params(g2, jax.random.PRNGKey(1),
+                                   dtype=jnp.float32)
+        out = Engine(g2, cs, es, g2_params).generate([prompt])
+        assert len(out.tokens[0]) > 0  # fallback path decoded fine
+
+        # control: same config on a softcap-free spec reaches the kernel
+        ll_params = jl.init_params(base, jax.random.PRNGKey(1),
+                                   dtype=jnp.float32)
+        try:
+            Engine(base, cs, es, ll_params).generate([prompt])
+            assert False, "expected the forced quant kernel to be invoked"
+        except _KernelHit:
+            pass
+    finally:
+        jl._FORCE_QUANT_KERNEL[0] = False
