@@ -516,6 +516,13 @@ class EngineSpec:
     use_quant_tiled: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
+    #: Chunked prefill (models/chunked_prefill.py): run the prompt forward
+    #: in fixed-size token chunks so serving refills interleave with decode
+    #: quanta at chunk granularity instead of stalling whole prompts.
+    #: ``None`` keeps the monolithic one-call prefill.  Must divide every
+    #: prefill bucket; methods outside `chunked_prefill.supports_chunked`
+    #: fall back to monolithic.
+    prefill_chunk: "int | None" = None
     greedy: bool = True
     temperature: float = 1.0
     #: top-k restriction for sampling (None = full softmax); ignored when

@@ -86,6 +86,7 @@ class Engine:
         self.engine_spec = engine_spec
         self.params = params
         self._prefill_fns: dict = {}
+        self._chunked_fns: dict = {}
         self._decode_fns: dict = {}
         self._spec_decode_fns: dict = {}
         self._roll_fns: dict = {}
@@ -148,6 +149,77 @@ class Engine:
 
             fn = self._prefill_fns[bucket] = prefill_fn
         return fn
+
+    # -- chunked prefill ---------------------------------------------------
+
+    def chunked_prefill_supported(self, bucket: int) -> bool:
+        from .models.chunked_prefill import supports_chunked
+
+        c = self.engine_spec.prefill_chunk
+        return (c is not None and bucket % c == 0
+                and self.plan_for(bucket).window <= c
+                and supports_chunked(self.plan_for(bucket)))
+
+    def _get_prefill_chunked(self, bucket: int) -> dict:
+        """Jitted chunked-prefill pieces: ``{"init", "chunks", "finish"}``.
+
+        ``chunks[i]`` forwards chunk i (static chunk_start = i*C) and
+        returns (state, window_q, hidden_last); ``finish`` compresses the
+        accumulated state into (logits, KVCache).  One compile per chunk
+        index per bucket, shared across all requests."""
+        got = self._chunked_fns.get(bucket)
+        if got is not None:
+            return got
+        from .models import chunked_prefill as cp
+
+        assert self.chunked_prefill_supported(bucket), bucket
+        plan = self.plan_for(bucket)
+        es = self.engine_spec
+        c = es.prefill_chunk
+        spec = self.model_spec
+        impl = ("pallas" if es.use_pallas
+                and jax.devices()[0].platform == "tpu" else "xla")
+        act_dtype = self.params["final_norm"].dtype
+
+        def init_fn(batch: int):
+            return cp.init_state(spec, plan, batch, act_dtype)
+
+        chunks = []
+        for i in range(bucket // c):
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def chunk_fn(params, state, tokens, true_len, _start=i * c):
+                return cp.prefill_chunk(
+                    params, spec, plan, state, tokens, true_len,
+                    chunk_start=_start, attention_impl=impl,
+                    prefill_block=es.prefill_block,
+                )
+            chunks.append(chunk_fn)
+
+        @jax.jit
+        def finish_fn(params, state, window_q, hidden_last, true_len, rng):
+            # no donation: the compressed outputs don't alias the bucket-
+            # length state buffers, so donating only warns
+            return cp.prefill_finish(params, spec, plan, state, window_q,
+                                     hidden_last, true_len, rng)
+
+        got = self._chunked_fns[bucket] = {
+            "init": init_fn, "chunks": chunks, "finish": finish_fn,
+            "chunk_len": c,
+        }
+        return got
+
+    def _run_chunked_prefill(self, bucket, tokens, true_len, rng):
+        """Drive all chunks + finish back-to-back (generate()'s path; the
+        ContinuousBatcher interleaves the same pieces with decode quanta)."""
+        fns = self._get_prefill_chunked(bucket)
+        c = fns["chunk_len"]
+        state = fns["init"](tokens.shape[0])
+        window_q = hidden_last = None
+        for i, chunk_fn in enumerate(fns["chunks"]):
+            state, window_q, hidden_last = chunk_fn(
+                self.params, state, tokens[:, i * c:(i + 1) * c], true_len)
+        return fns["finish"](self.params, state, window_q, hidden_last,
+                             true_len, rng)
 
     def _get_decode(self, bucket: int):
         """Jitted whole-decode loop: greedy sampling + EOS early exit on
@@ -365,9 +437,13 @@ class Engine:
         tokens = jnp.asarray(tokens)
         rng = jax.random.PRNGKey(rng_seed)
 
-        prefill_fn = self._get_prefill(bucket)
         t0 = time.perf_counter()
-        logits, cache = prefill_fn(self.params, tokens, true_len, rng)
+        if self.chunked_prefill_supported(bucket):
+            logits, cache = self._run_chunked_prefill(bucket, tokens,
+                                                      true_len, rng)
+        else:
+            logits, cache = self._get_prefill(bucket)(
+                self.params, tokens, true_len, rng)
         if eos_token_ids:
             # min_length = context + 1 semantics: EOS is suppressed for the
             # first generated token (run_longbench.py:269 via HF

@@ -64,6 +64,7 @@ def _kernel(
     fast_path: bool,
     use_exp2: bool,
     softcap: float | None,
+    q_start: int,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -116,7 +117,7 @@ def _kernel(
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     def _masked_update():
-        rows = qi * block_q + jax.lax.broadcasted_iota(
+        rows = q_start + qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
         cols = ki * block_k + jax.lax.broadcasted_iota(
@@ -152,13 +153,15 @@ def _kernel(
 
 @functools.lru_cache(maxsize=64)
 def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
-                      sliding_window: int | None):
+                      sliding_window: int | None, q_start: int = 0):
     """Static (q-tile, k-tile) visit order: causal upper-triangle only, and
-    (with a sliding window) only tiles intersecting the band."""
+    (with a sliding window) only tiles intersecting the band.  ``q_start``
+    offsets the query rows globally (chunked prefill: the chunk's nq tiles
+    sit at rows [q_start, q_start + nq*block_q) against nk key tiles)."""
     qidx, kidx, first, last, interior = [], [], [], [], []
     for qi in range(nq):
-        row_max = qi * block_q + block_q - 1
-        row_min = qi * block_q
+        row_max = q_start + qi * block_q + block_q - 1
+        row_min = q_start + qi * block_q
         ks = []
         for ki in range(nk):
             col_min = ki * block_k
@@ -196,22 +199,22 @@ def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
 _MAX_TILE_VISITS = 16384
 
 
-def _fit_blocks(n: int, block_q: int, block_k: int,
-                sliding_window: int | None):
+def _fit_blocks(nq_len: int, nk_len: int, block_q: int, block_k: int,
+                sliding_window: int | None, q_start: int = 0):
     """Grow the tile sizes until the ACTUAL triangular visit count fits the
     SMEM table budget — 128k ctx lands on 1024x1024 tiles (T=8256).  Only
-    doublings that still divide n are taken (engine buckets are powers of
-    two; odd direct-call lengths keep their size)."""
+    doublings that still divide the respective length are taken (engine
+    buckets are powers of two; odd direct-call lengths keep their size)."""
     def visits(bq, bk):
-        return len(_triangular_pairs(n // bq, n // bk, bq, bk,
-                                     sliding_window)[0])
+        return len(_triangular_pairs(nq_len // bq, nk_len // bk, bq, bk,
+                                     sliding_window, q_start)[0])
 
     while visits(block_q, block_k) > _MAX_TILE_VISITS:
-        if block_q <= block_k and n % (2 * block_q) == 0:
+        if block_q <= block_k and nq_len % (2 * block_q) == 0:
             block_q *= 2
-        elif n % (2 * block_k) == 0:
+        elif nk_len % (2 * block_k) == 0:
             block_k *= 2
-        elif n % (2 * block_q) == 0:
+        elif nq_len % (2 * block_q) == 0:
             block_q *= 2
         else:
             break
@@ -221,7 +224,7 @@ def _fit_blocks(n: int, block_q: int, block_k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
-                     "fast_path", "use_exp2", "scale", "softcap"),
+                     "fast_path", "use_exp2", "scale", "softcap", "q_start"),
 )
 def flash_causal_attention(
     q: jax.Array,
@@ -237,11 +240,16 @@ def flash_causal_attention(
     use_exp2: bool = True,
     scale: float | None = None,
     softcap: float | None = None,
+    q_start: int = 0,
 ) -> jax.Array:
     """Causal self-attention over a left-padded buffer.
 
     Args / returns match ``ops.attention.causal_prefill_attention``:
-    q, k, v [B, H, N, D] -> [B, H, N, D] (padding rows undefined).
+    q [B, H, Nq, D], k, v [B, Hk, N, D] -> [B, H, Nq, D] (padding rows
+    undefined).  ``q_start`` (static) places the queries at global columns
+    [q_start, q_start + Nq) of the key buffer — the rectangular chunked-
+    prefill case; the tile walk stays triangular around the shifted
+    causal edge, so chunk FLOPs match the causal ideal.
 
     ``fast_path`` skips all mask work on tiles that are statically interior
     to the causal/banded region (and dynamically past the batch row's left
@@ -249,13 +257,16 @@ def flash_causal_attention(
     log2(e) folded into the q scaling (one fewer VPU multiply per logit —
     softmax ratios are unchanged).
     """
-    b, h, n, d = q.shape
+    b, h, nq_len, d = q.shape
     hk = k.shape[1]
+    n = k.shape[2]
+    assert q_start + nq_len == n or (q_start == 0 and nq_len == n)
     g = h // hk
-    block_q, block_k = _fit_blocks(n, min(block_q, n), min(block_k, n),
-                                   sliding_window)
-    assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
-    nq, nk = n // block_q, n // block_k
+    block_q, block_k = _fit_blocks(nq_len, n, min(block_q, nq_len),
+                                   min(block_k, n), sliding_window, q_start)
+    assert nq_len % block_q == 0 and n % block_k == 0, (
+        nq_len, n, block_q, block_k)
+    nq, nk = nq_len // block_q, n // block_k
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if use_exp2 and softcap is None:
         # with soft-capping the log2(e) factor is applied in-kernel AFTER
@@ -264,13 +275,14 @@ def flash_causal_attention(
     pad = (n - true_len).astype(jnp.int32)
 
     qidx, kidx, first, last, interior = _triangular_pairs(
-        nq, nk, block_q, block_k, sliding_window
+        nq, nk, block_q, block_k, sliding_window, q_start
     )
     T = len(qidx)
 
     # fold the softmax scale into q ONCE (fp32 multiply, bf16 storage —
     # same rounding as the previous in-kernel per-tile scaling)
-    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(b * h, n, d)
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(
+        b * h, nq_len, d)
     kr = k.reshape(b * hk, n, d)
     vr = v.reshape(b * hk, n, d)
 
@@ -311,6 +323,7 @@ def flash_causal_attention(
             fast_path=fast_path,
             use_exp2=use_exp2,
             softcap=softcap,
+            q_start=q_start,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -318,8 +331,8 @@ def flash_causal_attention(
             # carries the online-softmax accumulator -> sequential
             dimension_semantics=("parallel", "arbitrary"),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_len, d), q.dtype),
         interpret=interpret,
     )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
       jnp.asarray(last), jnp.asarray(interior), qr, kr, vr)
-    return out.reshape(b, h, n, d)
+    return out.reshape(b, h, nq_len, d)

@@ -625,21 +625,27 @@ def prefill(
             )
             seg_ckvs.append(ckv)
     logits = _logits(hidden[:, -1, :], params, spec)  # [B, V]
+    return logits, assemble_cache(plan, seg_ckvs, true_len)
+
+
+def assemble_cache(plan: PolicyPlan, seg_ckvs: list, true_len: jax.Array
+                   ) -> KVCache:
+    """Build the KVCache from per-segment layer-stacked CompactedKVs (the
+    shared tail of :func:`prefill` and the chunked-prefill finish step)."""
     cs = plan.spec
     if plan.think_narrow:
         from ..cache import ThinKRegion
 
         ckvs, kps, kcs = seg_ckvs[0]  # think never segments
-        cache = KVCache(
+        return KVCache(
             k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
             true_len=true_len.astype(jnp.int32),
             step=jnp.zeros((), jnp.int32),
             think=ThinKRegion(k_pruned=kps, kept_channels=kcs),
         )
-        return logits, cache
     if len(seg_ckvs) > 1:
         assert cs.quant_method is None  # make_plan keeps quant plans uniform
-        cache = KVCache(
+        return KVCache(
             k=tuple(c.k for c in seg_ckvs),
             v=tuple(c.v for c in seg_ckvs),
             mask=tuple(c.mask for c in seg_ckvs),
@@ -647,24 +653,21 @@ def prefill(
             true_len=true_len.astype(jnp.int32),
             step=jnp.zeros((), jnp.int32),
         )
-        return logits, cache
     if cs.quant_method is not None:
         # regions were quantized per layer inside the scan (one layer's
         # bf16 K/V live at a time); the scan ys stacked them to [L, ...]
         ckvs, reg = seg_ckvs[0]
-        cache = KVCache(
+        return KVCache(
             k=ckvs.k, v=ckvs.v,
             mask=ckvs.mask, positions=ckvs.positions,
             true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
             quant=reg,
         )
-        return logits, cache
     ckvs = seg_ckvs[0]
-    cache = KVCache(
+    return KVCache(
         k=ckvs.k, v=ckvs.v, mask=ckvs.mask, positions=ckvs.positions,
         true_len=true_len.astype(jnp.int32), step=jnp.zeros((), jnp.int32),
     )
-    return logits, cache
 
 
 # ---------------------------------------------------------------------------

@@ -46,32 +46,41 @@ def causal_prefill_attention(
     sliding_window: int | None = None,
     scale: float | None = None,
     softcap: float | None = None,
+    q_start: int = 0,
 ) -> jax.Array:
     """Blockwise causal self-attention over a left-padded buffer.
 
     Args:
-      q: [B, H, N, D]; k, v: [B, Hk, N, D] where Hk == H (pre-repeated) or
+      q: [B, H, Nq, D]; k, v: [B, Hk, N, D] where Hk == H (pre-repeated) or
         Hk == num_kv_heads (grouped-query: each group of H/Hk query heads
         shares a KV head — no repeat_kv materialisation).
-      true_len: [B] int32 — real tokens occupy columns [N - true_len, N).
+      true_len: [B] int32 — real tokens occupy columns [N - true_len, N)
+        of the KEY buffer (padding is on the left of the full bucket; a
+        chunked caller passes the extent-so-far as N, see ``q_start``).
       block: query-block size of the online-softmax scan.
       sliding_window: Mistral-style window — key j visible to query i only
         when i - j < sliding_window (mistral_model.py sliding-window slicing).
+      q_start: static global column of q's first row (chunked prefill:
+        the chunk's queries sit at columns [q_start, q_start + Nq) of the
+        key buffer; causality is row >= col in GLOBAL coordinates).  The
+        default 0 with Nq == N is plain causal self-attention.
 
     Returns:
-      [B, H, N, D] attention outputs (garbage at padding rows; callers mask).
+      [B, H, Nq, D] attention outputs (garbage at padding rows; callers mask).
     """
-    b, h, n, d = q.shape
+    b, h, nq_len, d = q.shape
     hk = k.shape[1]
+    n = k.shape[2]
+    assert q_start + nq_len == n or (q_start == 0 and nq_len == n)
     if hk != h:
         g = h // hk
-        q = q.reshape(b, hk, g, n, d)
+        q = q.reshape(b, hk, g, nq_len, d)
     # cap the transient [B, H, block, N] fp32 logits at ~256 MB
     budget = (1 << 26) // max(b * h * n, 1)
     block = max(min(block, budget), 8)
-    if n % block != 0:
-        block = math.gcd(n, block) or n
-    nblocks = n // block
+    if nq_len % block != 0:
+        block = math.gcd(nq_len, block) or nq_len
+    nblocks = nq_len // block
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     pad = (n - true_len).astype(jnp.int32)  # [B]
     col = jnp.arange(n, dtype=jnp.int32)
@@ -87,7 +96,7 @@ def causal_prefill_attention(
         # operands stay in storage dtype (bf16 on TPU -> full-rate MXU);
         # accumulation is fp32 via preferred_element_type, softmax in fp32 —
         # the reference's fp16-matmul + fp32-softmax recipe.
-        rows = bi * block + jnp.arange(block, dtype=jnp.int32)  # [block]
+        rows = q_start + bi * block + jnp.arange(block, dtype=jnp.int32)
         causal = col[None, :] <= rows[:, None]  # [block, N]
         if sliding_window is not None:
             causal &= (rows[:, None] - col[None, :]) < sliding_window
@@ -117,13 +126,13 @@ def causal_prefill_attention(
     if hk == h:
         q_blocks_ = q_blocks
         _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks_))
-        out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, n, d)
+        out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, nq_len, d)
     else:
         g = h // hk
         q_blocks_ = q.reshape(b, hk, g, nblocks, block, d).transpose(3, 0, 1, 2, 4, 5)
         _, outs = jax.lax.scan(body, None, (jnp.arange(nblocks), q_blocks_))
         # outs: [nblocks, B, Hk, G, block, D]
-        out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(b, h, n, d)
+        out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(b, h, nq_len, d)
     return out.astype(q.dtype)
 
 

@@ -424,33 +424,84 @@ class ContinuousBatcher:
                 for i in reversed(idxs[:rows]):
                     queue.pop(i)
                 lanes_ = [free.pop(0) for _ in range(rows)]
-                prefill_fn = engine._get_prefill(bucket)
                 toks = np.zeros((rows, bucket), np.int32)
                 tls = []
                 for j, r in enumerate(group):
                     toks[j, bucket - len(r.prompt_ids):] = r.prompt_ids
                     tls.append(len(r.prompt_ids))
-                logits, new_cache = prefill_fn(
-                    engine.params, jnp.asarray(toks),
-                    jnp.asarray(tls, jnp.int32), jax.random.PRNGKey(0),
-                )
-                for j, r in enumerate(group):
-                    if r.eos_token_ids:
-                        cols = jnp.asarray(list(r.eos_token_ids), jnp.int32)
-                        logits = logits.at[j, cols].set(-jnp.inf)
-                        eos_set.update(int(e) for e in r.eos_token_ids)
-                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [R]
-                pending_groups.append(dict(
-                    lanes=lanes_, reqs=group, first=first, cache=new_cache,
+                g = dict(
+                    lanes=lanes_, reqs=group, first=None, cache=None,
                     max_news=[min(r.max_new_tokens or es.max_new_tokens,
                                   es.max_new_tokens) for r in group],
                     t0=_time.perf_counter(),
-                ))
+                )
+                if engine.chunked_prefill_supported(bucket):
+                    # chunked refill: the prompt forward advances ONE chunk
+                    # per decode quantum (`advance_refills`) so live lanes
+                    # never stall behind a whole long prefill
+                    fns = engine._get_prefill_chunked(bucket)
+                    g.update(fns=fns, state=fns["init"](rows),
+                             toks=jnp.asarray(toks),
+                             tls=jnp.asarray(tls, jnp.int32), next_chunk=0)
+                    eos_set.update(int(e) for r in group
+                                   for e in r.eos_token_ids)
+                else:
+                    logits, new_cache = engine._get_prefill(bucket)(
+                        engine.params, jnp.asarray(toks),
+                        jnp.asarray(tls, jnp.int32), jax.random.PRNGKey(0),
+                    )
+                    for j, r in enumerate(group):
+                        if r.eos_token_ids:
+                            cols = jnp.asarray(list(r.eos_token_ids),
+                                               jnp.int32)
+                            logits = logits.at[j, cols].set(-jnp.inf)
+                            eos_set.update(int(e) for e in r.eos_token_ids)
+                    g.update(
+                        first=jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        cache=new_cache,
+                    )
+                pending_groups.append(g)
+
+        def advance_refill(g) -> None:
+            """Dispatch the next chunk (or the finish) of a chunked refill."""
+            fns = g["fns"]
+            i = g["next_chunk"]
+            chunks = fns["chunks"]
+            c = fns["chunk_len"]
+            if i < len(chunks):
+                g["state"], g["wq"], g["hl"] = chunks[i](
+                    engine.params, g["state"], g["toks"][:, i * c:(i + 1) * c],
+                    g["tls"])
+                g["next_chunk"] = i + 1
+                return
+            logits, new_cache = fns["finish"](
+                engine.params, g["state"], g["wq"], g["hl"], g["tls"],
+                jax.random.PRNGKey(0))
+            for j, r in enumerate(g["reqs"]):
+                if r.eos_token_ids:
+                    cols = jnp.asarray(list(r.eos_token_ids), jnp.int32)
+                    logits = logits.at[j, cols].set(-jnp.inf)
+            g["first"] = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            g["cache"] = new_cache
+            for key in ("fns", "state", "toks", "tls", "wq", "hl"):
+                g.pop(key, None)
+
+        def advance_refills(to_completion: bool = False) -> None:
+            for g in pending_groups:
+                if "fns" not in g:
+                    continue
+                advance_refill(g)
+                while to_completion and "fns" in g:
+                    advance_refill(g)
 
         def harvest(block: bool):
             nonlocal cache, tokens, lane_steps, done, budget
             nonlocal hist, hstart, hend
             for g in list(pending_groups):
+                if g["first"] is None:  # chunked refill still in flight
+                    if not block:
+                        continue
+                    advance_refills(to_completion=True)
                 if not block and not g["first"].is_ready():
                     continue
                 pending_groups.remove(g)
@@ -523,6 +574,10 @@ class ContinuousBatcher:
                             break
                         lane_tokens[lane].append(t)
             retire_and_launch()
+            # one refill chunk per quantum: the chunk dispatch queues behind
+            # the NEXT quantum's steps, so decode progresses during long
+            # refills at chunk granularity instead of stalling end-to-end
+            advance_refills()
             # insert any prefills that finished while the quantum ran; if no
             # lane is active, wait for one so the loop always progresses
             harvest(block=not any(r is not None for r in lane_req))

@@ -1,0 +1,186 @@
+"""Chunked prefill (models/chunked_prefill.py): parity with the monolithic
+prefill and decode-during-refill interleaving in the ContinuousBatcher.
+
+The reference has no serving/chunked path (batching is its open TODO,
+/root/reference/README.md:47); the oracle here is our own monolithic
+prefill, which is itself A/B'd against the reference's update_kv +
+patched forwards (test_reference_ab*.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+from pyramidkv_tpu.engine import Engine
+from pyramidkv_tpu.models.llama import init_params
+from pyramidkv_tpu.ops.attention import causal_prefill_attention
+from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    ms = ModelSpec.tiny()
+    params = init_params(ms, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return ms, params
+
+
+def _engine(ms, params, method="snapkv", chunk=None, **eng_kw):
+    return Engine(
+        ms,
+        CompressionSpec(method=method, max_capacity_prompt=64, window_size=8),
+        EngineSpec(max_new_tokens=16, prefill_buckets=(256,),
+                   prefill_chunk=chunk, **eng_kw),
+        params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# rectangular (q_start) attention
+# ---------------------------------------------------------------------------
+
+
+def _rand_qkv(b=2, h=4, hk=2, n=256, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, hk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, hk, n, d)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("window", [None, 96])
+def test_q_start_attention_matches_causal(window):
+    n, c = 256, 64
+    q, k, v = _rand_qkv(n=n)
+    tl = jnp.asarray([200, 256], jnp.int32)
+    ref = causal_prefill_attention(q, k, v, true_len=tl, block=64,
+                                   sliding_window=window)
+    outs = []
+    for i in range(n // c):
+        m = (i + 1) * c
+        outs.append(causal_prefill_attention(
+            q[:, :, i * c:m], k[:, :, :m], v[:, :, :m],
+            true_len=tl - (n - m), block=64, q_start=i * c,
+            sliding_window=window))
+    got = jnp.concatenate(outs, axis=2)
+    # padding rows (first 56 of batch 0) are undefined in both
+    np.testing.assert_allclose(np.asarray(ref[:, :, 64:]),
+                               np.asarray(got[:, :, 64:]), atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [None, 96])
+def test_q_start_flash_kernel_matches_causal(window):
+    from pyramidkv_tpu.kernels import flash_causal_attention
+
+    n, c = 256, 64
+    q, k, v = _rand_qkv(n=n)
+    tl = jnp.asarray([200, 256], jnp.int32)
+    ref = causal_prefill_attention(q, k, v, true_len=tl, block=64,
+                                   sliding_window=window)
+    outs = []
+    for i in range(n // c):
+        m = (i + 1) * c
+        outs.append(flash_causal_attention(
+            q[:, :, i * c:m], k[:, :, :m], v[:, :, :m], tl - (n - m),
+            block_q=64, block_k=64, interpret=True, q_start=i * c,
+            sliding_window=window))
+    got = jnp.concatenate(outs, axis=2)
+    np.testing.assert_allclose(np.asarray(ref[:, :, 64:]),
+                               np.asarray(got[:, :, 64:]), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# engine generate parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", [
+    "snapkv", "pyramidkv", "streamingllm", "l2norm", "adakv",
+    "random", "fullkv",
+])
+def test_generate_chunked_matches_monolithic(tiny, method):
+    ms, params = tiny
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    plain = _engine(ms, params, method).generate(prompts)
+    chunked = _engine(ms, params, method, chunk=64).generate(prompts)
+    assert plain.tokens == chunked.tokens
+
+
+def test_unsupported_method_falls_back(tiny):
+    ms, params = tiny
+    eng = _engine(ms, params, "h2o", chunk=64)
+    assert not eng.chunked_prefill_supported(256)
+    plain = _engine(ms, params, "h2o").generate([list(range(1, 180))])
+    fallback = eng.generate([list(range(1, 180))])
+    assert plain.tokens == fallback.tokens
+
+
+# ---------------------------------------------------------------------------
+# continuous batching
+# ---------------------------------------------------------------------------
+
+
+def _requests():
+    return [
+        Request(request_id=f"r{i}",
+                prompt_ids=list(range(1 + i, 150 + 2 * i)),
+                max_new_tokens=4 + 4 * i)
+        for i in range(6)
+    ]
+
+
+def test_cb_chunked_tokens_identical(tiny):
+    ms, params = tiny
+
+    def run(chunk):
+        eng = _engine(ms, params, chunk=chunk)
+        cb = ContinuousBatcher(eng, lanes=2, quantum=4)
+        return cb.run(_requests())
+
+    plain, chunked = run(None), run(64)
+    assert set(plain) == set(chunked)
+    for k in plain:
+        assert plain[k].tokens == chunked[k].tokens, k
+
+
+def test_cb_decode_progresses_during_chunked_refill(tiny):
+    """At least one decode quantum must run BETWEEN two chunks of the same
+    refill — the stall-elimination property chunking exists for."""
+    ms, params = tiny
+    eng = _engine(ms, params, chunk=64)
+    cb = ContinuousBatcher(eng, lanes=2, quantum=2)
+
+    events = []
+    fns = eng._get_prefill_chunked(256)
+    orig_chunks = list(fns["chunks"])
+    fns["chunks"] = [
+        (lambda *a, _f=f, _i=i: (events.append(("chunk", _i)), _f(*a))[1])
+        for i, f in enumerate(orig_chunks)
+    ]
+    qf = cb._build_quantum()
+
+    def counting_quantum(*a):
+        events.append(("quantum", -1))
+        return qf(*a)
+
+    cb._quantum_fn = counting_quantum
+    results = cb.run(_requests())
+    assert len(results) == 6
+
+    interleaved = False
+    for i, (kind, ci) in enumerate(events):
+        if kind != "chunk":
+            continue
+        for j in range(i + 1, len(events)):
+            kj, cj = events[j]
+            if kj == "chunk" and cj == ci + 1:
+                break  # consecutive chunks — was anything between?
+            if kj == "quantum":
+                # a quantum ran between chunk ci and a later event of the
+                # SAME refill iff the next chunk follows the quantum
+                if any(e == ("chunk", ci + 1) for e in events[j + 1:]):
+                    interleaved = True
+                break
+        if interleaved:
+            break
+    assert interleaved, events

@@ -185,18 +185,24 @@ def test_fit_blocks_bounds_smem_tables():
         _MAX_TILE_VISITS, _fit_blocks, _triangular_pairs)
 
     for n in [4096, 32768, 65536, 131072, 262144]:
-        bq, bk = _fit_blocks(n, 512, 512, None)
+        bq, bk = _fit_blocks(n, n, 512, 512, None)
         assert n % bq == 0 and n % bk == 0
         t = len(_triangular_pairs(n // bq, n // bk, bq, bk, None)[0])
         assert t <= _MAX_TILE_VISITS, (n, bq, bk, t)
     # odd multiple of 512: growth blocked by divisibility, still valid
     n = 183 * 512
-    bq, bk = _fit_blocks(n, 512, 512, None)
+    bq, bk = _fit_blocks(n, n, 512, 512, None)
     assert n % bq == 0 and n % bk == 0
     # sliding window shrinks the visit count, so big-n windowed cases
     # stay at smaller (better-pipelined) tiles
-    bq, bk = _fit_blocks(131072, 512, 512, 4096)
+    bq, bk = _fit_blocks(131072, 131072, 512, 512, 4096)
     t = len(_triangular_pairs(131072 // bq, 131072 // bk, bq, bk, 4096)[0])
+    assert t <= _MAX_TILE_VISITS
+    # rectangular (chunked prefill): a 4k-query chunk against 128k keys
+    bq, bk = _fit_blocks(4096, 131072, 512, 512, None, q_start=131072 - 4096)
+    assert 4096 % bq == 0 and 131072 % bk == 0
+    t = len(_triangular_pairs(4096 // bq, 131072 // bk, bq, bk, None,
+                              131072 - 4096)[0])
     assert t <= _MAX_TILE_VISITS
 
 
