@@ -153,12 +153,16 @@ class Engine:
     # -- chunked prefill ---------------------------------------------------
 
     def chunked_prefill_supported(self, bucket: int) -> bool:
-        from .models.chunked_prefill import supports_chunked
+        from .models.chunked_prefill import (supports_chunked,
+                                             supports_chunked_quant)
 
         c = self.engine_spec.prefill_chunk
-        return (c is not None and bucket % c == 0
-                and self.plan_for(bucket).window <= c
-                and supports_chunked(self.plan_for(bucket)))
+        if c is None or bucket % c != 0:
+            return False
+        plan = self.plan_for(bucket)
+        if plan.window > c:
+            return False
+        return supports_chunked(plan) or supports_chunked_quant(plan, c)
 
     def _get_prefill_chunked(self, bucket: int) -> dict:
         """Jitted chunked-prefill pieces: ``{"init", "chunks", "finish"}``.
@@ -180,25 +184,45 @@ class Engine:
         impl = ("pallas" if es.use_pallas
                 and jax.devices()[0].platform == "tpu" else "xla")
         act_dtype = self.params["final_norm"].dtype
+        quant = plan.spec.quant_method is not None
 
         def init_fn(batch: int):
+            if quant:
+                return cp.init_quant_state(spec, plan, batch)
             return cp.init_state(spec, plan, batch, act_dtype)
 
-        chunks = []
-        for i in range(bucket // c):
+        if quant:
+            # chunk_start is TRACED in the quant variant (its history loop
+            # is tile-count-bounded): ONE compile covers every chunk index
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def chunk_fn(params, state, tokens, true_len, _start=i * c):
-                return cp.prefill_chunk(
-                    params, spec, plan, state, tokens, true_len,
-                    chunk_start=_start, attention_impl=impl,
-                    prefill_block=es.prefill_block,
-                )
-            chunks.append(chunk_fn)
+            def qchunk_fn(params, state, tokens, true_len, start):
+                return cp.prefill_chunk_quant(
+                    params, spec, plan, state, tokens, true_len, start)
+
+            chunks = [
+                (lambda p, s, t, tl, _i=i: qchunk_fn(
+                    p, s, t, tl, jnp.int32(_i * c)))
+                for i in range(bucket // c)
+            ]
+        else:
+            chunks = []
+            for i in range(bucket // c):
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def chunk_fn(params, state, tokens, true_len, _start=i * c):
+                    return cp.prefill_chunk(
+                        params, spec, plan, state, tokens, true_len,
+                        chunk_start=_start, attention_impl=impl,
+                        prefill_block=es.prefill_block,
+                    )
+                chunks.append(chunk_fn)
 
         @jax.jit
         def finish_fn(params, state, window_q, hidden_last, true_len, rng):
             # no donation: the compressed outputs don't alias the bucket-
             # length state buffers, so donating only warns
+            if quant:
+                return cp.prefill_finish_quant(params, spec, plan, state,
+                                               hidden_last, true_len, c)
             return cp.prefill_finish(params, spec, plan, state, window_q,
                                      hidden_last, true_len, rng)
 

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 from ..cache import KVCache
 from ..config import ModelSpec
-from ..ops.attention import causal_prefill_attention
+from ..ops.attention import (causal_prefill_attention, merge_partials_pair,
+                             tile_attention_partials)
 from ..policy import PolicyPlan, compress_layer, layer_contexts
 from . import llama
 from .weights import embed_lookup, mm
@@ -240,3 +241,302 @@ def prefill_finish(
         seg_ckvs.append(ckv)
     logits = llama._logits(hidden_last, params, spec)
     return logits, llama.assemble_cache(plan, seg_ckvs, true_len)
+
+
+# ---------------------------------------------------------------------------
+# Quantized chunk carry (fullkv + KIVI): blockwise prefill quantization
+# ---------------------------------------------------------------------------
+
+
+class QuantChunkState(NamedTuple):
+    """Quantized full-KV carry: each chunk's K/V are quantized AS THEY EXIT
+    the chunk forward, so the bf16 full-context cache is never materialised
+    — the enabler for 128k full-KV on one chip (the post-hoc path OOMs:
+    BASELINE "128k fullkv kivi4 does NOT fit").
+
+    Packing is CHUNK-LOCAL planar (each chunk's ``per`` bit-planes span
+    that chunk's slots); `prefill_finish_quant` repacks to the region-global
+    planar layout so the finished cache is byte-compatible with the
+    post-hoc `ops.quant.quantize_kv_region` output (groups align because
+    the chunk is a multiple of group_size * per — layer 0 repacks
+    bit-identically, tested)."""
+
+    k_codes: jax.Array   # [L,B,KV,D,N/per] int8, chunk-local planar
+    k_scale: jax.Array   # [L,B,KV,D,N/gs,1] f32
+    k_zero: jax.Array
+    v_codes: jax.Array   # [L,B,KV,N/per,Dp] int8, chunk-local planar (slots)
+    v_scale: jax.Array   # [L,B,KV,N,Dp/gs,1] f32
+    v_zero: jax.Array
+
+
+def supports_chunked_quant(plan: PolicyPlan, chunk: int) -> bool:
+    """fullkv + KIVI only: compression methods already fit long contexts
+    (their caches are capacity-bounded); kvquant's outlier sidecars keep
+    the post-hoc path (its dequant-in-prefill would need outlier
+    injection per history tile)."""
+    spec = plan.spec
+    if spec.method != "fullkv" or spec.quant_method != "kivi":
+        return False
+    per = 8 // spec.nbits
+    return (chunk % (spec.q_group_size * per) == 0
+            and plan.prefill_slots == plan.bucket_len
+            and plan.bucket_len % chunk == 0)
+
+
+def init_quant_state(spec: ModelSpec, plan: PolicyPlan,
+                     batch: int) -> QuantChunkState:
+    from ..ops.quant import _round_up
+
+    cs = plan.spec
+    gs = cs.q_group_size
+    per = 8 // cs.nbits
+    L, kv, d = (spec.num_hidden_layers, spec.num_key_value_heads,
+                spec.head_dim)
+    n = plan.bucket_len
+    dp = _round_up(d, gs)
+    return QuantChunkState(
+        k_codes=jnp.zeros((L, batch, kv, d, n // per), jnp.int8),
+        k_scale=jnp.zeros((L, batch, kv, d, n // gs, 1), jnp.float32),
+        k_zero=jnp.zeros((L, batch, kv, d, n // gs, 1), jnp.float32),
+        v_codes=jnp.zeros((L, batch, kv, n // per, dp), jnp.int8),
+        v_scale=jnp.zeros((L, batch, kv, n, dp // gs, 1), jnp.float32),
+        v_zero=jnp.zeros((L, batch, kv, n, dp // gs, 1), jnp.float32),
+    )
+
+
+def prefill_chunk_quant(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    state: QuantChunkState,
+    tokens: jax.Array,
+    true_len: jax.Array,
+    chunk_start: jax.Array,
+    *,
+    q_block: int = 1024,
+) -> Tuple[QuantChunkState, jax.Array, jax.Array]:
+    """One chunk forward with a QUANTIZED history: the chunk's own K/V stay
+    bf16 for its causal self-attention; earlier chunks are dequantized one
+    tile at a time into flash partials (`ops.attention.
+    tile_attention_partials`) and merged online — HBM holds only packed
+    codes plus one bf16 tile.  Returns (state', window_q, hidden_last)
+    like :func:`prefill_chunk` (window_q is unused by the fullkv finish
+    but keeps the engine driver uniform).
+
+    Unlike the bf16 path, ``chunk_start`` is a TRACED scalar: the history
+    is consumed in fixed C-slot tiles whose count rides a ``fori_loop``
+    bound, so ONE compile covers every chunk index — at 128k/4k that is
+    1 compile instead of 32."""
+    from ..ops.quant import QuantizedTensor, _round_up, dequantize, quantize
+
+    cs = plan.spec
+    gs = cs.q_group_size
+    nbits = cs.nbits
+    per = 8 // nbits
+    b, c = tokens.shape
+    n = plan.bucket_len
+    w = plan.window
+    kvh = spec.num_key_value_heads
+    dh = spec.head_dim
+    dp = _round_up(dh, gs)
+    chunk_start = jnp.asarray(chunk_start, jnp.int32)
+    n_hist = chunk_start // c  # traced loop bound
+    inv_freq = llama.rope_inv_freq(spec)
+    pad = (n - true_len).astype(jnp.int32)
+    cols = chunk_start + jnp.arange(c, dtype=jnp.int32)
+    positions = cols[None, :] - pad[:, None]
+    rows_g = cols  # query rows sit at the same global columns
+
+    act_dtype = params["final_norm"].dtype
+    hidden0 = embed_lookup(params["embed"], tokens, act_dtype)
+    if spec.scale_embeddings:
+        hidden0 = hidden0 * jnp.asarray(
+            math.sqrt(spec.hidden_size), dtype=act_dtype)
+    unit = spec.rmsnorm_unit_offset
+    ascale = (spec.attn_scale
+              if spec.query_pre_attn_scalar is not None else None)
+    asoftcap = spec.attn_logit_softcapping
+    # per-layer effective window (sliding layers; full layers get a
+    # sentinel no context can exceed) — lets the mask stay branch-free
+    big = 1 << 30
+    if spec.mixed_sliding:
+        win_arr = jnp.asarray(
+            [spec.sliding_window if spec.layer_is_sliding(i) else big
+             for i in range(spec.num_hidden_layers)], jnp.int32)
+    else:
+        win_arr = jnp.full((spec.num_hidden_layers,),
+                           spec.sliding_window or big, jnp.int32)
+
+    def layer_fn(carry, xs):
+        hidden, kc_f, ks_f, kz_f, vc_f, vs_f, vz_f = carry
+        wts, li = xs
+        win = win_arr[li]
+        x = llama.rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
+        q, k, v = llama._qkv(x, wts, spec)
+        q = llama.apply_rope(q, positions, inv_freq)
+        k = llama.apply_rope(k, positions, inv_freq)
+
+        # self tile (bf16, causal)
+        self_mask = (
+            (cols[None, :] <= rows_g[:, None])
+            & ((rows_g[:, None] - cols[None, :]) < win)
+        )[None] & (cols[None, None, :] >= pad[:, None, None])
+        parts = tile_attention_partials(
+            q, k, v, self_mask, scale=ascale, softcap=asoftcap,
+            q_block=q_block)
+
+        def hist_body(hc, pcarry):
+            kc = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(kc_f, li, 0, False),
+                hc * (c // per), c // per, axis=-1)
+            ks = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(ks_f, li, 0, False),
+                hc * (c // gs), c // gs, axis=-2)
+            kz = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(kz_f, li, 0, False),
+                hc * (c // gs), c // gs, axis=-2)
+            kt = dequantize(QuantizedTensor(kc, ks, kz, None),
+                            nbits=nbits, group_size=gs, dtype=act_dtype)
+            k_tile = jnp.swapaxes(kt, 2, 3)               # [B,KV,C,Dh]
+            vc = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(vc_f, li, 0, False),
+                hc * (c // per), c // per, axis=-2)
+            vs = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(vs_f, li, 0, False),
+                hc * c, c, axis=-3)
+            vz = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_index_in_dim(vz_f, li, 0, False),
+                hc * c, c, axis=-3)
+            v_tile = dequantize(QuantizedTensor(vc, vs, vz, None),
+                                nbits=nbits, group_size=gs,
+                                dtype=act_dtype,
+                                pack_axis=-2)[..., :dh]   # [B,KV,C,Dh]
+            hcols = hc * c + jnp.arange(c, dtype=jnp.int32)
+            hmask = ((hcols[None, None, :] >= pad[:, None, None])
+                     & ((rows_g[None, :, None] - hcols[None, None, :])
+                        < win))
+            tile = tile_attention_partials(
+                q, k_tile, v_tile, hmask, scale=ascale,
+                softcap=asoftcap, q_block=q_block)
+            return merge_partials_pair(pcarry, tile)
+
+        parts = jax.lax.fori_loop(0, n_hist, hist_body, parts)
+
+        acc, m, l = parts
+        attn = (acc / jnp.maximum(l, 1e-30)[..., None]).astype(act_dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, c, -1)
+        ao = mm(attn, wts["wo"])
+        if spec.post_block_norms:
+            ao = llama.rms_norm(ao, wts["attn_post_norm"],
+                                spec.rms_norm_eps, unit)
+        hidden = hidden + ao
+        x2 = llama.rms_norm(hidden, wts["mlp_norm"], spec.rms_norm_eps, unit)
+        mo = llama._mlp(
+            x2, wts, spec.num_experts_per_tok,
+            capacity_factor=spec.moe_capacity_factor,
+            valid=positions >= 0, hidden_act=spec.hidden_act,
+        )
+        if spec.post_block_norms:
+            mo = llama.rms_norm(mo, wts["mlp_post_norm"],
+                                spec.rms_norm_eps, unit)
+        hidden = hidden + mo
+
+        # quantize THIS chunk's K/V (chunk-local planar; groups align with
+        # the global grid because c % (gs*per) == 0 — same scales/codes as
+        # post-hoc quantization of the same values).  Padding columns are
+        # zeroed first, exactly like compact_kv does before the post-hoc
+        # quantize_kv_region — garbage there would poison group scales.
+        colv = (cols[None, :] >= pad[:, None])[:, None, :, None]  # [B,1,C,1]
+        kz_in = jnp.where(colv, k.astype(jnp.float32), 0.0)
+        vz_in = jnp.where(colv, v.astype(jnp.float32), 0.0)
+        kq = quantize(jnp.swapaxes(kz_in, 2, 3), nbits=nbits, group_size=gs)
+        vpad = jnp.pad(vz_in, ((0, 0), (0, 0), (0, 0), (0, dp - dh)))
+        vq = quantize(vpad, nbits=nbits, group_size=gs, pack_axis=-2)
+        kc_f = jax.lax.dynamic_update_slice(
+            kc_f, kq.codes[None], (li, 0, 0, 0, chunk_start // per))
+        ks_f = jax.lax.dynamic_update_slice(
+            ks_f, kq.scale[None], (li, 0, 0, 0, chunk_start // gs, 0))
+        kz_f = jax.lax.dynamic_update_slice(
+            kz_f, kq.zero[None], (li, 0, 0, 0, chunk_start // gs, 0))
+        vc_f = jax.lax.dynamic_update_slice(
+            vc_f, vq.codes[None], (li, 0, 0, chunk_start // per, 0))
+        vs_f = jax.lax.dynamic_update_slice(
+            vs_f, vq.scale[None], (li, 0, 0, chunk_start, 0, 0))
+        vz_f = jax.lax.dynamic_update_slice(
+            vz_f, vq.zero[None], (li, 0, 0, chunk_start, 0, 0))
+        return ((hidden, kc_f, ks_f, kz_f, vc_f, vs_f, vz_f),
+                q[:, :, c - w:, :])
+
+    (hidden, kc_f, ks_f, kz_f, vc_f, vs_f, vz_f), window_q = jax.lax.scan(
+        layer_fn, (hidden0,) + tuple(state),
+        (params["layers"],
+         jnp.arange(spec.num_hidden_layers, dtype=jnp.int32)),
+    )
+    state = QuantChunkState(kc_f, ks_f, kz_f, vc_f, vs_f, vz_f)
+    return state, window_q, hidden[:, -1, :]
+
+
+def prefill_finish_quant(
+    params: dict,
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    state: QuantChunkState,
+    hidden_last: jax.Array,
+    true_len: jax.Array,
+    chunk: int,
+) -> Tuple[jax.Array, KVCache]:
+    """Repack chunk-local codes to the region-global planar layout and
+    assemble the fullkv quantized cache (same structure as the monolithic
+    quant prefill: bf16 decode slots + [L, ...] QuantizedKVRegion)."""
+    from ..ops.quant import QuantizedKVRegion, QuantizedTensor, _pack, _unpack
+
+    cs = plan.spec
+    nbits = cs.nbits
+    per = 8 // nbits
+    n = plan.bucket_len
+    nc = n // chunk
+    L = spec.num_hidden_layers
+    b = hidden_last.shape[0]
+    kvh = spec.num_key_value_heads
+    dh = spec.head_dim
+    ds = plan.decode_slots
+
+    def repack(_, li):
+        kc = state.k_codes[li]                       # [B,KV,D,N/per]
+        kc = kc.reshape(*kc.shape[:-1], nc, chunk // per)
+        kc = _unpack(kc, nbits, axis=-1)             # [...,nc,chunk] ints
+        kc = _pack(kc.reshape(*kc.shape[:-2], n), nbits, axis=-1)
+        vc = state.v_codes[li]                       # [B,KV,N/per,Dp]
+        vc = vc.reshape(vc.shape[0], vc.shape[1], nc, chunk // per,
+                        vc.shape[-1])
+        vc = _unpack(vc, nbits, axis=3)              # [B,KV,nc,chunk,Dp]
+        vc = _pack(vc.reshape(vc.shape[0], vc.shape[1], n, vc.shape[-1]),
+                   nbits, axis=-2)
+        return None, (kc, vc)
+
+    _, (k_codes, v_codes) = jax.lax.scan(
+        repack, None, jnp.arange(L, dtype=jnp.int32))
+    reg = QuantizedKVRegion(
+        k=QuantizedTensor(k_codes, state.k_scale, state.k_zero, None),
+        v=QuantizedTensor(v_codes, state.v_scale, state.v_zero, None),
+        k_out_idx=None, k_out_val=None, v_out_idx=None, v_out_val=None,
+    )
+    act_dtype = params["final_norm"].dtype
+    pad = (n - true_len).astype(jnp.int32)
+    col = jnp.arange(n, dtype=jnp.int32)
+    colv = jnp.broadcast_to(col[None, None, :] >= pad[:, None, None],
+                            (b, kvh, n))
+    pos = jnp.where(colv, col[None, None, :] - pad[:, None, None], -1)
+    mask = jnp.concatenate([colv, jnp.zeros((b, kvh, ds), bool)], axis=2)
+    positions = jnp.concatenate([pos, jnp.zeros((b, kvh, ds), jnp.int32)],
+                                axis=2)
+    zkv = jnp.zeros((L, b, kvh, ds, dh), act_dtype)
+    cache = KVCache(
+        k=zkv, v=jnp.zeros_like(zkv),
+        mask=jnp.broadcast_to(mask[None], (L,) + mask.shape),
+        positions=jnp.broadcast_to(positions[None], (L,) + positions.shape),
+        true_len=true_len.astype(jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        quant=reg,
+    )
+    return llama._logits(hidden_last, params, spec), cache

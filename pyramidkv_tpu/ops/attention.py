@@ -518,6 +518,75 @@ def decode_attention_partials(
     return acc, m, l
 
 
+def tile_attention_partials(
+    q: jax.Array,
+    k_tile: jax.Array,
+    v_tile: jax.Array,
+    mask: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
+    q_block: int = 1024,
+):
+    """Online-softmax partials of a MULTI-ROW query block against one K/V
+    tile (the chunked-prefill analogue of :func:`decode_attention_partials`).
+
+    Args:
+      q: [B, H, T, D] queries; k_tile/v_tile: [B, Hk, S, D].
+      mask: [B, T, S] (or [B, 1, S], broadcast over rows) visibility —
+        causality/padding are the CALLER's job (global column arithmetic
+        lives in models/chunked_prefill.py).
+      q_block: row-block size bounding the [B, H, q_block, S] fp32 logits.
+
+    Returns (acc [B,H,T,D] f32, m [B,H,T] f32, l [B,H,T] f32); merge
+    tiles with :func:`merge_partials_pair`.
+    """
+    b, h, t, d = q.shape
+    hk = k_tile.shape[1]
+    g = h // hk
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    if mask.shape[1] == 1 and t > 1:
+        mask = jnp.broadcast_to(mask, (b, t, mask.shape[-1]))
+
+    def block(qb, mb):
+        tb = qb.shape[2]
+        qx = qb.reshape(b, hk, g, tb, d)
+        logits = _scale_softcap(jnp.einsum(
+            "bkgtd,bksd->bkgts", qx, k_tile,
+            preferred_element_type=jnp.float32), sc, softcap)
+        logits = jnp.where(mb[:, None, None], logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1)                       # [B,Hk,G,Tb]
+        p = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
+        p = jnp.where(mb[:, None, None], p, 0.0)
+        l = p.sum(-1)
+        acc = jnp.einsum("bkgts,bksd->bkgtd", p.astype(v_tile.dtype), v_tile,
+                         preferred_element_type=jnp.float32)
+        return (acc.reshape(b, h, tb, d), m.reshape(b, h, tb),
+                l.reshape(b, h, tb))
+
+    if t <= q_block or t % q_block != 0:
+        return block(q, mask)
+    nb = t // q_block
+    qb = q.reshape(b, h, nb, q_block, d).transpose(2, 0, 1, 3, 4)
+    mb = mask.reshape(b, nb, q_block, -1).transpose(1, 0, 2, 3)
+    _, (accs, ms, ls) = jax.lax.scan(
+        lambda _, xm: (None, block(xm[0], xm[1])), None, (qb, mb))
+    return (accs.transpose(1, 2, 0, 3, 4).reshape(b, h, t, d),
+            ms.transpose(1, 2, 0, 3).reshape(b, h, t),
+            ls.transpose(1, 2, 0, 3).reshape(b, h, t))
+
+
+def merge_partials_pair(a, b):
+    """Online-merge two flash partial triples (acc, m, l) of matching
+    shape (acc [..., D], m/l [...])."""
+    acc1, m1, l1 = a
+    acc2, m2, l2 = b
+    m = jnp.maximum(m1, m2)
+    w1 = jnp.where(m1 <= _NEG_INF / 2, 0.0, jnp.exp(jnp.minimum(m1 - m, 0.0)))
+    w2 = jnp.where(m2 <= _NEG_INF / 2, 0.0, jnp.exp(jnp.minimum(m2 - m, 0.0)))
+    return (acc1 * w1[..., None] + acc2 * w2[..., None], m, l1 * w1 + l2 * w2)
+
+
 def merge_attention_partials(parts):
     """Combine flash partials [(acc, m, l), ...] -> [B, H, D] output."""
     m_all = parts[0][1]

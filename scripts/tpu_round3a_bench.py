@@ -103,24 +103,29 @@ def microbenches(spec, params):
     hidden0 = jnp.ones((B, Dm), jnp.bfloat16) * 0.01
     rows = {}
 
+    # NOTE: every jitted loop below takes ``params`` as an ARGUMENT —
+    # closing over the 4 GB weight dict embeds it as jaxpr constants and
+    # the serialized remote-compile payload kills the axon tunnel
+    # (broken pipe at this exact point, twice: logs/tpu_r3a.log, r3b).
+
     # -- lm_head ----------------------------------------------------------
     ITER_LM = 64
 
     @jax.jit
-    def lm_loop(h):
+    def lm_loop(params, h):
         def body(i, h):
             lg = llama._logits(h, params, spec)
             return h + (lg[:, :Dm] * 1e-30).astype(h.dtype)
         return jax.lax.fori_loop(0, ITER_LM, body, h)
 
-    rows["lm_head_ms"] = time_loop_ms(lm_loop, (hidden0,), ITER_LM,
+    rows["lm_head_ms"] = time_loop_ms(lm_loop, (params, hidden0,), ITER_LM,
                                       "lm_head", log)
 
     # -- weight stream: 4 fused int4 matmuls x L --------------------------
     ITER_MM = 16
 
     @jax.jit
-    def mm_loop(x0):
+    def mm_loop(params, x0):
         def it(i, x):
             def layer(c, li):
                 wts = W.layer_view(params["layers"], li)
@@ -134,7 +139,7 @@ def microbenches(spec, params):
             return x
         return jax.lax.fori_loop(0, ITER_MM, it, x0)
 
-    rows["mm_chain_ms"] = time_loop_ms(mm_loop, (hidden0,), ITER_MM,
+    rows["mm_chain_ms"] = time_loop_ms(mm_loop, (params, hidden0,), ITER_MM,
                                        "mm_chain(32L)", log)
 
     # -- non-matmul layer work on the real cache --------------------------

@@ -31,16 +31,17 @@ def fullstep_leg(eng, spec, params, cache):
     ITER = 32
 
     @jax.jit
-    def step_loop(cache0, tok0):
+    def step_loop(params_, cache0, tok0):
         def body(i, st):
             tok, c = st
-            logits, c = llama.decode_step(params, spec, plan, c, tok)
+            logits, c = llama.decode_step(params_, spec, plan, c, tok)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), c
         tok, c = jax.lax.fori_loop(0, ITER, body, (tok0, cache0))
         return tok, c.step
 
     tok0 = jnp.zeros((1,), jnp.int32)
-    ms = time_loop_ms(step_loop, (cache, tok0), ITER, "fullstep(32L)", log)
+    ms = time_loop_ms(step_loop, (params, cache, tok0), ITER,
+                      "fullstep(32L)", log)
     emit({"bench": "r3b/fullstep_chain", "step_ms": round(ms, 3)})
 
 

@@ -143,6 +143,77 @@ def test_cb_chunked_tokens_identical(tiny):
         assert plain[k].tokens == chunked[k].tokens, k
 
 
+# ---------------------------------------------------------------------------
+# quantized chunk carry (fullkv + KIVI — the 128k enabler)
+# ---------------------------------------------------------------------------
+
+
+def _quant_engines(ms, params, nbits, chunk):
+    mk = lambda ch: Engine(  # noqa: E731
+        ms,
+        CompressionSpec(method="fullkv", quant_method="kivi",
+                        nbits=nbits, q_group_size=16),
+        EngineSpec(max_new_tokens=12, prefill_buckets=(256,),
+                   prefill_chunk=ch),
+        params,
+    )
+    return mk(None), mk(chunk)
+
+
+def _prefill_pair(ms, params, nbits, chunk=64):
+    e_post, e_chk = _quant_engines(ms, params, nbits, chunk)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    tokens = np.zeros((2, 256), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, 256 - len(p):] = p
+    tl = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    lg1, c1 = e_post._get_prefill(256)(
+        e_post.params, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    lg2, c2 = e_chk._run_chunked_prefill(
+        256, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    return (lg1, c1), (lg2, c2), (e_post, e_chk, prompts)
+
+
+@pytest.mark.parametrize("nbits", [8, 4, 2])
+def test_quant_chunked_layer0_bit_parity(tiny, nbits):
+    """Layer 0's K/V depend only on embeddings, so its chunk-local-then-
+    repacked region must be BYTE-IDENTICAL to the post-hoc
+    quantize_kv_region output (groups align: chunk % group*per == 0)."""
+    ms, params = tiny
+    (_, c1), (_, c2), _ = _prefill_pair(ms, params, nbits)
+    q1, q2 = c1.quant, c2.quant
+    for a, b in [(q1.k.codes, q2.k.codes), (q1.k.scale, q2.k.scale),
+                 (q1.k.zero, q2.k.zero), (q1.v.codes, q2.v.codes),
+                 (q1.v.scale, q2.v.scale), (q1.v.zero, q2.v.zero)]:
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert bool(jnp.all(a[0] == b[0]))
+    assert bool(jnp.all(c1.mask == c2.mask))
+    assert bool(jnp.all(c1.positions == c2.positions))
+
+
+def test_quant_chunked_kivi8_tokens_equal(tiny):
+    """At 8 bits the prefill-attention approximation is below greedy
+    tie-break noise on the tiny model — end-to-end tokens match the
+    post-hoc path exactly."""
+    ms, params = tiny
+    _, _, (e_post, e_chk, prompts) = _prefill_pair(ms, params, 8)
+    assert e_post.generate(prompts).tokens == e_chk.generate(prompts).tokens
+
+
+@pytest.mark.parametrize("nbits", [4, 2])
+def test_quant_chunked_divergence_bounded(tiny, nbits):
+    """kivi4/2 prefill reads quantized history — logits drift from the
+    post-hoc path but stay within the quantization noise scale."""
+    ms, params = tiny
+    (lg1, _), (lg2, c2), (_, e_chk, prompts) = _prefill_pair(
+        ms, params, nbits)
+    d = float(jnp.max(jnp.abs(lg1 - lg2)))
+    assert d < (0.2 if nbits == 4 else 1.0), d
+    # the finished cache still decodes through the standard quant path
+    out = e_chk.generate(prompts)
+    assert all(len(t) > 0 for t in out.tokens)
+
+
 def test_cb_decode_progresses_during_chunked_refill(tiny):
     """At least one decode quantum must run BETWEEN two chunks of the same
     refill — the stall-elimination property chunking exists for."""
