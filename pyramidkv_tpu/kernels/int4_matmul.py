@@ -52,14 +52,99 @@ def _nibbles_f32(c: jax.Array, dtype=jnp.float32):
     """int8 packed tile -> (lo, hi) tiles in ``dtype``, sign-extended.
 
     byte (two's complement) = 16*hi_s + lo_u, so hi_s is an arithmetic
-    shift and lo_s re-signs the low nibble: all 32-bit VPU ops.  Nibble
-    values [-8, 7] are exact in bf16 as well as f32.
+    shift and lo_s sign-extends via shift-up/shift-down (2 VPU ops — the
+    mask/compare/select chain it replaces was 4; the kernel is dequant-
+    VPU-bound ahead of its own DMA, so unpack ops are the hot cost).
+    Nibble values [-8, 7] are exact in bf16 as well as f32.
     """
     ci = c.astype(jnp.int32)
-    lo_u = ci & 15
-    lo = jnp.where(lo_u >= 8, lo_u - 16, lo_u).astype(dtype)
+    lo = ((ci << 28) >> 28).astype(dtype)
     hi = (ci >> 4).astype(dtype)
     return lo, hi
+
+
+def _assemble_planar(ye: jax.Array, yo: jax.Array, span: int) -> jax.Array:
+    """[rp, bo] nibble-plane dots -> [rp, 2*bo] natural-order output under
+    the span-planar pack layout (models/weights.py::pack_span): per span,
+    the lo block lands at columns [s*2S, s*2S+S) and the hi block at
+    [s*2S+S, (s+1)*2S) — full-lane-width (S=128) block writes, no element
+    interleave."""
+    rp, bo = ye.shape
+    ns = bo // span
+    out = jnp.concatenate(
+        [ye.reshape(rp, ns, 1, span), yo.reshape(rp, ns, 1, span)], axis=2)
+    return out.reshape(rp, 2 * bo)
+
+
+def _kernel_planar(x_ref, c_ref, y_ref, *, span: int, op_dtype=jnp.float32):
+    i = pl.program_id(1)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
+                          op_dtype)
+    x = x_ref[...].astype(op_dtype)
+    ye = jax.lax.dot_general(
+        x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    yo = jax.lax.dot_general(
+        x, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    y = _assemble_planar(ye, yo, span)
+
+    @pl.when(i == 0)
+    def _init():
+        y_ref[...] = y
+
+    @pl.when(i > 0)
+    def _acc():
+        y_ref[...] += y
+
+
+def _kernel_planar_grouped(x_ref, c_ref, s_ref, y_ref, *,
+                           groups_per_block: int, group_size: int,
+                           span: int, op_dtype=jnp.float32):
+    """Group-scaled planar variant: scales arrive in NATURAL column order
+    (one strip, no even/odd split) and are applied after assembly."""
+    i = pl.program_id(1)
+    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
+                          op_dtype)
+    x = x_ref[...].astype(op_dtype)
+    y = jnp.zeros(y_ref.shape, jnp.float32)
+    for g in range(groups_per_block):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        xg = x[:, sl]
+        pe = jax.lax.dot_general(
+            xg, lo[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        po = jax.lax.dot_general(
+            xg, hi[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        row = pl.ds(i * groups_per_block + g, 1)
+        y = y + _assemble_planar(pe, po, span) * s_ref[row, :]
+
+    @pl.when(i == 0)
+    def _init():
+        y_ref[...] = y
+
+    @pl.when(i > 0)
+    def _acc():
+        y_ref[...] += y
+
+
+def _kernel_planar_pref(l_ref, x_ref, c_ref, y_ref, *, span: int,
+                        op_dtype=jnp.float32):
+    del l_ref
+    _kernel_planar(x_ref, c_ref, y_ref, span=span, op_dtype=op_dtype)
+
+
+def _kernel_planar_grouped_pref(l_ref, x_ref, c_ref, s_ref, y_ref, *,
+                                groups_per_block: int, group_size: int,
+                                span: int, op_dtype=jnp.float32):
+    del l_ref
+    _kernel_planar_grouped(x_ref, c_ref, s_ref, y_ref,
+                           groups_per_block=groups_per_block,
+                           group_size=group_size, span=span,
+                           op_dtype=op_dtype)
 
 
 def _kernel(x_ref, c_ref, ye_ref, yo_ref, *, op_dtype=jnp.float32):
@@ -218,30 +303,35 @@ def int4_matmul(
     op_dtype = (jnp.bfloat16
                 if x.dtype == jnp.bfloat16 and rows > 32 else jnp.float32)
 
+    # pack layout span (mirrors models/weights.py::pack_span — kept local
+    # to avoid a circular import); span >= 8 sublane-tiles cleanly, so the
+    # kernel assembles its single natural-order output in-VMEM and the
+    # caller-side stack interleave (measured ~1.0 ms/step of relayout
+    # copies at d32 int4 — logs/r3a_trace copy.81/84/86-88) disappears
+    span = 128 if out2 % 128 == 0 else 1
+    planar = span >= 8 and bo % span == 0
+
     n_groups = scale.shape[0] if group_size else 0
+    so_cols = 2 * bo if planar else bo
     if stacked:
         x_spec = pl.BlockSpec((rp, bi), lambda o, i, l: (0, i))
         c_spec = pl.BlockSpec((1, bi, bo), lambda o, i, l: (l[0], i, o))
-        s_spec = pl.BlockSpec((n_groups, bo), lambda o, i, l: (0, o))
-        y_spec = pl.BlockSpec((rp, bo), lambda o, i, l: (0, o))
+        s_spec = pl.BlockSpec((n_groups, so_cols), lambda o, i, l: (0, o))
+        y_spec = pl.BlockSpec((rp, so_cols), lambda o, i, l: (0, o))
     else:
         x_spec = pl.BlockSpec((rp, bi), lambda o, i: (0, i))
         c_spec = pl.BlockSpec((bi, bo), lambda o, i: (i, o))
-        s_spec = pl.BlockSpec((n_groups, bo), lambda o, i: (0, o))
-        y_spec = pl.BlockSpec((rp, bo), lambda o, i: (0, o))
-    out_shape = [
-        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
-    ]
+        s_spec = pl.BlockSpec((n_groups, so_cols), lambda o, i: (0, o))
+        y_spec = pl.BlockSpec((rp, so_cols), lambda o, i: (0, o))
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
     )
 
-    def call(kern, kern_pref, in_specs, *operands):
+    def call(kern, kern_pref, in_specs, out_specs, out_shape, *operands):
         if stacked:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(n_o, n_i),
-                in_specs=in_specs, out_specs=[y_spec, y_spec],
+                in_specs=in_specs, out_specs=out_specs,
             )
             lyr = jnp.asarray(layer, jnp.int32).reshape(1)
             return pl.pallas_call(
@@ -250,10 +340,42 @@ def int4_matmul(
             )(lyr, *operands)
         return pl.pallas_call(
             kern, grid=(n_o, n_i), in_specs=in_specs,
-            out_specs=[y_spec, y_spec], out_shape=out_shape,
+            out_specs=out_specs, out_shape=out_shape,
             compiler_params=cparams, interpret=interpret,
         )(*operands)
 
+    if planar:
+        out_shape = jax.ShapeDtypeStruct((rp, out2 * 2), jnp.float32)
+        if group_size:
+            gpb = bi // group_size
+            y = call(
+                functools.partial(_kernel_planar_grouped,
+                                  groups_per_block=gpb,
+                                  group_size=group_size, span=span,
+                                  op_dtype=op_dtype),
+                functools.partial(_kernel_planar_grouped_pref,
+                                  groups_per_block=gpb,
+                                  group_size=group_size, span=span,
+                                  op_dtype=op_dtype),
+                [x_spec, c_spec, s_spec], y_spec, out_shape,
+                xp, codes, scale.astype(jnp.float32),
+            )
+            return y[:rows].astype(out_dtype)
+        y = call(
+            functools.partial(_kernel_planar, span=span, op_dtype=op_dtype),
+            functools.partial(_kernel_planar_pref, span=span,
+                              op_dtype=op_dtype),
+            [x_spec, c_spec], y_spec, out_shape, xp, codes,
+        )
+        y = y * scale.astype(jnp.float32)[None, :]
+        return y[:rows].astype(out_dtype)
+
+    # span == 1 (odd widths, tiny test models): historical two-output +
+    # caller interleave path
+    out_shape = [
+        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+        jax.ShapeDtypeStruct((rp, out2), jnp.float32),
+    ]
     if group_size:
         gpb = bi // group_size
         se = scale[:, 0::2].astype(jnp.float32)  # [G, out2] even cols
@@ -263,7 +385,7 @@ def int4_matmul(
                               group_size=group_size, op_dtype=op_dtype),
             functools.partial(_kernel_grouped_pref, groups_per_block=gpb,
                               group_size=group_size, op_dtype=op_dtype),
-            [x_spec, c_spec, s_spec, s_spec],
+            [x_spec, c_spec, s_spec, s_spec], [y_spec, y_spec], out_shape,
             xp, codes, se, so,
         )
         y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
@@ -271,8 +393,110 @@ def int4_matmul(
 
     ye, yo = call(functools.partial(_kernel, op_dtype=op_dtype),
                   functools.partial(_kernel_pref, op_dtype=op_dtype),
-                  [x_spec, c_spec], xp, codes)
+                  [x_spec, c_spec], [y_spec, y_spec], out_shape, xp, codes)
     y = jnp.stack([ye, yo], axis=-1).reshape(rp, out2 * 2)
+    y = y * scale.astype(jnp.float32)[None, :]
+    return y[:rows].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8 variant (lm_head): same streaming structure, no nibble unpack
+# ---------------------------------------------------------------------------
+
+
+def _kernel8(x_ref, c_ref, y_ref, *, op_dtype=jnp.bfloat16,
+             accumulate: bool):
+    w = (c_ref[...] if c_ref.ndim == 2 else c_ref[0]).astype(op_dtype)
+    y = jax.lax.dot_general(
+        x_ref[...].astype(op_dtype), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if not accumulate:
+        y_ref[...] = y
+        return
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        y_ref[...] = y
+
+    @pl.when(i > 0)
+    def _acc():
+        y_ref[...] += y
+
+
+def _largest_tile(n: int, cap: int, unit: int = 128) -> int:
+    """Largest divisor of ``n`` that is <= cap and a multiple of ``unit``
+    (the lm_head out dim 128256 = 128 x 1002 has no power-of-two tiling;
+    the divisor scan lands on 768)."""
+    for t in range(min(cap, n) - min(cap, n) % unit, 0, -unit):
+        if n % t == 0:
+            return t
+    return 0
+
+
+def int8_tiles(in_dim: int, out: int, block_in: int = 4096,
+               block_out: int = 2048):
+    """Eligibility/tiling for :func:`int8_matmul`: (bi, bo), zeros when the
+    dims don't tile (callers fall back to the XLA path)."""
+    bi = _largest_tile(in_dim, block_in)
+    bo = _largest_tile(out, block_out)
+    # keep the converted bf16 tile + byte tile within scoped VMEM
+    while bi and bo and bi * bo * 3 > (12 << 20) and bi > 512:
+        bi //= 2
+    if not bi or not bo or in_dim % bi or out % bo:
+        return 0, 0
+    return bi, bo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_in", "block_out", "interpret"))
+def int8_matmul(
+    x: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    *,
+    block_in: int = 4096,
+    block_out: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ (codes * scale)`` streaming the int8 bytes straight to VMEM.
+
+    Decode's lm_head (s8 ``[4096, 128256]`` read per step) lowers on the
+    XLA path to a VPU multiply-reduce at ~56% of HBM bandwidth (1.149 ms
+    measured, logs/r3a_trace multiply_reduce_fusion.9 — 525 MB at
+    457 GB/s).  A Pallas grid of [in, bo] byte tiles converts once per
+    byte and feeds the MXU, pipelining the DMA like the int4 kernel.
+    Operands run bf16 (int8 values are exact in bf16; x is bf16-rounded
+    upstream), accumulation f32.
+
+    x: [rows, in] (rows decode-sized); codes s8 [in, out]; scale [out].
+    """
+    rows, in_dim = x.shape
+    out = codes.shape[-1]
+    bi, bo = int8_tiles(in_dim, out, block_in, block_out)
+    assert bi and bo, (in_dim, out)  # callers gate via int8_tiles
+    n_i, n_o = in_dim // bi, out // bo
+    out_dtype = x.dtype
+    sub = 8
+    rp = max(sub, ((rows + sub - 1) // sub) * sub)
+    xp = x.astype(jnp.float32)
+    if rp != rows:
+        xp = jnp.pad(xp, ((0, rp - rows), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(_kernel8, accumulate=n_i > 1),
+        grid=(n_o, n_i),
+        in_specs=[
+            pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
+            pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
+        ],
+        out_specs=pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+        out_shape=jax.ShapeDtypeStruct((rp, out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, codes)
     y = y * scale.astype(jnp.float32)[None, :]
     return y[:rows].astype(out_dtype)
 
@@ -328,6 +552,22 @@ def _make_partition(grouped: bool):
         xs = _spec_axes(arg_shapes[0].sharding, 2)
         cs = _spec_axes(arg_shapes[1].sharding, 3)
         in_ax, out_ax = cs[1], cs[2]
+        if out_ax is not None:
+            # span-planar layout constraint: an out-axis shard must hold
+            # whole 128-byte spans, or each shard's local width derives a
+            # DIFFERENT span than the global pack (models/weights.py::
+            # pack_span) — silently wrong results.  Real megatron layouts
+            # satisfy this (minimum shard = 2 KV heads = 256 columns).
+            out2 = arg_shapes[1].shape[-1]
+            shards = mesh.shape[out_ax]
+            g_span = 128 if out2 % 128 == 0 else 1
+            l_span = 128 if (out2 // shards) % 128 == 0 else 1
+            if g_span != l_span:
+                raise ValueError(
+                    f"int4_matmul_sharded: out2={out2} over {shards} "
+                    f"'{out_ax}' shards splits a 128-byte pack span; "
+                    "shard width must be a multiple of 256 columns"
+                )
 
         def lower_fn(x, codes, scale, layer):
             y = _sharded_call(x, codes, scale, layer, group_size,

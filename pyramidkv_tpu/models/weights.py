@@ -82,21 +82,46 @@ class QuantW(NamedTuple):
     scale: jax.Array
 
 
+def pack_span(out2: int) -> int:
+    """Bytes per planar span of the pack4 layout (shape-derived, so the
+    layout needs no side-channel tag).
+
+    span=128 (every real weight: out % 256 == 0): byte ``s*128 + p`` holds
+    columns ``s*256 + p`` (low nibble) and ``s*256 + 128 + p`` (high) — the
+    fused kernel then assembles its natural-order output from the two
+    per-nibble dots with full-lane-width 128-column block writes, instead
+    of the element interleave that cost ~1.0 ms/step of pure relayout
+    copies at d32 (logs/r3a_trace: copy.81/84/86-88 at int4_matmul
+    stack+reshape).  TP shards must hold whole spans: out-shard width a
+    multiple of 256 columns (the 2-KV-head shard is exactly 256).
+
+    span=1 (odd widths — tiny test models): byte ``j`` holds columns
+    ``2j`` / ``2j+1``, the historical adjacent layout; the kernel keeps
+    the two-output + caller-interleave path there (interpret-mode only).
+    """
+    return 128 if out2 % 128 == 0 else 1
+
+
 def pack4(c: jax.Array) -> jax.Array:
-    """Signed int values in [-8, 7], last axis even -> int8 bytes holding
-    two two's-complement nibbles each (low nibble = even index)."""
-    u = (c.astype(jnp.int32) & 0xF).astype(jnp.uint8)
-    v = u.reshape(*c.shape[:-1], c.shape[-1] // 2, 2)
-    return (v[..., 0] | (v[..., 1] << 4)).astype(jnp.int8)
+    """Signed int values in [-8, 7], last axis even -> int8 bytes, planar
+    within :func:`pack_span`-byte spans (see there for the layout)."""
+    out2 = c.shape[-1] // 2
+    s = pack_span(out2)
+    v = (c.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+    v = v.reshape(*c.shape[:-1], out2 // s, 2, s)
+    return (v[..., 0, :] | (v[..., 1, :] << 4)).astype(jnp.int8).reshape(
+        *c.shape[:-1], out2)
 
 
 def unpack4(p: jax.Array) -> jax.Array:
     """int8 bytes -> signed int8 nibble values at twice the last-axis
     length (inverse of :func:`pack4`)."""
-    u = p.astype(jnp.uint8)
-    nib = jnp.stack([u & 0xF, u >> 4], axis=-1).astype(jnp.int8)
+    out2 = p.shape[-1]
+    s = pack_span(out2)
+    u = p.astype(jnp.uint8).reshape(*p.shape[:-1], out2 // s, 1, s)
+    nib = jnp.concatenate([u & 0xF, u >> 4], axis=-2).astype(jnp.int8)
     nib = jnp.where(nib > 7, nib - 16, nib)
-    return nib.reshape(*p.shape[:-1], p.shape[-1] * 2)
+    return nib.reshape(*p.shape[:-1], out2 * 2)
 
 
 def is_packed4(w: QuantW) -> bool:
@@ -173,8 +198,20 @@ def _logical_codes(w: QuantW) -> jax.Array:
     dot operand, so XLA rematerialised full-width weight transients every
     decode step (measured d32 Llama-3-8B: 8.6 tok/s vs int8's 79.7)."""
     if is_packed4(w):
+        out2 = w.codes.shape[-1]
         nib = jax.lax.bitcast_convert_type(w.codes, jnp.int4)
-        return nib.reshape(*w.codes.shape[:-1], w.codes.shape[-1] * 2)
+        s = pack_span(out2)
+        if s == 1:
+            return nib.reshape(*w.codes.shape[:-1], out2 * 2)
+        # span-planar: bitcast yields (lo, hi) ADJACENT per byte; natural
+        # column order needs the per-span de-interleave [.., ns, S, 2] ->
+        # [.., ns, 2, S].  This runs on the PREFILL path only (one
+        # relayout per matmul, amortised over the whole prompt); decode
+        # reads the packed bytes in-kernel.
+        lead = w.codes.shape[:-1]
+        nib = nib.reshape(*lead, out2 // s, s, 2)
+        nib = jnp.swapaxes(nib, -1, -2)
+        return nib.reshape(*lead, out2 * 2)
     return w.codes
 
 
@@ -414,6 +451,49 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     return y.reshape(*x.shape[:-1], y.shape[-1])
 
 
+#: Test hook: force the int8 streaming matmul kernel (interpret) off-TPU.
+_FORCE_INT8_KERNEL = [False]
+
+#: Opt-out: PKV_INT8_MM_KERNEL=0 reverts the lm_head to the XLA path.
+import os as _os
+
+_USE_INT8_KERNEL = [_os.environ.get("PKV_INT8_MM_KERNEL", "1") == "1"]
+
+
+def _int8_kernel_mm(x: jax.Array, w: QuantW):
+    """Streaming int8 matmul for decode-shaped x (the lm_head read), or
+    None to fall back to XLA.
+
+    XLA lowers the 1-row s8 [4096, 128256] lm_head product to a VPU
+    multiply-reduce at ~56% of HBM bandwidth (1.149 ms/step measured,
+    logs/r3a_trace) — ~12% of the whole d32 int4 decode step.  The Pallas
+    grid (`kernels/int4_matmul.py::int8_matmul`) streams the byte tiles
+    like the int4 kernel.  2-D per-channel leaves only (the lm_head /
+    tied-embed case); stacked per-layer int8 weights keep the XLA
+    operand-fusion path."""
+    if not _USE_INT8_KERNEL[0]:
+        return None
+    if not isinstance(w.codes, jax.Array) or w.codes.ndim != 2 \
+            or w.scale.ndim != 1 or is_packed4(w):
+        return None
+    rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
+    if rows > 8:
+        return None
+    interpret = _FORCE_INT8_KERNEL[0]
+    if not interpret and (jax.default_backend() != "tpu"
+                          or len(jax.devices()) != 1):
+        return None
+    from ..kernels.int4_matmul import int8_matmul, int8_tiles
+
+    in_dim = x.shape[-1]
+    bi, bo = int8_tiles(in_dim, w.codes.shape[-1])
+    if not bi:
+        return None
+    y = int8_matmul(x.reshape(rows, in_dim), w.codes, w.scale,
+                    interpret=interpret)
+    return y.reshape(*x.shape[:-1], y.shape[-1])
+
+
 def _fusable(*ws) -> bool:
     """True when every leaf is a stacked packed-int4 QuantW with matching
     stack/in dims and scale layout, and none is partitioned over >1
@@ -461,6 +541,15 @@ def fuse_packed_matmuls(params: dict) -> dict:
     if not isinstance(lay, dict):
         return params
 
+    def spans_ok(names):
+        # concat preserves the span-planar layout only when every
+        # constituent uses the SAME span as the fused width will derive
+        # (all real weights: 128; odd tiny widths decline fusion)
+        ws = [lay[n] for n in names]
+        fused_out2 = sum(w.codes.shape[-1] for w in ws)
+        return all(pack_span(w.codes.shape[-1]) == pack_span(fused_out2)
+                   for w in ws)
+
     def cat(names):
         ws = [lay[n] for n in names]
         return QuantW(
@@ -471,12 +560,13 @@ def fuse_packed_matmuls(params: dict) -> dict:
     lay = dict(lay)
     changed = False
     if all(n in lay for n in ("wq", "wk", "wv")) and _fusable(
-            lay["wq"], lay["wk"], lay["wv"]):
+            lay["wq"], lay["wk"], lay["wv"]) and spans_ok(
+            ("wq", "wk", "wv")):
         lay["wqkv"] = cat(("wq", "wk", "wv"))
         del lay["wq"], lay["wk"], lay["wv"]
         changed = True
     if all(n in lay for n in ("w_gate", "w_up")) and _fusable(
-            lay["w_gate"], lay["w_up"]):
+            lay["w_gate"], lay["w_up"]) and spans_ok(("w_gate", "w_up")):
         lay["w_gateup"] = cat(("w_gate", "w_up"))
         del lay["w_gate"], lay["w_up"]
         changed = True
@@ -492,6 +582,10 @@ def mm(x: jax.Array, w) -> jax.Array:
     if isinstance(w, QuantW):
         if is_packed4(w):
             y = _int4_kernel_mm(x, w)
+            if y is not None:
+                return y
+        else:
+            y = _int8_kernel_mm(x, w)
             if y is not None:
                 return y
         if isinstance(w.codes, LayerView):        # kernel declined: slice

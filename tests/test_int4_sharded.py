@@ -42,7 +42,9 @@ def test_int4_matmul_sharded_matches_single_device(layout, group_size):
     )
 
     rng = np.random.default_rng(17)
-    L, in_dim, out = 3, 128, 256
+    # out=2048: 4 'model' shards x 512 columns keeps whole 128-byte pack
+    # spans per shard (the span-planar layout's sharding constraint)
+    L, in_dim, out = 3, 128, 2048
     qw, _ = _stacked_qw(rng, L, in_dim, out, group_size)
     x = jnp.asarray(rng.normal(size=(4, in_dim)).astype(np.float32))
     layer = jnp.asarray([2], jnp.int32)

@@ -427,12 +427,20 @@ def test_fuse_packed_matmuls_bit_identical():
     sharded-ineligible trees are left untouched."""
     from pyramidkv_tpu.models import weights as W
 
-    spec = ModelSpec.tiny()
+    # intermediate 512: w_gate/w_up pack at span 128 (out % 256 == 0) so
+    # their fusion is span-consistent; the default tiny intermediate (128)
+    # now correctly DECLINES gateup fusion (span-1 halves can't concat
+    # into a span-128 width) — asserted below
+    spec = ModelSpec.tiny(intermediate_size=512)
     base = jl.init_params(spec, jax.random.PRNGKey(3), dtype=jnp.float32)
     p4 = W.quantize_weights(base, nbits=4)
     fused = W.fuse_packed_matmuls(p4)
     assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
     assert "w_gateup" in fused["layers"] and "w_up" not in fused["layers"]
+    tiny4 = W.quantize_weights(
+        jl.init_params(ModelSpec.tiny(), jax.random.PRNGKey(3),
+                       dtype=jnp.float32), nbits=4)
+    assert "w_gateup" not in W.fuse_packed_matmuls(tiny4)["layers"]
     # int8 tree: no packed leaves -> no-op (same object)
     p8 = W.quantize_weights(base, nbits=8)
     assert W.fuse_packed_matmuls(p8) is p8
@@ -570,3 +578,71 @@ def test_int4_kernel_verify_sized_rows():
         assert W._int4_kernel_mm(x, qw) is None
     finally:
         W._FORCE_INT4_KERNEL[0] = False
+
+
+def test_pack4_planar_span_roundtrip():
+    """Span-planar widths (out % 256 == 0): pack4/unpack4 inverse, and
+    dq_codes restores NATURAL column order (the kernel's assembled output
+    order — see kernels/int4_matmul.py::_assemble_planar)."""
+    from pyramidkv_tpu.models.weights import (QuantW, dq_codes, pack4,
+                                              pack_span, unpack4)
+
+    rng = np.random.default_rng(11)
+    for out in (256, 512, 1536):
+        assert pack_span(out // 2) == 128
+        c = rng.integers(-8, 8, size=(4, out)).astype(np.int8)
+        packed = pack4(jnp.asarray(c))
+        np.testing.assert_array_equal(np.asarray(unpack4(packed)), c)
+        w = QuantW(codes=packed, scale=jnp.ones((out,), jnp.float32))
+        np.testing.assert_array_equal(
+            np.asarray(dq_codes(w, jnp.float32)), c.astype(np.float32))
+
+
+def test_int4_matmul_kernel_planar_width():
+    """The planar single-output kernel path (out % 256 == 0) matches the
+    XLA dequant reference, per-channel and grouped."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul
+    from pyramidkv_tpu.models.weights import _quantize_leaf, dq_codes
+
+    rng = np.random.default_rng(12)
+    w = rng.normal(size=(256, 512)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    for gs in (None, 64):
+        qw = _quantize_leaf(jnp.asarray(w), nbits=4, group_size=gs)
+        dq = np.asarray(dq_codes(qw, jnp.float32))
+        if gs:
+            sc = np.asarray(qw.scale)
+            ref = np.einsum("rGg,Ggo,Go->ro",
+                            np.asarray(x).reshape(3, 256 // gs, gs),
+                            dq.reshape(256 // gs, gs, 512), sc)
+        else:
+            ref = (np.asarray(x) @ dq) * np.asarray(qw.scale)[None, :]
+        got = np.asarray(int4_matmul(x, qw.codes, qw.scale,
+                                     group_size=gs or 0, interpret=True,
+                                     block_in=128, block_out2=128))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_matmul_kernel_matches_xla():
+    """The streaming int8 kernel (lm_head path) matches the XLA dequant
+    matmul exactly for bf16-exact inputs (decode hidden states are bf16)."""
+    from pyramidkv_tpu.models import weights as W
+    from pyramidkv_tpu.models.weights import QuantW, mm
+
+    rng = np.random.default_rng(13)
+    codes = jnp.asarray(rng.integers(-127, 128, size=(512, 1536)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.02, size=(1536,)), jnp.float32)
+    w = QuantW(codes=codes, scale=scale)
+    x = jnp.asarray(rng.normal(size=(1, 512)).astype(np.float32)
+                    ).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray(mm(x, w))        # XLA path (kernel declines off-TPU)
+    W._FORCE_INT8_KERNEL[0] = True
+    try:
+        got = np.asarray(mm(x, w))
+    finally:
+        W._FORCE_INT8_KERNEL[0] = False
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # rows > 8 / odd dims decline
+    from pyramidkv_tpu.kernels.int4_matmul import int8_tiles
+    assert int8_tiles(512, 1536)[0] > 0
+    assert int8_tiles(500, 1536) == (0, 0)
