@@ -76,17 +76,48 @@ def _assemble_planar(ye: jax.Array, yo: jax.Array, span: int) -> jax.Array:
     return out.reshape(rp, 2 * bo)
 
 
-def _kernel_planar(x_ref, c_ref, y_ref, *, span: int, op_dtype=jnp.float32):
+def _kernel_planar(x_ref, c_ref, y_ref, *, span: int, op_dtype=jnp.float32,
+                   sub_in: int = 0):
+    """``sub_in`` > 0 chunks the in-tile's dequant+dot into [sub_in, bo]
+    slices so a LARGE in-block (fewer grid steps, bigger DMA windows)
+    stays within the ~16 MB scoped-VMEM budget — the naive [bi, bo] f32
+    nibble temporaries at (2048, 2048) measured a scoped OOM
+    (logs/tpu_r3a.jsonl tiles_* legs)."""
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
-                          op_dtype)
-    x = x_ref[...].astype(op_dtype)
-    ye = jax.lax.dot_general(
-        x, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    yo = jax.lax.dot_general(
-        x, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    c_full = c_ref[...] if c_ref.ndim == 2 else c_ref[0]
+    x_full = x_ref[...].astype(op_dtype)
+    rp = x_full.shape[0]
+    bi, bo = c_full.shape
+    step = sub_in if sub_in and sub_in < bi else bi
+    if step == bi:
+        lo, hi = _nibbles_f32(c_full, op_dtype)
+        ye = jax.lax.dot_general(
+            x_full, lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        yo = jax.lax.dot_general(
+            x_full, hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        # ONE compiled body (a python-unrolled loop would make Mosaic's
+        # scoped allocator SUM the per-slice temporaries — the same
+        # lesson as the tiled quant-decode kernel, commit 4e28f2c)
+        def body(s, acc):
+            ye, yo = acc
+            cs_ = jax.lax.dynamic_slice_in_dim(c_full, s * step, step, 0)
+            xs = jax.lax.dynamic_slice_in_dim(x_full, s * step, step, 1)
+            lo, hi = _nibbles_f32(cs_, op_dtype)
+            ye = ye + jax.lax.dot_general(
+                xs, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            yo = yo + jax.lax.dot_general(
+                xs, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return ye, yo
+
+        ye, yo = jax.lax.fori_loop(
+            0, bi // step, body,
+            (jnp.zeros((rp, bo), jnp.float32),
+             jnp.zeros((rp, bo), jnp.float32)))
     y = _assemble_planar(ye, yo, span)
 
     @pl.when(i == 0)
@@ -132,9 +163,10 @@ def _kernel_planar_grouped(x_ref, c_ref, s_ref, y_ref, *,
 
 
 def _kernel_planar_pref(l_ref, x_ref, c_ref, y_ref, *, span: int,
-                        op_dtype=jnp.float32):
+                        op_dtype=jnp.float32, sub_in: int = 0):
     del l_ref
-    _kernel_planar(x_ref, c_ref, y_ref, span=span, op_dtype=op_dtype)
+    _kernel_planar(x_ref, c_ref, y_ref, span=span, op_dtype=op_dtype,
+                   sub_in=sub_in)
 
 
 def _kernel_planar_grouped_pref(l_ref, x_ref, c_ref, s_ref, y_ref, *,
@@ -231,7 +263,8 @@ def _kernel_grouped_pref(l_ref, x_ref, c_ref, se_ref, so_ref, ye_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_in", "block_out2", "group_size", "interpret"),
+    static_argnames=("block_in", "block_out2", "group_size", "interpret",
+                     "sub_in"),
 )
 def int4_matmul(
     x: jax.Array,
@@ -243,6 +276,7 @@ def int4_matmul(
     block_out2: int = DEFAULT_BLOCK_OUT2,
     group_size: int = 0,
     interpret: bool = False,
+    sub_in: int = 0,
 ) -> jax.Array:
     """``x @ dequant(codes, scale)`` reading only the packed bytes.
 
@@ -271,10 +305,14 @@ def int4_matmul(
     out2 = codes.shape[-1]
     bi = min(block_in, in_dim)
     bo = min(block_out2, out2)
-    # shrink to divisors (weight dims are powers-of-two times small ints;
-    # gcd fallback keeps odd direct-call shapes correct, just slower)
+    # shrink to divisors.  The out axis uses a 128-step divisor scan — a
+    # packed-int4 lm_head has out2 = 64128 = 128*3*167, where halving
+    # collapses to 128-byte slivers but the scan lands on 384 — falling
+    # back to halving for sub-128 (tiny-test) widths.
     while in_dim % bi:
         bi //= 2
+    if out2 % bo:
+        bo = _largest_tile(out2, bo) or bo
     while out2 % bo:
         bo //= 2
     if group_size:
@@ -362,9 +400,10 @@ def int4_matmul(
             )
             return y[:rows].astype(out_dtype)
         y = call(
-            functools.partial(_kernel_planar, span=span, op_dtype=op_dtype),
+            functools.partial(_kernel_planar, span=span, op_dtype=op_dtype,
+                              sub_in=sub_in),
             functools.partial(_kernel_planar_pref, span=span,
-                              op_dtype=op_dtype),
+                              op_dtype=op_dtype, sub_in=sub_in),
             [x_spec, c_spec], y_spec, out_shape, xp, codes,
         )
         y = y * scale.astype(jnp.float32)[None, :]

@@ -391,6 +391,16 @@ def _logits_raw(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
                 preferred_element_type=jnp.float32,
             )
             return out * w.scale.astype(jnp.float32)
+        if not spec.tie_word_embeddings and w.scale.ndim == 1:
+            # int8 lm_head, decode-shaped rows: the streaming kernel
+            # (kernels/int4_matmul.py::int8_matmul) — XLA lowers the
+            # 1-row product to a VPU multiply-reduce at ~56% of HBM
+            # bandwidth (1.15 ms/step of the d32 step, logs/r3a_trace)
+            from .weights import _int8_kernel_mm
+
+            y = _int8_kernel_mm(h.astype(jnp.float32), w)
+            if y is not None:
+                return y
         # tied: codes [V, Dm] (contract last); untied lm_head: [Dm, V]
         cdim = 1 if spec.tie_word_embeddings else 0
         out = jax.lax.dot_general(

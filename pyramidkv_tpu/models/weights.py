@@ -373,6 +373,11 @@ _INT4_KERNEL_MAX_ROWS = 384
 #: can tune; None = kernel defaults (512, 1024).
 _INT4_KERNEL_BLOCKS = [None]
 
+#: in-kernel dequant sub-chunk (planar per-channel path only): lets a
+#: large block_in keep its nibble temporaries within scoped VMEM.
+#: 0 = whole in-block at once.
+_INT4_KERNEL_SUBIN = [0]
+
 
 #: Test hook: route multi-device traces through the custom_partitioning
 #: kernel wrapper even off-TPU (CPU-mesh TP tests set this together with
@@ -423,6 +428,8 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     kw = {}
     if _INT4_KERNEL_BLOCKS[0] is not None:
         kw = dict(zip(("block_in", "block_out2"), _INT4_KERNEL_BLOCKS[0]))
+    if _INT4_KERNEL_SUBIN[0]:
+        kw["sub_in"] = _INT4_KERNEL_SUBIN[0]
     if rows > 32:
         # verify-sized row blocks: halve the out tile so the two f32
         # output accumulators stay comfortably inside VMEM
@@ -440,7 +447,9 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
     if multi:
         y = int4_matmul_sharded(x.reshape(rows, in_dim), codes, w.scale,
                                 layer=layer, group_size=gs,
-                                interpret=interpret, **kw)
+                                interpret=interpret,
+                                **{k: v for k, v in kw.items()
+                                   if k != "sub_in"})
     elif gs:
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, group_size=gs, interpret=interpret,

@@ -31,7 +31,7 @@ from pyramidkv_tpu.models import weights as W
 log = make_logger("r3c")
 
 
-def profile_leg(spec, params):
+def profile_leg(spec, params, tdir="/root/repo/logs/r3c_trace", tag="r3c"):
     from _bench_common import build_engine
 
     try:
@@ -52,7 +52,6 @@ def profile_leg(spec, params):
         _, cache = eng._get_prefill(CTX)(params, jnp.asarray(prompt), tl,
                                          jax.random.PRNGKey(0))
         jax.block_until_ready(cache.k)
-        tdir = "/root/repo/logs/r3c_trace"
         jax.profiler.start_trace(tdir, create_perfetto_trace=True)
         out = decode_fn(params, cache, first, eos, jax.random.PRNGKey(1),
                         jnp.int32(16))
@@ -70,10 +69,10 @@ def profile_leg(spec, params):
                 t, c = agg.get(name, (0.0, 0))
                 agg[name] = (t + ev["dur"], c + 1)
         top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:30]
-        emit({"bench": "r3c/profile_top",
+        emit({"bench": f"{tag}/profile_top",
               "ops": [[n, round(t, 1), c] for n, (t, c) in top]})
     except Exception as e:
-        emit({"bench": "r3c/profile_top", "error": repr(e)[-400:]})
+        emit({"bench": f"{tag}/profile_top", "error": repr(e)[-400:]})
 
 
 def main():
