@@ -363,6 +363,12 @@ class CompressionSpec:
     #: (scalar-prefetched index maps), "db" = double-buffered manual-DMA
     #: variant (tile loop inside the kernel, invalid tiles skipped).
     minference_slash_impl: str = "grid"
+    #: Per-layer/per-head offline pattern budgets — the engine analogue of
+    #: the reference's MODEL2PATH JSON (minference.py:9-12).  A nested
+    #: tuple ``[num_layers][num_heads] of (vertical, slash)`` produced by
+    #: :func:`load_minference_pattern_config`; ``None`` keeps the uniform
+    #: ``minference_vertical_size/slash_size`` online estimate.
+    minference_pattern_config: "tuple | None" = None
     #: Below this prompt bucket the engine runs EXACT dense flash attention
     #: instead of the sparse pattern: measured per-layer crossover on v5e is
     #: ~32k (8k: dense 41 ms vs sparse 54+34; 32k: par; 64k: sparse 2.1x
@@ -553,3 +559,37 @@ class EngineSpec:
             if length <= b:
                 return b
         return _round_up(length, self.prefill_buckets[-1])
+
+
+def load_minference_pattern_config(path: str, num_layers: int,
+                                   num_heads: int) -> tuple:
+    """Parse a MInference per-model pattern config into the static nested
+    tuple ``CompressionSpec.minference_pattern_config`` expects.
+
+    The file format is the MInference repo's MODEL2PATH JSON (the
+    reference loads it verbatim, /root/reference/pyramidkv/minference.py:
+    9-12): a list with one dict per layer mapping head index (string) ->
+    ``[pattern_name, [arg0, arg1]]``.  ``vertical_and_slash`` maps
+    directly to (vertical, slash); other pattern names (``stream_llm``,
+    ``block_sparse``) are approximated as vertical+slash with their two
+    budget args (documented divergence — our attention engine expresses
+    ONE pattern family; the offline budgets still steer per-head
+    coverage).  Missing layers/heads fall back to the last seen entry.
+    """
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    out = []
+    last = (1000, 200)
+    for li in range(num_layers):
+        layer = raw[li] if li < len(raw) else {}
+        heads = []
+        for hi in range(num_heads):
+            ent = layer.get(str(hi)) or layer.get(hi)
+            if ent:
+                args = ent[1]
+                last = (int(args[0]), int(args[1]))
+            heads.append(last)
+        out.append(tuple(heads))
+    return tuple(out)

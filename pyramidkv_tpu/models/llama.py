@@ -515,12 +515,26 @@ def prefill(
                     sparse_prefill_attention,
                 )
 
+                pcfg = subplan.spec.minference_pattern_config
+                if pcfg is not None:
+                    # per-layer/per-head offline budgets (the reference's
+                    # MODEL2PATH JSON, minference.py:9-12): [L, H, 2]
+                    # constant indexed by the traced layer — static top-k
+                    # widths from the config maxima, per-head rank caps
+                    cfg = jnp.asarray(pcfg, jnp.int32)  # [L, H, 2]
+                    vsz, ssz = cfg[li, :, 0], cfg[li, :, 1]
+                    mv = max(v for layer_ in pcfg for v, _ in layer_)
+                    ms_ = max(s for layer_ in pcfg for _, s in layer_)
+                else:
+                    vsz = subplan.spec.minference_vertical_size
+                    ssz = subplan.spec.minference_slash_size
+                    mv = ms_ = None
                 pattern = estimate_vertical_slash(
                     q, k, true_len=true_len,
-                    vertical_size=subplan.spec.minference_vertical_size,
-                    slash_size=subplan.spec.minference_slash_size,
+                    vertical_size=vsz, slash_size=ssz,
                     last_q=subplan.spec.minference_last_q,
                     scale=ascale, softcap=asoftcap,
+                    max_vertical=mv, max_slash=ms_,
                 )
                 return sparse_prefill_attention(
                     q, k, v, pattern, true_len=true_len,

@@ -53,11 +53,13 @@ def estimate_vertical_slash(
     k: jax.Array,
     *,
     true_len: jax.Array,
-    vertical_size: int,
-    slash_size: int,
+    vertical_size,
+    slash_size,
     last_q: int = 64,
     scale: float | None = None,
     softcap: float | None = None,
+    max_vertical: int | None = None,
+    max_slash: int | None = None,
 ) -> VerticalSlashPattern:
     """Estimate the per-head pattern from the last ``last_q`` queries
     (the MInference estimation recipe).
@@ -65,6 +67,14 @@ def estimate_vertical_slash(
     q, k: [B, H, N, D] post-RoPE, left-padded.  Sinks (first 4 real tokens)
     and the local diagonals (offsets 0..last_q) are always included, as in
     the reference implementation's pattern construction.
+
+    ``vertical_size`` / ``slash_size`` may be ints (one budget for every
+    head) or traced [H] int32 arrays — the per-layer/per-head offline
+    pattern configs of /root/reference/pyramidkv/minference.py:9-12
+    (``MODEL2PATH`` JSON).  With array budgets the top-k widths come from
+    the STATIC ``max_vertical`` / ``max_slash`` (the config's maxima) and
+    each head's kept set is capped by a validity rank mask — static
+    shapes, per-head behavior.
     """
     b, h, n, d = q.shape
     hk = k.shape[1]
@@ -119,9 +129,21 @@ def estimate_vertical_slash(
     # multiple of 128 (TPU layout: a 1004-wide minor axis forces relayouts
     # in every downstream matmul); validity still caps at the configured
     # count so the KEPT set matches the reference's size exactly.
-    vs_true = min(vertical_size + 4, n)
-    vs = min(((vs_true + 127) // 128) * 128, n)
-    ss = min(slash_size, n)
+    per_head = not isinstance(vertical_size, int)
+    if per_head:
+        assert max_vertical is not None and max_slash is not None
+        vs_cap = min(max_vertical + 4, n)
+        vs_true = jnp.minimum(
+            jnp.asarray(vertical_size, jnp.int32) + 4, n)[None, :, None]
+        ss_true = jnp.minimum(
+            jnp.asarray(slash_size, jnp.int32), n)[None, :, None]
+        ss = min(max_slash, n)
+    else:
+        vs_cap = min(vertical_size + 4, n)
+        vs_true = vs_cap
+        ss = min(slash_size, n)
+        ss_true = None
+    vs = min(((vs_cap + 127) // 128) * 128, n)
     vvals, vidx = jax.lax.top_k(vscore, vs)
     vert_valid = (jnp.isfinite(vvals) | (vvals >= 1e29)) & (
         jnp.arange(vs)[None, None, :] < vs_true
@@ -132,8 +154,10 @@ def estimate_vertical_slash(
     vert = vert.at[bi, hi, vidx].max(vert_valid)
 
     _, sidx = jax.lax.top_k(sscore, ss)
+    skeep = (jnp.arange(ss)[None, None, :] < ss_true if per_head
+             else jnp.ones((1, 1, ss), bool))
     slash = jnp.zeros((b, h, n), bool)
-    slash = slash.at[bi, hi, sidx].set(True)
+    slash = slash.at[bi, hi, sidx].max(jnp.broadcast_to(skeep, (b, h, ss)))
     # always keep the local band (offsets 0..last_q)
     slash = slash | (jnp.arange(n)[None, None, :] <= w)
     return VerticalSlashPattern(vert=vert, slash=slash,

@@ -44,6 +44,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--head_beta", type=float, default=1.005)
     p.add_argument("--pruning_ratio", type=float, default=0.4, help="ThinK")
     p.add_argument("--recent_size", type=int, default=32, help="ThinK")
+    p.add_argument("--minference_config", type=str, default=None,
+                   help="MInference per-layer/per-head pattern JSON (the "
+                        "reference's MODEL2PATH format, minference.py:9-12)"
+                        "; omitted = uniform online-estimated budgets")
     p.add_argument("--quant_method", type=str, default=None,
                    choices=[None, "kivi", "kvquant"])
     p.add_argument("--nbits", type=int, default=8)
@@ -123,6 +127,14 @@ def build_compression_spec(args, model_spec: ModelSpec) -> CompressionSpec:
             model_spec.num_attention_heads,
             args.max_capacity_prompts,
             head_beta=args.head_beta,
+        )
+    if method == "minference" and getattr(args, "minference_config", None):
+        from ..config import load_minference_pattern_config
+
+        kw["minference_pattern_config"] = load_minference_pattern_config(
+            args.minference_config,
+            model_spec.num_hidden_layers,
+            model_spec.num_attention_heads,
         )
     return CompressionSpec(**kw)
 

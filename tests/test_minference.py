@@ -243,3 +243,96 @@ def test_minference_gemma2_close_to_dense_when_pattern_large():
                      params)
         outs.append(eng.generate([ids]).tokens[0])
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# per-layer/per-head pattern configs (minference.py:9-12 MODEL2PATH)
+# ---------------------------------------------------------------------------
+
+
+def test_per_head_budgets_produce_different_coverage():
+    """Two heads with different configured budgets keep different-sized
+    vertical/slash sets (the static top-k width comes from the config
+    maxima; each head's set is rank-capped)."""
+    rng = np.random.default_rng(5)
+    b, h, n, d = 1, 4, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    tl = jnp.asarray([256], jnp.int32)
+    vsz = jnp.asarray([8, 32, 8, 32], jnp.int32)
+    ssz = jnp.asarray([16, 16, 64, 64], jnp.int32)
+    pat = estimate_vertical_slash(
+        q, k, true_len=tl, vertical_size=vsz, slash_size=ssz, last_q=8,
+        max_vertical=32, max_slash=64)
+    nvert = np.asarray(pat.vert.sum(-1))[0]      # [H]
+    # +4 sinks per head; top-k may overlap sinks, so counts are <= budget+4
+    assert nvert[0] <= 8 + 4 and nvert[1] <= 32 + 4
+    assert nvert[1] > nvert[0] and nvert[3] > nvert[2]
+    nslash = np.asarray(pat.slash.sum(-1))[0]
+    assert nslash[2] > nslash[0] and nslash[3] > nslash[1]
+    # uniform call with the max budgets keeps MORE than the capped heads
+    pat_u = estimate_vertical_slash(
+        q, k, true_len=tl, vertical_size=32, slash_size=64, last_q=8)
+    assert int(pat_u.vert[0, 0].sum()) >= nvert[0]
+
+
+def test_pattern_config_loader_and_engine_e2e(tmp_path):
+    """MODEL2PATH-format JSON round-trips through the loader, steers
+    per-head coverage in a real engine prefill, and the gathered sparse
+    path still matches the dense oracle under per-head budgets."""
+    import json
+
+    from pyramidkv_tpu.config import load_minference_pattern_config
+
+    cfg = [
+        {str(hi): ["vertical_and_slash", [8 if hi % 2 else 24, 16]]
+         for hi in range(4)},
+        {"0": ["vertical_and_slash", [16, 32]]},  # heads 1-3 inherit
+    ]
+    path = tmp_path / "pattern.json"
+    path.write_text(json.dumps(cfg))
+    t = load_minference_pattern_config(str(path), num_layers=2, num_heads=4)
+    assert t[0][0] == (24, 16) and t[0][1] == (8, 16)
+    assert t[1] == ((16, 32),) * 4
+    # layers beyond the file inherit the last entry
+    t3 = load_minference_pattern_config(str(path), num_layers=3, num_heads=4)
+    assert t3[2] == t3[1]
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    ids = [int(x) for x in np.random.default_rng(3).integers(0, 256, size=48)]
+    pcfg = tuple(
+        tuple((8 if hi % 2 else 24, 16) for hi in range(4))
+        for _ in range(spec.num_hidden_layers)
+    )
+    eng = Engine(
+        spec,
+        CompressionSpec(method="minference", minference_last_q=8,
+                        minference_dense_below=0,
+                        minference_pattern_config=pcfg),
+        EngineSpec(max_new_tokens=4, prefill_buckets=(64,)),
+        params,
+    )
+    out = eng.generate([ids])
+    assert len(out.tokens[0]) == 4
+
+
+def test_gathered_matches_dense_oracle_per_head_budgets():
+    rng = np.random.default_rng(6)
+    b, h, n, d = 1, 4, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    tl = jnp.asarray([200], jnp.int32)
+    pat = estimate_vertical_slash(
+        q, k, true_len=tl,
+        vertical_size=jnp.asarray([8, 32, 16, 24], jnp.int32),
+        slash_size=jnp.asarray([16, 8, 64, 32], jnp.int32),
+        last_q=8, max_vertical=32, max_slash=64)
+    kw = dict(true_len=tl, tile_budget=4, interpret=True)
+    got = np.asarray(sparse_prefill_attention(q, k, v, pat, **kw))
+    want = np.asarray(sparse_prefill_attention_dense(
+        q, k, v, pat, true_len=tl, tile_budget=4))
+    pad = 56
+    np.testing.assert_allclose(got[:, :, pad:], want[:, :, pad:],
+                               rtol=2e-4, atol=2e-4)
