@@ -84,27 +84,30 @@ def _kernel_planar(x_ref, c_ref, y_ref, *, span: int, op_dtype=jnp.float32,
     nibble temporaries at (2048, 2048) measured a scoped OOM
     (logs/tpu_r3a.jsonl tiles_* legs)."""
     i = pl.program_id(1)
-    c_full = c_ref[...] if c_ref.ndim == 2 else c_ref[0]
-    x_full = x_ref[...].astype(op_dtype)
-    rp = x_full.shape[0]
-    bi, bo = c_full.shape
+    rp = x_ref.shape[0]
+    bi = c_ref.shape[-2]
+    bo = c_ref.shape[-1]
     step = sub_in if sub_in and sub_in < bi else bi
     if step == bi:
-        lo, hi = _nibbles_f32(c_full, op_dtype)
+        lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
+                              op_dtype)
+        x = x_ref[...].astype(op_dtype)
         ye = jax.lax.dot_general(
-            x_full, lo, (((1,), (0,)), ((), ())),
+            x, lo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         yo = jax.lax.dot_general(
-            x_full, hi, (((1,), (0,)), ((), ())),
+            x, hi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     else:
-        # ONE compiled body (a python-unrolled loop would make Mosaic's
-        # scoped allocator SUM the per-slice temporaries — the same
-        # lesson as the tiled quant-decode kernel, commit 4e28f2c)
+        # ONE compiled fori body (a python-unrolled loop would make
+        # Mosaic's scoped allocator SUM the per-slice temporaries — the
+        # tiled quant-decode kernel lesson, commit 4e28f2c); slices read
+        # via pl.ds on the REFS (Mosaic has no dynamic_slice on values)
         def body(s, acc):
             ye, yo = acc
-            cs_ = jax.lax.dynamic_slice_in_dim(c_full, s * step, step, 0)
-            xs = jax.lax.dynamic_slice_in_dim(x_full, s * step, step, 1)
+            sl = pl.ds(s * step, step)
+            cs_ = c_ref[sl, :] if c_ref.ndim == 2 else c_ref[0, sl, :]
+            xs = x_ref[:, sl].astype(op_dtype)
             lo, hi = _nibbles_f32(cs_, op_dtype)
             ye = ye + jax.lax.dot_general(
                 xs, lo, (((1,), (0,)), ((), ())),
