@@ -9,14 +9,16 @@ PACKED bytes (0.5 byte/param of HBM traffic), sign-extends the two
 nibbles in VMEM, and feeds the MXU directly — the int4 analogue of what
 XLA's operand-fusion already does for int8.
 
-Layout contract (``models/weights.py``): codes int8 ``[in, out//2]``,
-byte ``b`` holds columns ``2j`` (low nibble) and ``2j+1`` (high nibble),
-two's complement, i.e. ``b = lo_u + 16*hi_s`` with ``lo_u = lo_s mod 16``.
-The kernel therefore computes TWO dots per tile against the packed bytes
-— ``y_even = x @ sign_extend(b & 0xF)`` and ``y_odd = x @ (b >> 4)`` —
-and the caller interleaves the (activation-sized) outputs; no in-kernel
-column interleave is needed, sidestepping Mosaic's minor-dim reshape
-restrictions (see kernels/quant_decode.py).
+Layout contract (``models/weights.py::pack_span``): codes int8
+``[in, out//2]``, SPAN-PLANAR — byte ``s*128 + p`` holds columns
+``s*256 + p`` (low nibble) and ``s*256 + 128 + p`` (high), two's
+complement.  The kernel computes two dots per tile against the packed
+bytes (``x @ sign_extend_lo`` / ``x @ (b >> 4)``) and assembles the
+natural-order output in VMEM from full-lane 128-column blocks
+(`_assemble_planar`) — the historical adjacent layout (span 1, byte j =
+columns 2j/2j+1) needed a caller-side ELEMENT interleave that cost
+~1.0 ms/step of relayout copies at d32 (logs/r3a_trace) and survives
+only for odd tiny-test widths.
 
 Scales: per-output-channel (symmetric) applied by the caller after the
 interleave; AWQ-style GROUP scales (``[G, out]``) are applied in-kernel
@@ -267,7 +269,7 @@ def _kernel_grouped_pref(l_ref, x_ref, c_ref, se_ref, so_ref, ye_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block_in", "block_out2", "group_size", "interpret",
-                     "sub_in"),
+                     "sub_in", "op"),
 )
 def int4_matmul(
     x: jax.Array,
@@ -280,6 +282,7 @@ def int4_matmul(
     group_size: int = 0,
     interpret: bool = False,
     sub_in: int = 0,
+    op: "str | None" = None,
 ) -> jax.Array:
     """``x @ dequant(codes, scale)`` reading only the packed bytes.
 
@@ -343,6 +346,8 @@ def int4_matmul(
     # products are exact; accumulation stays f32 either way.
     op_dtype = (jnp.bfloat16
                 if x.dtype == jnp.bfloat16 and rows > 32 else jnp.float32)
+    if op is not None:  # explicit override (static arg -> keyed jit cache)
+        op_dtype = jnp.bfloat16 if op == "bf16" else jnp.float32
 
     # pack layout span (mirrors models/weights.py::pack_span — kept local
     # to avoid a circular import); span >= 8 sublane-tiles cleanly, so the

@@ -872,15 +872,26 @@ def decode_step(
                     jnp.broadcast_to(pos[:, None], (b, hm)).astype(jnp.int32))
             layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
             visible = layer.mask
-            if win_arr is not None:
-                visible = visible & (
-                    layer.positions
-                    > (pos[:, None, None] - win_arr[layer0 + i])
-                )
-            elif spec.sliding_window is not None:
-                visible = visible & (
-                    layer.positions > (pos[:, None, None] - spec.sliding_window)
-                )
+            # Sliding-window masking at decode applies only to UNCOMPRESSED
+            # caches (rows ARE positions there).  A compressed cache attends
+            # ALL its kept keys — the reference's own decode semantics: its
+            # eager path sizes everything by the compressed row count and
+            # its flash/sdpa row-slicing (`key_states[:, :, -window:]`,
+            # mistral_model.py:277-289) never triggers on a
+            # shorter-than-window compressed cache.  Masking kept keys by
+            # TRUE position instead measurably diverged token-level A/B
+            # (test_mistral_decode_token_ab).
+            if cs.method in ("fullkv", "minference"):
+                if win_arr is not None:
+                    visible = visible & (
+                        layer.positions
+                        > (pos[:, None, None] - win_arr[layer0 + i])
+                    )
+                elif spec.sliding_window is not None:
+                    visible = visible & (
+                        layer.positions
+                        > (pos[:, None, None] - spec.sliding_window)
+                    )
             if quantized:
                 sp_ = subplan.prefill_slots
                 from ..kernels.quant_decode import MAX_KERNEL_SLOTS
@@ -1170,8 +1181,14 @@ def verify_step(
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
             wts = layer_view(params["layers"], layer0 + i)
-            win_i = (win_arr[layer0 + i] if win_arr is not None
-                     else spec.sliding_window)
+            # compressed caches attend ALL kept keys (reference decode
+            # semantics — see decode_step); window masking only where
+            # cache rows are positions
+            if subplan.spec.method in ("fullkv", "minference"):
+                win_i = (win_arr[layer0 + i] if win_arr is not None
+                         else spec.sliding_window)
+            else:
+                win_i = None
             x = rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
             q, k, v = _qkv(x, wts, spec)                      # [B,H/KV,T,Dh]
             q = apply_rope(q, q_pos, inv_freq)

@@ -21,9 +21,12 @@ native ``jnp.int4`` inside the jitted forward via a zero-copy
 ``bitcast_convert_type`` (s4 is stored two-per-byte anyway), so the
 s4->bf16 convert fuses into the matmul operand stream like the int8
 path and decode reads 0.5 byte/param — see :func:`_logical_codes`.
-Packing along the out axis means pack/bitcast preserve column order
-with no interleave permutation, and out-axis (column-parallel) sharding
-still works: each byte holds two adjacent columns of the same shard.
+Packing is SPAN-PLANAR along the out axis (:func:`pack_span`): the fused
+decode kernel emits natural-order output from full-lane block writes
+(no element interleave), the prefill bitcast path restores column order
+with one 128-block de-interleave per matmul, and out-axis
+(column-parallel) sharding works as long as shards hold whole spans
+(width a multiple of 256 columns — the 2-KV-head minimum shard).
 
 int4 per-channel rounding is coarse, so ``group_size`` (AWQ/GPTQ-style,
 e.g. 128) additionally splits the CONTRACTION dimension into groups with
@@ -69,9 +72,9 @@ class QuantW(NamedTuple):
 
     - int8:        ``codes`` int8 at the original shape ``[..., in, out]``.
     - packed int4: ``codes`` int8 at ``[..., in, out//2]`` — two signed
-      nibbles per byte along the out axis (low nibble = even column).
-      Detected by ``codes.shape[-1] * 2 == <logical out>``; see
-      :func:`is_packed4`.
+      nibbles per byte along the out axis, span-planar order
+      (:func:`pack_span`).  Detected by ``codes.shape[-1] * 2 ==
+      <logical out>``; see :func:`is_packed4`.
     - per-channel scales: ``[..., out]`` (the embedding's per-row variant
       is ``[vocab]``).
     - group-wise scales: ``[..., G, out]`` with ``G = in_dim //
@@ -378,6 +381,11 @@ _INT4_KERNEL_BLOCKS = [None]
 #: 0 = whole in-block at once.
 _INT4_KERNEL_SUBIN = [0]
 
+#: MXU operand dtype override for the fused kernel ("bf16"/"f32"/None =
+#: row-count heuristic).  Read at ENGINE trace time and passed as a
+#: static kernel arg, so the jit cache keys on it.
+_INT4_KERNEL_OP = [None]
+
 
 #: Test hook: route multi-device traces through the custom_partitioning
 #: kernel wrapper even off-TPU (CPU-mesh TP tests set this together with
@@ -430,6 +438,8 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
         kw = dict(zip(("block_in", "block_out2"), _INT4_KERNEL_BLOCKS[0]))
     if _INT4_KERNEL_SUBIN[0]:
         kw["sub_in"] = _INT4_KERNEL_SUBIN[0]
+    if _INT4_KERNEL_OP[0]:
+        kw["op"] = _INT4_KERNEL_OP[0]
     if rows > 32:
         # verify-sized row blocks: halve the out tile so the two f32
         # output accumulators stay comfortably inside VMEM
@@ -449,7 +459,7 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
                                 layer=layer, group_size=gs,
                                 interpret=interpret,
                                 **{k: v for k, v in kw.items()
-                                   if k != "sub_in"})
+                                   if k not in ("sub_in", "op")})
     elif gs:
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, group_size=gs, interpret=interpret,

@@ -1,0 +1,143 @@
+"""Parameterized TPU bench driver (VERDICT r2 weak #6: one harness
+instead of per-round one-off scripts).
+
+Emits the same JSONL rows as the historical `tpu_round2*_bench.py`
+one-offs (kept logs remain the provenance; the scripts themselves are
+superseded by this driver + `_bench_common.py`).
+
+Examples:
+  # flagship decode row (d32 int4 weights, int4 lm_head, snapkv@4k)
+  python scripts/tpu_bench.py --methods snapkv fullkv --ctx 4096
+
+  # long-context KIVI decode
+  python scripts/tpu_bench.py --methods fullkv --ctx 65536 \\
+      --quant_method kivi --nbits 2 --max_new 64
+
+  # chunked-prefill fullkv-quant (the 128k enabler)
+  python scripts/tpu_bench.py --methods fullkv --ctx 131072 \\
+      --quant_method kivi --nbits 4 --prefill_chunk 8192 --max_new 32
+
+  # continuous-batching serving leg
+  python scripts/tpu_bench.py --serving 8 --ctx 32768 --lanes 4 \\
+      --prefill_chunk 8192
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo/scripts")
+from _bench_common import (build_engine, emit, make_logger,
+                           random_int4_params, run_generate, spec_depth)
+
+log = make_logger("bench")
+
+
+def parse():
+    p = argparse.ArgumentParser()
+    p.add_argument("--methods", nargs="*", default=["snapkv"])
+    p.add_argument("--ctx", type=int, default=4096)
+    p.add_argument("--depth", type=int, default=32)
+    p.add_argument("--cap", type=int, default=128)
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument("--max_new", type=int, default=128)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--lm_head_nbits", type=int, default=4)
+    p.add_argument("--quant_method", type=str, default=None)
+    p.add_argument("--nbits", type=int, default=8)
+    p.add_argument("--q_group_size", type=int, default=64)
+    p.add_argument("--prefill_chunk", type=int, default=None)
+    p.add_argument("--prefill_block", type=int, default=512)
+    p.add_argument("--blocks", type=int, nargs=2, default=None,
+                   help="int4 kernel (block_in, block_out2)")
+    p.add_argument("--sub_in", type=int, default=0)
+    p.add_argument("--op", type=str, default=None, choices=[None, "bf16",
+                                                            "f32"])
+    p.add_argument("--serving", type=int, default=0,
+                   help="N requests through the ContinuousBatcher")
+    p.add_argument("--lanes", type=int, default=4)
+    p.add_argument("--quantum", type=int, default=16)
+    p.add_argument("--tag", type=str, default="bench")
+    p.add_argument("--repeats", type=int, default=2)
+    return p.parse_args()
+
+
+def main():
+    args = parse()
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+    from pyramidkv_tpu.models import weights as W
+
+    spec = spec_depth(args.depth)
+    params = random_int4_params(spec, jax.random.PRNGKey(0), fused=True,
+                                lm_head_nbits=args.lm_head_nbits)
+    if args.blocks:
+        W._INT4_KERNEL_BLOCKS[0] = tuple(args.blocks)
+    if args.sub_in:
+        W._INT4_KERNEL_SUBIN[0] = args.sub_in
+    if args.op:
+        W._INT4_KERNEL_OP[0] = args.op
+
+    comp_kw = {}
+    if args.quant_method:
+        comp_kw = dict(quant_method=args.quant_method, nbits=args.nbits,
+                       q_group_size=args.q_group_size)
+    eng_kw = {}
+    if args.prefill_chunk:
+        eng_kw["prefill_chunk"] = args.prefill_chunk
+
+    if args.serving:
+        from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+        eng = build_engine(spec, params, method=args.methods[0],
+                           ctx=args.ctx, cap=args.cap, window=args.window,
+                           max_new=args.max_new,
+                           prefill_block=args.prefill_block,
+                           comp_kw=comp_kw, eng_kw=eng_kw)
+        cb = ContinuousBatcher(eng, lanes=args.lanes, quantum=args.quantum)
+        rng = np.random.default_rng(0)
+        reqs = [Request(request_id=f"r{i}",
+                        prompt_ids=[int(t) for t in rng.integers(
+                            0, spec.vocab_size, size=args.ctx - 1)])
+                for i in range(args.serving)]
+        log("serving: warmup (compiles) ...")
+        cb.run([Request("w0", list(reqs[0].prompt_ids),
+                        max_new_tokens=8)])
+        t0 = time.perf_counter()
+        res = cb.run(reqs)
+        wall = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in res.values())
+        emit({"bench": f"{args.tag}/serving_{args.methods[0]}",
+              "wall_s": round(wall, 2), "total_tokens": total,
+              "serving_tok_s": round(total / wall, 2),
+              "requests": args.serving, "ctx": args.ctx,
+              "lanes": args.lanes,
+              "prefill_chunk": args.prefill_chunk,
+              "sum_prefill_s": round(sum(r.prefill_seconds
+                                         for r in res.values()), 2),
+              "sum_decode_s": round(sum(r.decode_seconds
+                                        for r in res.values()), 2)})
+        return
+
+    for method in args.methods:
+        eng = build_engine(spec, params, method=method, ctx=args.ctx,
+                           cap=args.cap, window=args.window,
+                           max_new=args.max_new, batch=args.batch,
+                           prefill_block=args.prefill_block,
+                           comp_kw=comp_kw, eng_kw=eng_kw)
+        extra = {}
+        if args.quant_method:
+            extra = {"quant": f"{args.quant_method}{args.nbits}"}
+        if args.prefill_chunk:
+            extra["prefill_chunk"] = args.prefill_chunk
+        run_generate(f"{args.tag}/{method}", eng, args.ctx,
+                     max_new=args.max_new, batch=args.batch, log=log,
+                     extra=extra or None, repeats=args.repeats)
+    log("ALL DONE")
+
+
+if __name__ == "__main__":
+    main()

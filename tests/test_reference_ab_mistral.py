@@ -183,3 +183,89 @@ def test_mistral_prefill_ab(checkpoint, method):
             got_sorted = ours_rows[np.lexsort(ours_rows.T)]
             np.testing.assert_allclose(got_sorted, ref_sorted,
                                        rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("method", ["snapkv", "pyramidkv", "streamingllm"])
+def test_mistral_decode_token_ab(checkpoint, method):
+    """Decode-level token A/B (16 greedy steps against the compressed
+    cache).  The reference's eager Mistral decode raises its OWN shape
+    check under compression (mistral_model.py:167-170 compares
+    attn_weights against the TRUE position count while the cache holds
+    the compressed rows).  The wrapper below monkeypatches AROUND that
+    bug: before each decode step ``self.kv_seq_len`` is pinned to the
+    ACTUAL compressed cache length (so the check and HF's causal mask
+    agree with the real key rows) while RoPE positions stay TRUE via
+    explicit position_ids — the semantics the reference's flash path
+    implements and our engine reproduces."""
+    from transformers.cache_utils import DynamicCache
+
+    model, d, ids = checkpoint
+    model = transformers.MistralForCausalLM.from_pretrained(
+        d, attn_implementation="eager", torch_dtype=torch.float32)
+    model.eval()
+    _patch(model, method)
+    # wrap each attention fwd: pin kv_seq_len to the compressed length on
+    # decode-shaped calls (q_len == 1)
+    for layer in model.model.layers:
+        attn = layer.self_attn
+        attn.kv_seq_len = 0
+        inner = attn.forward
+
+        def fwd(hidden_states, *a, module=attn, inner=inner,
+                past_key_values=None, **kw):
+            if hidden_states.shape[1] == 1 and past_key_values is not None:
+                module.kv_seq_len = past_key_values.get_seq_length(
+                    module.layer_idx)
+                # HF sizes ONE causal mask by layer 0's cache rows;
+                # pyramidkv keeps per-layer counts, so the mask can never
+                # fit every layer.  q_len == 1 over a fully-valid
+                # compressed cache needs no mask at all.
+                kw["attention_mask"] = None
+                a = ()
+            return inner(hidden_states, *a,
+                         past_key_values=past_key_values, **kw)
+
+        attn.forward = fwd
+
+    cache = DynamicCache()
+    if not hasattr(cache, "get_usable_length"):
+        cache.get_usable_length = (
+            lambda new_len, layer_idx=0: cache.get_seq_length(layer_idx)
+        )
+    with torch.no_grad():
+        out = model(torch.tensor([ids]), past_key_values=cache,
+                    use_cache=True)
+        tok = int(out.logits[0, -1].argmax())
+        ref_tokens = [tok]
+        # pyramidkv keeps DIFFERENT row counts per layer; HF builds ONE
+        # causal mask sized by layer 0, so the eager forward's mask-size
+        # check can never pass on deeper layers.  For q_len == 1 with a
+        # fully-valid compressed cache a None mask is semantically exact —
+        # neutralise the mask builder for the decode steps.
+        model.model._update_causal_mask = lambda *a, **k: None
+        for step in range(16):
+            comp_len = cache.get_seq_length(0)
+            out = model(
+                torch.tensor([[tok]]),
+                past_key_values=cache,
+                position_ids=torch.tensor([[N + step]]),
+                cache_position=torch.tensor([comp_len]),
+                use_cache=True,
+            )
+            tok = int(out.logits[0, -1].argmax())
+            ref_tokens.append(tok)
+
+    from pyramidkv_tpu.config import EngineSpec
+    from pyramidkv_tpu.engine import Engine
+
+    spec = spec_from_hf_dir(d)
+    params = load_params_from_hf(d, spec, dtype=jnp.float32)
+    eng = Engine(
+        spec,
+        CompressionSpec(method=method, max_capacity_prompt=CAP,
+                        window_size=W, kernel_size=KS, pooling="avgpool"),
+        EngineSpec(max_new_tokens=17, prefill_buckets=(N,)),
+        params,
+    )
+    ours = eng.generate([ids]).tokens[0]
+    assert ours == ref_tokens, (method, ours, ref_tokens)
