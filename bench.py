@@ -12,12 +12,13 @@ methods exist to beat.  ``vs_baseline`` = snapkv decode tokens/s divided
 by fullkv decode tokens/s at a 32k-token prompt on the real 8B shape
 (int4 weights fit the 4.3 GB full-KV cache next to 4 GB of weights in
 16 GB HBM; at 64k fullkv does not fit at all while snapkv holds ~86
-tok/s — see BASELINE.md round-2z).  Measured by this script on the real
-chip (BENCH_r02.json): snapkv 100.9 tok/s vs fullkv 54.3 → ~1.86x decode
-bandwidth win on top of the 43x cache footprint win (101 MB vs 4303 MB);
-an earlier run of the same config via scripts/tpu_round2z_bench.py logged
-85.9 / 49.4 (logs/tpu_r2z — slower because that process also ran the
-32k B=4 and 64k legs, fragmenting HBM).
+tok/s — see BASELINE.md round-2z).  Round-2 measurement of this script
+(BENCH_r02.json, int8 lm_head): snapkv 100.9 tok/s vs fullkv 54.3
+(~1.86x on top of the 43x cache footprint win, 101 MB vs 4303 MB).
+Round 3 rebuilt the decode hot path (span-planar pack layout, streaming
+lm_head kernels, sub-chunked (2048,2048) tiles; this script now also
+packs the lm_head int4) — BASELINE.md "Round 3": 104.7 → 137.0 tok/s at
+4k ctx on that fix ladder.
 """
 
 import json
@@ -54,13 +55,15 @@ def random_int4_params(spec, key):
                                      jnp.float32))
 
     emb_codes = jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8)
-    lm_codes = jax.random.randint(next(ks), (Dm, V), -127, 128, jnp.int8)
+    # packed-int4 lm_head (the fastest decode config — BASELINE Round 3)
+    lm_codes = jax.random.randint(next(ks), (Dm, V // 2), -128, 128,
+                                  jnp.int8)
     return {
         "embed": QuantW(codes=emb_codes,
                         scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),
         "final_norm": jnp.ones((Dm,), jnp.bfloat16),
         "lm_head": QuantW(codes=lm_codes,
-                          scale=jnp.full((V,), 1.0 / (127.0 * np.sqrt(Dm)),
+                          scale=jnp.full((V,), 1.0 / (7.0 * np.sqrt(Dm)),
                                          jnp.float32)),
         "layers": {
             "wq": qw((L, Dm, H * Dh)),

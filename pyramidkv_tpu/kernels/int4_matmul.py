@@ -39,15 +39,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: default tiles — (1024, 2048) measured fastest at the 8B decode shapes
-#: (d32 snapkv 93.6 -> 104.9 tok/s vs (512, 1024): fewer grid steps =
-#: less per-tile overhead; logs/tpu_r2ag).  The eligibility guard in
+#: default tiles — (2048, 2048) with in-kernel sub-chunking measured
+#: fastest at the 8B decode shapes (d32 snapkv lm4 137.0 vs 135.0 at
+#: (1024, 2048), logs/tpu_r3e; bigger in-blocks lose to Pallas's
+#: double-buffered 8 MB code blocks, r3f).  The eligibility guard in
 #: models/weights.py checks group divisibility against DEFAULT_BLOCK_IN
 #: (the internal halving loop only shrinks it to power-of-two divisors
 #: of in_dim, so ``min(DEFAULT_BLOCK_IN, in_dim) % group_size == 0``
 #: guarantees every realised in-block spans whole groups).
-DEFAULT_BLOCK_IN = 1024
+DEFAULT_BLOCK_IN = 2048
 DEFAULT_BLOCK_OUT2 = 2048
+
+#: scoped-VMEM budget for the in-kernel f32 nibble temporaries: above it
+#: the planar kernel auto-sub-chunks (a [2048, 2048] tile's lo/hi pair
+#: alone is 32 MB > the 16 MB scoped limit).
+_SCOPED_NIBBLE_BUDGET = 8 << 20
 
 
 def _nibbles_f32(c: jax.Array, dtype=jnp.float32):
@@ -138,25 +144,31 @@ def _kernel_planar_grouped(x_ref, c_ref, s_ref, y_ref, *,
                            groups_per_block: int, group_size: int,
                            span: int, op_dtype=jnp.float32):
     """Group-scaled planar variant: scales arrive in NATURAL column order
-    (one strip, no even/odd split) and are applied after assembly."""
+    (one strip, no even/odd split) and are applied after assembly.  The
+    group loop is ONE compiled fori body dequantizing a [group, bo] slice
+    at a time — Mosaic's scoped allocator would otherwise sum the nibble
+    temporaries across an unrolled loop (32 x 1 MB at the (2048, 2048)
+    default tiles)."""
     i = pl.program_id(1)
-    lo, hi = _nibbles_f32(c_ref[...] if c_ref.ndim == 2 else c_ref[0],
-                          op_dtype)
-    x = x_ref[...].astype(op_dtype)
-    y = jnp.zeros(y_ref.shape, jnp.float32)
-    for g in range(groups_per_block):
-        sl = slice(g * group_size, (g + 1) * group_size)
-        xg = x[:, sl]
+
+    def body(g, y):
+        sl = pl.ds(g * group_size, group_size)
+        cs_ = c_ref[sl, :] if c_ref.ndim == 2 else c_ref[0, sl, :]
+        xg = x_ref[:, sl].astype(op_dtype)
+        lo, hi = _nibbles_f32(cs_, op_dtype)
         pe = jax.lax.dot_general(
-            xg, lo[sl], (((1,), (0,)), ((), ())),
+            xg, lo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         po = jax.lax.dot_general(
-            xg, hi[sl], (((1,), (0,)), ((), ())),
+            xg, hi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         row = pl.ds(i * groups_per_block + g, 1)
-        y = y + _assemble_planar(pe, po, span) * s_ref[row, :]
+        return y + _assemble_planar(pe, po, span) * s_ref[row, :]
+
+    y = jax.lax.fori_loop(0, groups_per_block, body,
+                          jnp.zeros(y_ref.shape, jnp.float32))
 
     @pl.when(i == 0)
     def _init():
@@ -356,6 +368,10 @@ def int4_matmul(
     # copies at d32 int4 — logs/r3a_trace copy.81/84/86-88) disappears
     span = 128 if out2 % 128 == 0 else 1
     planar = span >= 8 and bo % span == 0
+    if planar and not sub_in and bi * bo * 8 > _SCOPED_NIBBLE_BUDGET:
+        # auto-sub-chunk: keep the f32 lo/hi nibble tiles within scoped
+        # VMEM at the (2048, 2048) default (engine-measured best, r3e)
+        sub_in = max(_SCOPED_NIBBLE_BUDGET // (bo * 8) // 128 * 128, 128)
 
     n_groups = scale.shape[0] if group_size else 0
     so_cols = 2 * bo if planar else bo
