@@ -48,7 +48,8 @@ class ContinuousBatcher:
     """
 
     def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16,
-                 mesh=None, refill_tokens: int = 8192):
+                 mesh=None, refill_tokens: int = 8192,
+                 chunked_refill_tokens: int = 32768):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         decode LANES shard across it (multi-chip/multi-host data-parallel
         serving; each device advances its lanes, no cross-device traffic in
@@ -66,6 +67,12 @@ class ContinuousBatcher:
         self.quantum = quantum
         self.mesh = mesh
         self.refill_tokens = refill_tokens
+        #: HBM guard for CHUNKED refills: each in-flight chunked refill
+        #: carries a bucket-length full-KV state (4.3 GB at 32k d32), so
+        #: at most ``chunked_refill_tokens`` worth of rows x bucket may be
+        #: resumable at once (4 concurrent 32k states measured
+        #: RESOURCE_EXHAUSTED next to 4.5 GB of weights — logs/tpu_r3g)
+        self.chunked_refill_tokens = chunked_refill_tokens
         if mesh is not None:
             assert lanes % mesh.shape["data"] == 0, (
                 lanes, dict(mesh.shape))
@@ -439,6 +446,16 @@ class ContinuousBatcher:
                     # chunked refill: the prompt forward advances ONE chunk
                     # per decode quantum (`advance_refills`) so live lanes
                     # never stall behind a whole long prefill
+                    in_flight = sum(
+                        len(g2["lanes"]) * g2["toks"].shape[1]
+                        for g2 in pending_groups if "fns" in g2)
+                    if in_flight + rows * bucket > self.chunked_refill_tokens:
+                        # HBM guard: each chunked refill carries a full-KV
+                        # state buffer — requeue and stop launching
+                        for lane, r in zip(lanes_, group):
+                            free.insert(0, lane)
+                        queue[:0] = group
+                        break
                     fns = engine._get_prefill_chunked(bucket)
                     g.update(fns=fns, state=fns["init"](rows),
                              toks=jnp.asarray(toks),

@@ -51,6 +51,7 @@ def parse():
     p.add_argument("--nbits", type=int, default=8)
     p.add_argument("--q_group_size", type=int, default=64)
     p.add_argument("--prefill_chunk", type=int, default=None)
+    p.add_argument("--minference_config", type=str, default=None)
     p.add_argument("--prefill_block", type=int, default=512)
     p.add_argument("--blocks", type=int, nargs=2, default=None,
                    help="int4 kernel (block_in, block_out2)")
@@ -85,6 +86,12 @@ def main():
     if args.quant_method:
         comp_kw = dict(quant_method=args.quant_method, nbits=args.nbits,
                        q_group_size=args.q_group_size)
+    if args.minference_config:
+        from pyramidkv_tpu.config import load_minference_pattern_config
+
+        comp_kw["minference_pattern_config"] = load_minference_pattern_config(
+            args.minference_config, spec.num_hidden_layers,
+            spec.num_attention_heads)
     eng_kw = {}
     if args.prefill_chunk:
         eng_kw["prefill_chunk"] = args.prefill_chunk

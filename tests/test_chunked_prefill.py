@@ -255,3 +255,21 @@ def test_cb_decode_progresses_during_chunked_refill(tiny):
         if interleaved:
             break
     assert interleaved, events
+
+
+def test_cb_chunked_refill_token_budget(tiny):
+    """The HBM guard serialises chunked refills (each carries a full-KV
+    state buffer): with a budget of ONE bucket, tokens still match the
+    plain path exactly — requests just queue behind the in-flight
+    refill."""
+    ms, params = tiny
+
+    plain = ContinuousBatcher(
+        _engine(ms, params), lanes=2, quantum=4).run(_requests())
+    eng = _engine(ms, params, chunk=64)
+    cb = ContinuousBatcher(eng, lanes=2, quantum=4,
+                           chunked_refill_tokens=256)
+    got = cb.run(_requests())
+    assert set(plain) == set(got)
+    for k in plain:
+        assert plain[k].tokens == got[k].tokens, k
