@@ -424,6 +424,20 @@ class ContinuousBatcher:
                 idxs = [i for i, r in enumerate(queue)
                         if es.bucket_for(len(r.prompt_ids)) == bucket]
                 cap = max(1, self.refill_tokens // bucket)
+                chunked = engine.chunked_prefill_supported(bucket)
+                if chunked:
+                    # HBM guard: each chunked refill carries a bucket-
+                    # length full-KV state buffer (4.3 GB at 32k d32 —
+                    # four concurrent states measured RESOURCE_EXHAUSTED,
+                    # logs/tpu_r3g); admit rows only within the budget
+                    in_flight = sum(
+                        len(g2["lanes"]) * g2["toks"].shape[1]
+                        for g2 in pending_groups if "fns" in g2)
+                    budget_rows = (self.chunked_refill_tokens
+                                   - in_flight) // bucket
+                    if budget_rows < 1:
+                        break  # wait for the in-flight refill to finish
+                    cap = min(cap, budget_rows)
                 rows = 1
                 while rows * 2 <= min(len(idxs), len(free), cap):
                     rows *= 2
@@ -442,20 +456,10 @@ class ContinuousBatcher:
                                   es.max_new_tokens) for r in group],
                     t0=_time.perf_counter(),
                 )
-                if engine.chunked_prefill_supported(bucket):
+                if chunked:
                     # chunked refill: the prompt forward advances ONE chunk
                     # per decode quantum (`advance_refills`) so live lanes
                     # never stall behind a whole long prefill
-                    in_flight = sum(
-                        len(g2["lanes"]) * g2["toks"].shape[1]
-                        for g2 in pending_groups if "fns" in g2)
-                    if in_flight + rows * bucket > self.chunked_refill_tokens:
-                        # HBM guard: each chunked refill carries a full-KV
-                        # state buffer — requeue and stop launching
-                        for lane, r in zip(lanes_, group):
-                            free.insert(0, lane)
-                        queue[:0] = group
-                        break
                     fns = engine._get_prefill_chunked(bucket)
                     g.update(fns=fns, state=fns["init"](rows),
                              toks=jnp.asarray(toks),
