@@ -354,7 +354,11 @@ class ContinuousBatcher:
                         f"insert_lane: unmergeable cache leaf {old.shape} vs "
                         f"{new.shape} — update the per-field handling"
                     )
-                return old.at[:, lane].set(new[:, row])
+                # explicit cast: a quantized-weight tree keeps f32 norms, so
+                # its prefill cache can be f32 while the batched lane cache
+                # is weight_dtype (bf16) — jax scatters will reject the
+                # implicit downcast in a future release
+                return old.at[:, lane].set(new[:, row].astype(old.dtype))
 
             quant = cache.quant
             if quant is not None:
