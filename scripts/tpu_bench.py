@@ -52,6 +52,8 @@ def parse():
     p.add_argument("--q_group_size", type=int, default=64)
     p.add_argument("--prefill_chunk", type=int, default=None)
     p.add_argument("--minference_config", type=str, default=None)
+    p.add_argument("--dense_below", type=int, default=None,
+                   help="minference_dense_below override (0 = force sparse)")
     p.add_argument("--prefill_block", type=int, default=512)
     p.add_argument("--blocks", type=int, nargs=2, default=None,
                    help="int4 kernel (block_in, block_out2)")
@@ -92,6 +94,8 @@ def main():
         comp_kw["minference_pattern_config"] = load_minference_pattern_config(
             args.minference_config, spec.num_hidden_layers,
             spec.num_attention_heads)
+    if args.dense_below is not None:
+        comp_kw["minference_dense_below"] = args.dense_below
     eng_kw = {}
     if args.prefill_chunk:
         eng_kw["prefill_chunk"] = args.prefill_chunk
