@@ -136,10 +136,12 @@ def prefill_chunk(
         if attention_impl in ("pallas", "pallas_interpret"):
             from ..kernels import flash_causal_attention
 
+            # 1024-tile floor, like the monolithic prefill (logs/tpu_r3k)
+            fb = max(prefill_block, 1024)
             return flash_causal_attention(
                 q, kh, vh, eff_len,
-                block_q=min(prefill_block, c),
-                block_k=min(prefill_block, kv_extent),
+                block_q=min(fb, c),
+                block_k=min(fb, kv_extent),
                 sliding_window=win,
                 interpret=attention_impl == "pallas_interpret",
                 scale=ascale, softcap=asoftcap, q_start=chunk_start,
