@@ -488,6 +488,12 @@ def _kernel8(x_ref, c_ref, y_ref, *, op_dtype=jnp.bfloat16,
         y_ref[...] += y
 
 
+def _kernel8_pref(l_ref, x_ref, c_ref, y_ref, *, op_dtype=jnp.bfloat16,
+                  accumulate: bool):
+    del l_ref  # consumed by the index maps only
+    _kernel8(x_ref, c_ref, y_ref, op_dtype=op_dtype, accumulate=accumulate)
+
+
 def _largest_tile(n: int, cap: int, unit: int = 128) -> int:
     """Largest divisor of ``n`` that is <= cap and a multiple of ``unit``
     (the lm_head out dim 128256 = 128 x 1002 has no power-of-two tiling;
@@ -519,6 +525,7 @@ def int8_matmul(
     codes: jax.Array,
     scale: jax.Array,
     *,
+    layer=None,
     block_in: int = 4096,
     block_out: int = 2048,
     interpret: bool = False,
@@ -533,8 +540,13 @@ def int8_matmul(
     Operands run bf16 (int8 values are exact in bf16; x is bf16-rounded
     upstream), accumulation f32.
 
-    x: [rows, in] (rows decode-sized); codes s8 [in, out]; scale [out].
+    x: [rows, in] (rows decode-sized); codes s8 [in, out] or STACKED
+    [L, in, out] with ``layer`` (scalar prefetch — a decode layer scan
+    never materialises a per-layer byte slice, same as the int4 kernel);
+    scale [out].
     """
+    stacked = codes.ndim == 3
+    assert stacked == (layer is not None), (codes.shape, layer)
     rows, in_dim = x.shape
     out = codes.shape[-1]
     bi, bo = int8_tiles(in_dim, out, block_in, block_out)
@@ -546,20 +558,35 @@ def int8_matmul(
     xp = x.astype(jnp.float32)
     if rp != rows:
         xp = jnp.pad(xp, ((0, rp - rows), (0, 0)))
-    y = pl.pallas_call(
-        functools.partial(_kernel8, accumulate=n_i > 1),
-        grid=(n_o, n_i),
-        in_specs=[
-            pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
-            pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
-        ],
-        out_specs=pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
-        out_shape=jax.ShapeDtypeStruct((rp, out), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(xp, codes)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    out_shape = jax.ShapeDtypeStruct((rp, out), jnp.float32)
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n_o, n_i),
+            in_specs=[
+                pl.BlockSpec((rp, bi), lambda o, i, l: (0, i)),
+                pl.BlockSpec((1, bi, bo), lambda o, i, l: (l[0], i, o)),
+            ],
+            out_specs=pl.BlockSpec((rp, bo), lambda o, i, l: (0, o)),
+        )
+        y = pl.pallas_call(
+            functools.partial(_kernel8_pref, accumulate=n_i > 1),
+            grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), xp, codes)
+    else:
+        y = pl.pallas_call(
+            functools.partial(_kernel8, accumulate=n_i > 1),
+            grid=(n_o, n_i),
+            in_specs=[
+                pl.BlockSpec((rp, bi), lambda o, i: (0, i)),
+                pl.BlockSpec((bi, bo), lambda o, i: (i, o)),
+            ],
+            out_specs=pl.BlockSpec((rp, bo), lambda o, i: (0, o)),
+            out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(xp, codes)
     y = y * scale.astype(jnp.float32)[None, :]
     return y[:rows].astype(out_dtype)
 

@@ -174,12 +174,15 @@ class LayerView:
 
 def layer_view(layers: dict, i) -> dict:
     """Per-layer weight slice for a scan body: every leaf is indexed at
-    ``i``, except packed-int4 matmul codes, which become a
-    :class:`LayerView` so the fused decode kernel can index the stack
-    in-kernel (scales are small and slice eagerly)."""
+    ``i``, except stacked matmul CODES (packed-int4 and int8 alike),
+    which become a :class:`LayerView` so the fused decode kernels can
+    index the stack in-kernel — an eager ``codes[i]`` in front of the
+    opaque pallas_call costs a full per-layer byte-slice copy (scales are
+    small and slice eagerly).  Consumers that stay on the XLA path call
+    :meth:`LayerView.materialize`, which lowers to the same eager slice."""
     def f(x):
         if isinstance(x, QuantW):
-            if is_packed4(x) and x.codes.ndim == 3:
+            if x.codes.ndim == 3:
                 return QuantW(codes=LayerView(x.codes, i), scale=x.scale[i])
             return QuantW(codes=x.codes[i], scale=x.scale[i])
         return x[i]
@@ -492,8 +495,15 @@ def _int8_kernel_mm(x: jax.Array, w: QuantW):
     operand-fusion path."""
     if not _USE_INT8_KERNEL[0]:
         return None
-    if not isinstance(w.codes, jax.Array) or w.codes.ndim != 2 \
-            or w.scale.ndim != 1 or is_packed4(w):
+    codes, layer = w.codes, None
+    if isinstance(codes, LayerView):
+        if codes.stack.ndim != 3 or is_packed4(w):
+            return None
+        codes, layer = codes.stack, codes.idx
+    elif not isinstance(codes, jax.Array) or codes.ndim != 2 \
+            or is_packed4(w):
+        return None
+    if w.scale.ndim != 1:
         return None
     rows = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
     if rows > 8:
@@ -505,10 +515,10 @@ def _int8_kernel_mm(x: jax.Array, w: QuantW):
     from ..kernels.int4_matmul import int8_matmul, int8_tiles
 
     in_dim = x.shape[-1]
-    bi, bo = int8_tiles(in_dim, w.codes.shape[-1])
+    bi, bo = int8_tiles(in_dim, codes.shape[-1])
     if not bi:
         return None
-    y = int8_matmul(x.reshape(rows, in_dim), w.codes, w.scale,
+    y = int8_matmul(x.reshape(rows, in_dim), codes, w.scale, layer=layer,
                     interpret=interpret)
     return y.reshape(*x.shape[:-1], y.shape[-1])
 
