@@ -413,12 +413,15 @@ def test_layer_view_scan_matches_eager_slices():
     finally:
         W._FORCE_INT4_KERNEL[0] = False
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
-    # the view really defers: packed codes leaf stays stacked
+    # the view really defers: EVERY stacked codes leaf stays stacked
+    # (int8 included since round 3 — the eager per-layer slice copy in
+    # front of the streaming kernel was the same cost int4 paid, r2w)
     wv = W.layer_view(layers, jnp.int32(1))
     assert isinstance(wv["w4"].codes, W.LayerView)
     assert isinstance(wv["w4g"].codes, W.LayerView)
     assert wv["w4"].codes.shape == (in_dim, out // 2)
-    assert not isinstance(wv["w8"].codes, W.LayerView)
+    assert isinstance(wv["w8"].codes, W.LayerView)
+    assert wv["w8"].codes.shape == (in_dim, out)
 
 
 def test_fuse_packed_matmuls_bit_identical():
