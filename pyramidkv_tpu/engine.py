@@ -197,7 +197,8 @@ class Engine:
             @functools.partial(jax.jit, donate_argnums=(1,))
             def qchunk_fn(params, state, tokens, true_len, start):
                 return cp.prefill_chunk_quant(
-                    params, spec, plan, state, tokens, true_len, start)
+                    params, spec, plan, state, tokens, true_len, start,
+                    attention_impl=impl)
 
             chunks = [
                 (lambda p, s, t, tl, _i=i: qchunk_fn(

@@ -65,6 +65,7 @@ def _kernel(
     use_exp2: bool,
     softcap: float | None,
     q_start: int,
+    normalize: bool = True,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -147,8 +148,32 @@ def _kernel(
 
     @pl.when(last_ref[t] == 1)
     def _finalize():
-        l = l_ref[:, :1]
-        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        if normalize:
+            l = l_ref[:, :1]
+            o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
+                        ).astype(o_ref.dtype)
+        else:
+            o_ref[0] = acc_ref[:].astype(o_ref.dtype)  # unnormalised
+
+
+def _kernel_partials(pad_ref, qidx_ref, kidx_ref, first_ref, last_ref,
+                     interior_ref, q_ref, k_ref, v_ref,
+                     o_ref, m_ref_out, l_ref_out,
+                     acc_ref, m_ref, l_ref, **kw):
+    """Partials-returning wrapper of :func:`_kernel`: the finalize writes
+    the UNNORMALISED accumulator plus the running max/denominator (lane-
+    broadcast, so the stores reuse the [block_q, 128] scratch layout with
+    no relayout) — callers merge tiles online (chunked-prefill history
+    attention over dequantized KIVI tiles).  NOTE: with ``use_exp2`` the
+    (m, l) pair lives in the BASE-2 domain; merge with exp2."""
+    _kernel(pad_ref, qidx_ref, kidx_ref, first_ref, last_ref, interior_ref,
+            q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+            normalize=False, **kw)
+
+    @pl.when(last_ref[pl.program_id(1)] == 1)
+    def _finalize_partials():
+        m_ref_out[0] = m_ref[:]
+        l_ref_out[0] = l_ref[:]
 
 
 @functools.lru_cache(maxsize=64)
@@ -336,3 +361,122 @@ def flash_causal_attention(
     )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
       jnp.asarray(last), jnp.asarray(interior), qr, kr, vr)
     return out.reshape(b, h, nq_len, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "sliding_window", "interpret",
+                     "fast_path", "use_exp2", "scale", "softcap", "q_start"),
+)
+def flash_attention_partials(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    true_len: jax.Array,
+    *,
+    block_q: int = 512,
+    block_k: int = 512,
+    sliding_window: int | None = None,
+    interpret: bool = False,
+    fast_path: bool = True,
+    use_exp2: bool = True,
+    scale: float | None = None,
+    softcap: float | None = None,
+    q_start: int = 0,
+):
+    """:func:`flash_causal_attention` that returns ONLINE-SOFTMAX PARTIALS
+    instead of the normalized output: ``(acc [B,H,Nq,D] f32 unnormalised,
+    m [B,H,Nq] f32, l [B,H,Nq] f32)``.
+
+    Callers merge tiles flash-style (chunked-prefill quantized-history
+    attention: one call per dequantized KIVI tile, merged with the bf16
+    self tile).  With ``use_exp2`` (default) the (m, l) statistics live in
+    the BASE-2 domain — merge weights are ``exp2(m_i - m_new)`` and every
+    merged source must use the same domain/scale convention (they do, by
+    calling this function).
+
+    ``q_start >= N`` marks an ALL-VISIBLE rectangular tile (history tiles:
+    every key precedes every query) — the tile walk then visits all key
+    tiles with no causal-edge mask work.
+    """
+    b, h, nq_len, d = q.shape
+    hk = k.shape[1]
+    n = k.shape[2]
+    assert q_start + nq_len >= n, (q_start, nq_len, n)
+    g = h // hk
+    block_q, block_k = _fit_blocks(nq_len, n, min(block_q, nq_len),
+                                   min(block_k, n), sliding_window, q_start)
+    assert nq_len % block_q == 0 and n % block_k == 0, (
+        nq_len, n, block_q, block_k)
+    nq, nk = nq_len // block_q, n // block_k
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if use_exp2 and softcap is None:
+        scale *= math.log2(math.e)
+    pad = (n - true_len).astype(jnp.int32)
+
+    qidx, kidx, first, last, interior = _triangular_pairs(
+        nq, nk, block_q, block_k, sliding_window, q_start
+    )
+
+    qr = (q.astype(jnp.float32) * scale).astype(q.dtype).reshape(
+        b * h, nq_len, d)
+    kr = k.reshape(b * hk, n, d)
+    vr = v.reshape(b * hk, n, d)
+
+    def _kv_row(bh):
+        return (bh // h) * hk + (bh % h) // g
+
+    o_spec = pl.BlockSpec((1, block_q, d),
+                          lambda bh, t, pad, qx, kx, fs, ls, inn:
+                          (bh, qx[t], 0))
+    ml_spec = pl.BlockSpec((1, block_q, 128),
+                           lambda bh, t, pad, qx, kx, fs, ls, inn:
+                           (bh, qx[t], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b * h, len(qidx)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn:
+                         (bh, qx[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn:
+                         (_kv_row(bh), kx[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, t, pad, qx, kx, fs, ls, inn:
+                         (_kv_row(bh), kx[t], 0)),
+        ],
+        out_specs=[o_spec, ml_spec, ml_spec],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    acc, m, l = pl.pallas_call(
+        functools.partial(
+            _kernel_partials,
+            block_q=block_q,
+            block_k=block_k,
+            batch=b,
+            sliding_window=sliding_window,
+            fast_path=fast_path,
+            use_exp2=use_exp2,
+            softcap=softcap,
+            q_start=q_start,
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq_len, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq_len, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq_len, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
+      jnp.asarray(last), jnp.asarray(interior), qr, kr, vr)
+    return (acc.reshape(b, h, nq_len, d),
+            m[..., 0].reshape(b, h, nq_len),
+            l[..., 0].reshape(b, h, nq_len))

@@ -316,6 +316,7 @@ def prefill_chunk_quant(
     chunk_start: jax.Array,
     *,
     q_block: int = 1024,
+    attention_impl: str = "xla",
 ) -> Tuple[QuantChunkState, jax.Array, jax.Array]:
     """One chunk forward with a QUANTIZED history: the chunk's own K/V stay
     bf16 for its causal self-attention; earlier chunks are dequantized one
@@ -368,6 +369,28 @@ def prefill_chunk_quant(
     else:
         win_arr = jnp.full((spec.num_hidden_layers,),
                            spec.sliding_window or big, jnp.int32)
+    # flash-partials path: self tile + each dequantized history tile run
+    # through the flash kernel (the XLA tile partials cost the 128k quant
+    # prefill ~3.9x the bf16 snapkv prefill — BASELINE Round 3); sliding
+    # windows keep the XLA masks (the fori-traced tile offset can't feed
+    # the kernel's static window geometry)
+    use_flash = (attention_impl in ("pallas", "pallas_interpret")
+                 and not spec.mixed_sliding and spec.sliding_window is None)
+    interp = attention_impl == "pallas_interpret"
+    fb = min(1024, c)
+
+    def _merge2(a, b2):
+        # exp2 domain: every source below is flash_attention_partials
+        neg_half = float(jnp.finfo(jnp.float32).min) / 2
+        a_acc, a_m, a_l = a
+        b_acc, b_m, b_l = b2
+        m = jnp.maximum(a_m, b_m)
+        w1 = jnp.where(a_m <= neg_half, 0.0,
+                       jnp.exp2(jnp.minimum(a_m - m, 0.0)))
+        w2 = jnp.where(b_m <= neg_half, 0.0,
+                       jnp.exp2(jnp.minimum(b_m - m, 0.0)))
+        return (a_acc * w1[..., None] + b_acc * w2[..., None], m,
+                a_l * w1 + b_l * w2)
 
     def layer_fn(carry, xs):
         hidden, kc_f, ks_f, kz_f, vc_f, vs_f, vz_f = carry
@@ -379,13 +402,22 @@ def prefill_chunk_quant(
         k = llama.apply_rope(k, positions, inv_freq)
 
         # self tile (bf16, causal)
-        self_mask = (
-            (cols[None, :] <= rows_g[:, None])
-            & ((rows_g[:, None] - cols[None, :]) < win)
-        )[None] & (cols[None, None, :] >= pad[:, None, None])
-        parts = tile_attention_partials(
-            q, k, v, self_mask, scale=ascale, softcap=asoftcap,
-            q_block=q_block)
+        if use_flash:
+            from ..kernels import flash_attention_partials
+
+            tl_self = c - jnp.clip(pad - chunk_start, 0, c)
+            parts = flash_attention_partials(
+                q, k, v, tl_self, block_q=fb, block_k=fb,
+                interpret=interp, scale=ascale, softcap=asoftcap,
+                q_start=0)
+        else:
+            self_mask = (
+                (cols[None, :] <= rows_g[:, None])
+                & ((rows_g[:, None] - cols[None, :]) < win)
+            )[None] & (cols[None, None, :] >= pad[:, None, None])
+            parts = tile_attention_partials(
+                q, k, v, self_mask, scale=ascale, softcap=asoftcap,
+                q_block=q_block)
 
         def hist_body(hc, pcarry):
             kc = jax.lax.dynamic_slice_in_dim(
@@ -413,6 +445,18 @@ def prefill_chunk_quant(
                                 nbits=nbits, group_size=gs,
                                 dtype=act_dtype,
                                 pack_axis=-2)[..., :dh]   # [B,KV,C,Dh]
+            if use_flash:
+                from ..kernels import flash_attention_partials
+
+                # all keys precede the chunk's queries: q_start = c marks
+                # the all-visible rectangle; validity via the tile's
+                # effective length (left pad may reach into this tile)
+                tl_tile = c - jnp.clip(pad - hc * c, 0, c)
+                tile = flash_attention_partials(
+                    q, k_tile, v_tile, tl_tile, block_q=fb, block_k=fb,
+                    interpret=interp, scale=ascale, softcap=asoftcap,
+                    q_start=c)
+                return _merge2(pcarry, tile)
             hcols = hc * c + jnp.arange(c, dtype=jnp.int32)
             hmask = ((hcols[None, None, :] >= pad[:, None, None])
                      & ((rows_g[None, :, None] - hcols[None, None, :])

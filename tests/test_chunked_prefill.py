@@ -273,3 +273,67 @@ def test_cb_chunked_refill_token_budget(tiny):
     assert set(plain) == set(got)
     for k in plain:
         assert plain[k].tokens == got[k].tokens, k
+
+
+def test_quant_chunked_flash_partials_matches_xla(tiny):
+    """The flash-partials history path (TPU default) reproduces the XLA
+    tile-partials math: final prefill logits agree to fp tolerance, and a
+    partials merge of (history tile + causal self tile) equals one
+    rectangular flash call exactly (kernels/flash_prefill.py::
+    flash_attention_partials)."""
+    from pyramidkv_tpu.models import chunked_prefill as cp
+
+    ms, params = tiny
+    eng = Engine(ms, CompressionSpec(method="fullkv", quant_method="kivi",
+                                     nbits=8, q_group_size=16),
+                 EngineSpec(max_new_tokens=8, prefill_buckets=(256,),
+                            prefill_chunk=64), params)
+    plan = eng.plan_for(256)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    tokens = np.zeros((2, 256), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, 256 - len(p):] = p
+    tl = jnp.asarray([len(p) for p in prompts], jnp.int32)
+
+    def run(impl):
+        state = cp.init_quant_state(ms, plan, 2)
+        for i in range(4):
+            state, wq, hl = cp.prefill_chunk_quant(
+                params, ms, plan, state,
+                jnp.asarray(tokens[:, i * 64:(i + 1) * 64]), tl,
+                jnp.int32(i * 64), attention_impl=impl)
+        lg, _ = cp.prefill_finish_quant(params, ms, plan, state, hl, tl, 64)
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(run("pallas_interpret"), run("xla"),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_partials_merge_equals_rectangular_flash():
+    from pyramidkv_tpu.kernels import (flash_attention_partials,
+                                       flash_causal_attention)
+
+    B, H, HK, D, C, HIST = 1, 4, 2, 32, 64, 128
+    N = HIST + C
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, HK, N, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, HK, N, D)).astype(np.float32))
+    tl = jnp.asarray([N - 20], jnp.int32)
+    ref = flash_causal_attention(q, k, v, tl, block_q=64, block_k=64,
+                                 interpret=True, q_start=HIST)
+    a1, m1, l1 = flash_attention_partials(
+        q, k[:, :, :HIST], v[:, :, :HIST],
+        jnp.asarray([HIST - 20], jnp.int32),
+        block_q=64, block_k=64, interpret=True, q_start=HIST)
+    a2, m2, l2 = flash_attention_partials(
+        q, k[:, :, HIST:], v[:, :, HIST:], jnp.asarray([C], jnp.int32),
+        block_q=64, block_k=64, interpret=True, q_start=0)
+    m = jnp.maximum(m1, m2)
+    neg = float(jnp.finfo(jnp.float32).min)
+    w1 = jnp.where(m1 <= neg / 2, 0.0, jnp.exp2(jnp.minimum(m1 - m, 0.0)))
+    w2 = jnp.where(m2 <= neg / 2, 0.0, jnp.exp2(jnp.minimum(m2 - m, 0.0)))
+    out = ((a1 * w1[..., None] + a2 * w2[..., None])
+           / jnp.maximum(l1 * w1 + l2 * w2, 1e-30)[..., None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
