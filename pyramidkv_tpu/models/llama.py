@@ -371,6 +371,20 @@ def _logits(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
 
 
 def _logits_raw(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
+    """fp32 logits, sliced back to the true vocab when the lm_head was
+    tile-padded (``weights.quantize_weights(lm_head_pad_to=...)``: Llama-3's
+    128256-wide projection tiles as 128x3x167 — no tile wider than 384
+    packed bytes — so padding to a 2048-multiple lets the streaming kernels
+    run power-of-two tiles; pad channels are all-zero and sliced off here,
+    bit-identical logits)."""
+    out = _logits_wide(hidden, params, spec)
+    v = spec.vocab_size
+    if out.shape[-1] != v:
+        out = jax.lax.slice_in_dim(out, 0, v, axis=out.ndim - 1)
+    return out
+
+
+def _logits_wide(hidden: jax.Array, params: dict, spec: ModelSpec) -> jax.Array:
     """fp32 logits WITHOUT upcasting the vocab projection: an explicit
     ``astype(fp32)`` on the [Dm, V] matrix gets hoisted out of the decode
     loop by XLA as a persistent fp32 copy (~2x the weight's HBM)."""

@@ -260,7 +260,8 @@ _MATMUL_LEAVES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
 
 def quantize_weights(params: dict, nbits: int = 8,
                      group_size: Optional[int] = None,
-                     lm_head_nbits: Optional[int] = None) -> dict:
+                     lm_head_nbits: Optional[int] = None,
+                     lm_head_pad_to: Optional[int] = None) -> dict:
     """bf16/f32 param pytree -> quantized pytree (same structure, matmul
     leaves replaced by :class:`QuantW`).
 
@@ -272,6 +273,13 @@ def quantize_weights(params: dict, nbits: int = 8,
     d32 the fixed per-step cost is ~1.6 ms of which the int8 lm_head read
     is ~0.6 ms, so halving it buys ~3% decode at int4-weight speeds
     (quality-sensitive: the projection feeds the argmax directly).
+
+    ``lm_head_pad_to`` zero-pads the (untied) lm_head's vocab axis up to
+    the next multiple before quantizing: Llama-3's 128256 columns factor
+    as 128*3*167, capping the streaming-kernel tiles at 384 packed bytes;
+    2048 rounds to 129024 = 63*2048 and 4096 to 131072 = 32*4096, both
+    power-of-two-tileable.  Pad channels have all-zero codes and the model
+    slices logits back to ``spec.vocab_size`` (bit-identical argmax).
     """
     if nbits not in (8, 4):
         raise ValueError(f"weight nbits must be 4 or 8, got {nbits}")
@@ -295,7 +303,11 @@ def quantize_weights(params: dict, nbits: int = 8,
         scale=esc,
     )
     if "lm_head" in params:
-        out["lm_head"] = _quantize_leaf(params["lm_head"], lm_head_nbits or 8)
+        lm = params["lm_head"]
+        if lm_head_pad_to and lm.shape[-1] % lm_head_pad_to:
+            pad = lm_head_pad_to - lm.shape[-1] % lm_head_pad_to
+            lm = jnp.pad(lm, ((0, 0), (0, pad)))
+        out["lm_head"] = _quantize_leaf(lm, lm_head_nbits or 8)
     return out
 
 

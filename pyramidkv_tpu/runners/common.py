@@ -67,6 +67,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="override the lm_head width (default int8 whenever "
                         "--quant_weights is set; int4 halves the fixed "
                         "per-step vocab-projection read)")
+    p.add_argument("--quant_lm_head_pad", type=int, default=None,
+                   help="zero-pad the lm_head vocab axis to this multiple "
+                        "before quantizing (e.g. 2048): power-of-two kernel "
+                        "tiles for odd vocab widths; logits sliced back — "
+                        "bit-identical outputs")
     p.add_argument("--speculative", type=str, default=None,
                    choices=[None, "ngram"],
                    help="speculative decoding (greedy, B=1): on-device "
@@ -176,7 +181,8 @@ def build_engine(args, max_new_tokens: int, model_max_len: int) -> "tuple":
         params = quantize_weights(
             params, nbits=int(args.quant_weights.removeprefix("int")),
             group_size=getattr(args, "quant_weights_group_size", None),
-            lm_head_nbits=int(lm_nb.removeprefix("int")) if lm_nb else None)
+            lm_head_nbits=int(lm_nb.removeprefix("int")) if lm_nb else None,
+            lm_head_pad_to=getattr(args, "quant_lm_head_pad", None))
         # int4: QKV / gate+up out-axis fusion (one decode-kernel launch
         # per group; bit-identical math — weights.fuse_packed_matmuls)
         params = fuse_packed_matmuls(params)

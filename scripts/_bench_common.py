@@ -50,17 +50,23 @@ def spec_depth(layers: int, max_pos: int = 131072) -> ModelSpec:
 
 
 def random_int4_params(spec: ModelSpec, key, fused: bool = True,
-                       lm_head_nbits: int = 8) -> dict:
+                       lm_head_nbits: int = 8,
+                       lm_head_pad_to: int | None = None) -> dict:
     """Random packed-int4 weights in the real checkpoint layout (QuantW
     codes = two nibbles/byte, int8 embed/lm_head) so benches exercise the
     same fused dequant-matmul path as a quantized real checkpoint.
     ``fused`` applies `weights.fuse_packed_matmuls` (wqkv / w_gateup —
     the runners do this after ``--quant_weights int4``);
-    ``lm_head_nbits=4`` packs the lm_head too (--quant_lm_head int4)."""
+    ``lm_head_nbits=4`` packs the lm_head too (--quant_lm_head int4);
+    ``lm_head_pad_to`` mirrors quantize_weights(lm_head_pad_to=...) —
+    zero-padded vocab columns, logits sliced back by the model."""
     ks = iter(jax.random.split(key, 16))
     L, Dm, I = spec.num_hidden_layers, spec.hidden_size, spec.intermediate_size
     H, KV, Dh, V = (spec.num_attention_heads, spec.num_key_value_heads,
                     spec.head_dim, spec.vocab_size)
+    Vp = V
+    if lm_head_pad_to and V % lm_head_pad_to:
+        Vp = V + lm_head_pad_to - V % lm_head_pad_to
 
     def qw(shape):
         fan_in = shape[-2]
@@ -74,14 +80,14 @@ def random_int4_params(spec: ModelSpec, key, fused: bool = True,
     emb_codes = jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8)
     if lm_head_nbits == 4:
         lm_head = QuantW(
-            codes=jax.random.randint(next(ks), (Dm, V // 2), -128, 128,
+            codes=jax.random.randint(next(ks), (Dm, Vp // 2), -128, 128,
                                      jnp.int8),
-            scale=jnp.full((V,), 1.0 / (7.0 * np.sqrt(Dm)), jnp.float32))
+            scale=jnp.full((Vp,), 1.0 / (7.0 * np.sqrt(Dm)), jnp.float32))
     else:
         lm_head = QuantW(
-            codes=jax.random.randint(next(ks), (Dm, V), -127, 128,
+            codes=jax.random.randint(next(ks), (Dm, Vp), -127, 128,
                                      jnp.int8),
-            scale=jnp.full((V,), 1.0 / (127.0 * np.sqrt(Dm)), jnp.float32))
+            scale=jnp.full((Vp,), 1.0 / (127.0 * np.sqrt(Dm)), jnp.float32))
     params = {
         "embed": QuantW(codes=emb_codes,
                         scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),

@@ -47,6 +47,9 @@ def parse():
     p.add_argument("--max_new", type=int, default=128)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lm_head_nbits", type=int, default=4)
+    p.add_argument("--lm_head_pad", type=int, default=None,
+                   help="pad the lm_head vocab axis to this multiple "
+                        "(2048 -> 129024, 4096 -> 131072; logits sliced)")
     p.add_argument("--quant_method", type=str, default=None)
     p.add_argument("--nbits", type=int, default=8)
     p.add_argument("--q_group_size", type=int, default=64)
@@ -76,7 +79,8 @@ def main():
 
     spec = spec_depth(args.depth)
     params = random_int4_params(spec, jax.random.PRNGKey(0), fused=True,
-                                lm_head_nbits=args.lm_head_nbits)
+                                lm_head_nbits=args.lm_head_nbits,
+                                lm_head_pad_to=args.lm_head_pad)
     if args.blocks:
         W._INT4_KERNEL_BLOCKS[0] = tuple(args.blocks)
     if args.sub_in:

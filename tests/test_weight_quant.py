@@ -547,6 +547,62 @@ def test_int4_lm_head_opt_in():
     assert len(out.tokens[0]) == 6
 
 
+def test_lm_head_pad_to_bit_identical():
+    """quantize_weights(lm_head_pad_to=N) zero-pads the vocab axis so the
+    streaming lm_head kernels get power-of-two tiles (Llama-3's 128256 =
+    128*3*167 caps tiles at 384 packed bytes; 129024 = 63*2048 does not —
+    ROADMAP round-4 #2).  Pad channels are all-zero and _logits slices
+    back to spec.vocab_size, so logits over the REAL vocab are
+    bit-identical and greedy tokens unchanged."""
+    from pyramidkv_tpu.models import weights as W
+    from pyramidkv_tpu.policy import make_plan
+
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
+    q = W.quantize_weights(params, nbits=4, lm_head_nbits=4)
+    qp = W.quantize_weights(params, nbits=4, lm_head_nbits=4,
+                            lm_head_pad_to=96)
+    # 256 -> 288: codes widened, scales widened, real columns untouched
+    assert qp["lm_head"].codes.shape[-1] * 2 == 288
+    assert qp["lm_head"].scale.shape[-1] == 288
+
+    ids = jnp.asarray([[int(x) for x in
+                        np.random.default_rng(8).integers(0, 256, size=24)]],
+                      jnp.int32)
+    tl = jnp.asarray([24], jnp.int32)
+    plan = make_plan(CompressionSpec(method="fullkv"), spec.num_hidden_layers,
+                     24, 4)
+    ref, _ = jl.prefill(q, spec, plan, ids, tl)
+    got, _ = jl.prefill(qp, spec, plan, ids, tl)
+    assert got.shape == ref.shape  # sliced back to the true vocab
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # decode-shaped rows through the fused kernel (interpret) also slice
+    h = jnp.asarray(np.random.default_rng(9).normal(
+        size=(2, spec.hidden_size)).astype(np.float32))
+    xla = jl._logits(h, qp, spec)
+    assert xla.shape[-1] == spec.vocab_size
+    W._FORCE_INT4_KERNEL[0] = True
+    try:
+        ker = jl._logits(h, qp, spec)
+    finally:
+        W._FORCE_INT4_KERNEL[0] = False
+    assert ker.shape[-1] == spec.vocab_size
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(xla),
+                               rtol=2e-3, atol=2e-3)
+
+    # greedy tokens identical padded vs unpadded
+    prompt = [int(x) for x in
+              np.random.default_rng(10).integers(0, 256, size=20)]
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=16,
+                         window_size=4)
+    es = EngineSpec(max_new_tokens=6, prefill_buckets=(32,))
+    t0 = Engine(spec, cs, es, q).generate([prompt], eos_token_ids=()).tokens[0]
+    t1 = Engine(spec, cs, es, qp).generate([prompt],
+                                           eos_token_ids=()).tokens[0]
+    assert t0 == t1
+
+
 def test_int4_kernel_verify_sized_rows():
     """Speculative verify forwards are lanes*(draft+1) rows (e.g. 288);
     the fused kernel must take them (the XLA dequant fallback cost CB
