@@ -24,6 +24,10 @@ class Request:
     prompt_ids: "list[int]"
     max_new_tokens: Optional[int] = None
     eos_token_ids: Sequence[int] = ()
+    #: seconds after ``run()`` starts at which this request becomes
+    #: visible to the scheduler (open-loop arrival process; 0.0 = present
+    #: at start, the historical batch-arrival behavior).
+    arrival_time: float = 0.0
 
 
 @dataclass
@@ -32,6 +36,65 @@ class CompletedRequest:
     tokens: "list[int]"
     prefill_seconds: float
     decode_seconds: float
+    #: arrival offset the request carried (echoed for reporting)
+    arrival_time: float = 0.0
+    #: time-to-first-token: arrival -> first token available (includes
+    #: queue wait + prefill; the serving-latency headline metric)
+    ttft_seconds: float = 0.0
+    #: arrival -> last token (end-to-end request latency)
+    e2e_seconds: float = 0.0
+
+
+def poisson_workload(n: int, rate: float, prompt_lens: Sequence[int],
+                     seed: int = 0, vocab: int = 32000,
+                     max_new_tokens: Optional[int] = None) -> "list[Request]":
+    """Open-loop Poisson arrival workload: ``n`` requests at ``rate``
+    req/s (exponential inter-arrival gaps), prompt lengths cycled from
+    ``prompt_lens`` and shuffled — the standard serving-benchmark shape
+    (mixed lengths + random arrivals) rather than the batch-arrival
+    best case."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(1.0 / rate, size=n) if rate > 0 else [0.0] * n
+    arrivals = np.cumsum(gaps)
+    lens = [prompt_lens[i % len(prompt_lens)] for i in range(n)]
+    rng.shuffle(lens)
+    return [
+        Request(
+            request_id=f"r{i}",
+            prompt_ids=[int(t) for t in rng.integers(0, vocab, size=lens[i])],
+            arrival_time=float(arrivals[i]),
+            max_new_tokens=max_new_tokens,
+        )
+        for i in range(n)
+    ]
+
+
+def latency_summary(results: "Dict[str, CompletedRequest]") -> dict:
+    """p50/p90/p99 TTFT and end-to-end latency + token totals over a
+    completed serving run (the CompletedRequest fields filled by
+    ``ContinuousBatcher.run``)."""
+    import numpy as np
+
+    rs = list(results.values())
+    if not rs:
+        return {}
+    ttft = np.asarray([r.ttft_seconds for r in rs])
+    e2e = np.asarray([r.e2e_seconds for r in rs])
+
+    def pct(a):
+        return {p: round(float(np.percentile(a, p)), 4)
+                for p in (50, 90, 99)}
+
+    return {
+        "requests": len(rs),
+        "total_tokens": int(sum(len(r.tokens) for r in rs)),
+        "ttft_s": pct(ttft),
+        "e2e_s": pct(e2e),
+        "mean_ttft_s": round(float(ttft.mean()), 4),
+        "mean_e2e_s": round(float(e2e.mean()), 4),
+    }
 
 
 class ContinuousBatcher:
@@ -394,10 +457,13 @@ class ContinuousBatcher:
         # batched generate() (logs/tpu_r2ak).
         import time as _time
 
+        run_t0 = _time.perf_counter()
         #: in-flight refill groups: lanes/reqs/first [R]/cache/max_news/t0
         pending_groups: "list[dict]" = []
         lane_t0: "dict[int, float]" = {}       # decode start per lane
         lane_prefill_s: "dict[int, float]" = {}
+        lane_arrival: "dict[int, float]" = {}  # request arrival offsets
+        lane_ttft: "dict[int, float]" = {}     # arrival -> first token
 
         def retire_and_launch():
             nonlocal cache, tokens, lane_steps, done, budget
@@ -411,6 +477,7 @@ class ContinuousBatcher:
                 req = lane_req[lane]
                 if req is not None:
                     toks = lane_tokens[lane]
+                    arr = lane_arrival.pop(lane, 0.0)
                     results[req.request_id] = CompletedRequest(
                         request_id=req.request_id, tokens=toks,
                         # wall-clock accounting: prefill = launch->insert
@@ -419,14 +486,24 @@ class ContinuousBatcher:
                         prefill_seconds=lane_prefill_s.pop(lane, 0.0),
                         decode_seconds=_time.perf_counter()
                         - lane_t0.pop(lane, _time.perf_counter()),
+                        arrival_time=arr,
+                        ttft_seconds=lane_ttft.pop(lane, 0.0),
+                        e2e_seconds=_time.perf_counter() - (run_t0 + arr),
                     )
                     lane_req[lane] = None
                     lane_tokens[lane] = []
                 free.append(lane)
             while queue and free:
-                bucket = es.bucket_for(len(queue[0].prompt_ids))
-                idxs = [i for i, r in enumerate(queue)
-                        if es.bucket_for(len(r.prompt_ids)) == bucket]
+                # open-loop arrivals: only requests whose arrival_time has
+                # passed are visible to the scheduler
+                now_off = _time.perf_counter() - run_t0
+                avail = [i for i, r in enumerate(queue)
+                         if r.arrival_time <= now_off]
+                if not avail:
+                    break
+                bucket = es.bucket_for(len(queue[avail[0]].prompt_ids))
+                idxs = [i for i in avail
+                        if es.bucket_for(len(queue[i].prompt_ids)) == bucket]
                 cap = max(1, self.refill_tokens // bucket)
                 chunked = engine.chunked_prefill_supported(bucket)
                 if chunked:
@@ -538,6 +615,8 @@ class ContinuousBatcher:
                     lane_tokens[lane] = [int(first_np[j])]
                     lane_prefill_s[lane] = now - g["t0"]
                     lane_t0[lane] = now
+                    lane_arrival[lane] = req.arrival_time
+                    lane_ttft[lane] = now - (run_t0 + req.arrival_time)
                     cache, tokens, lane_steps, done, budget = insert_lane(
                         cache, tokens, lane_steps, done, budget,
                         g["cache"], first, lane, g["max_news"][j] - 1, j,
@@ -561,6 +640,18 @@ class ContinuousBatcher:
         retire_and_launch()
         harvest(block=True)
         while any(r is not None for r in lane_req) or pending_groups or queue:
+            if (not pending_groups and queue
+                    and all(r is None for r in lane_req)):
+                # idle: every lane is free and nothing is in flight — the
+                # whole backlog is future arrivals.  Sleep toward the next
+                # arrival instead of burning decode quanta on empty lanes.
+                next_arr = run_t0 + min(r.arrival_time for r in queue)
+                wait = next_arr - _time.perf_counter()
+                if wait > 0:
+                    _time.sleep(min(wait, 0.05))
+                retire_and_launch()
+                harvest(block=bool(pending_groups))
+                continue
             prev_done = np.asarray(done)
             if self._spec_mode:
                 (cache, tokens, lane_steps, done, hist, hend,

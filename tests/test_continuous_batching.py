@@ -367,3 +367,58 @@ def test_cb_speculative_guard_above_crossover(eng):
     for r in reqs:
         want = eng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
         assert out[r.request_id].tokens == want, r.request_id
+
+
+def test_open_loop_arrivals_and_latency_fields(eng):
+    """Requests with future arrival_time are invisible to the scheduler
+    until their arrival passes; tokens still match independent generation
+    and every CompletedRequest carries TTFT/e2e latencies measured from
+    ARRIVAL (not run start)."""
+    from pyramidkv_tpu.serving import latency_summary
+
+    rng = np.random.default_rng(3)
+    reqs = [
+        Request(request_id=f"r{i}",
+                prompt_ids=[int(x) for x in rng.integers(0, 256, size=n)],
+                max_new_tokens=4, arrival_time=at)
+        for i, (n, at) in enumerate([(20, 0.0), (25, 0.0), (30, 0.4),
+                                     (45, 0.8)])
+    ]
+    cb = ContinuousBatcher(eng, lanes=2, quantum=2)
+    import time
+
+    t0 = time.perf_counter()
+    out = cb.run(list(reqs))
+    wall = time.perf_counter() - t0
+    # the scheduler had to wait for the last arrival at t=0.8
+    assert wall >= 0.8
+    assert set(out) == {r.request_id for r in reqs}
+    for r in reqs:
+        want = eng.generate([r.prompt_ids], max_new_tokens=4).tokens[0]
+        res = out[r.request_id]
+        assert res.tokens == want, r.request_id
+        assert res.arrival_time == r.arrival_time
+        # latencies are from arrival: nonnegative and e2e >= ttft
+        assert 0.0 <= res.ttft_seconds <= res.e2e_seconds
+        # a request can't finish before it arrives + its decode
+        assert res.e2e_seconds < wall + 1e-6
+    summ = latency_summary(out)
+    assert summ["requests"] == 4 and summ["total_tokens"] == 16
+    assert summ["ttft_s"][50] <= summ["ttft_s"][99]
+    assert summ["e2e_s"][50] >= summ["ttft_s"][50]
+
+
+def test_poisson_workload_shape():
+    from pyramidkv_tpu.serving import poisson_workload
+
+    reqs = poisson_workload(16, rate=4.0, prompt_lens=(20, 30, 50),
+                            seed=7, vocab=256, max_new_tokens=4)
+    assert len(reqs) == 16
+    arr = [r.arrival_time for r in reqs]
+    assert arr == sorted(arr) and arr[-1] > 0
+    assert {len(r.prompt_ids) for r in reqs} == {20, 30, 50}
+    # deterministic under the same seed
+    again = poisson_workload(16, rate=4.0, prompt_lens=(20, 30, 50),
+                             seed=7, vocab=256, max_new_tokens=4)
+    assert [r.prompt_ids for r in again] == [r.prompt_ids for r in reqs]
+    assert [r.arrival_time for r in again] == arr
