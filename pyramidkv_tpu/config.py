@@ -385,6 +385,15 @@ class CompressionSpec:
     quant_method: Optional[str] = None  # None | "kivi" | "kvquant"
     nbits: int = 8  # 8 | 4 | 2
     q_group_size: int = 64
+    #: quant-group layout: "group" = HQQ-style group-64 on the KIVI axes
+    #: (reference parity: run_longbench.py:287); "pa" = per-axis (one K
+    #: scale per channel across all slots, one V scale per token across
+    #: all channels — the KIVI paper's axes).  "pa" folds dequantization
+    #: into the attention algebra at decode (ops/quant.py::
+    #: quant_region_attention_fused): no dequantized copy is ever
+    #: materialised, so long-region decode runs at packed-code bandwidth.
+    #: Coarser scales than group-64 — measure accuracy before shipping.
+    q_layout: str = "group"
     residual_length: int = 128
     outlier_threshold: float = 6.0  # KVQuant outlier extraction (quantcache.py:13)
 
@@ -403,6 +412,12 @@ class CompressionSpec:
             raise ValueError(f"quant_method must be None|kivi|kvquant, got {self.quant_method!r}")
         if self.quant_method is not None and self.nbits not in (1, 2, 3, 4, 8):
             raise ValueError(f"nbits must be in (1,2,3,4,8), got {self.nbits}")
+        if self.q_layout not in ("group", "pa"):
+            raise ValueError(f"q_layout must be group|pa, got {self.q_layout!r}")
+        if self.q_layout == "pa" and self.quant_method == "kvquant":
+            raise ValueError(
+                "q_layout='pa' supports kivi only (kvquant outlier sidecars "
+                "keep the grouped dequant paths)")
         if self.merge not in (None, "pivot"):
             raise ValueError(f"merge must be None|'pivot', got {self.merge!r}")
 
@@ -520,6 +535,12 @@ class EngineSpec:
     #: trace time: set it before Engine construction or it has no effect
     #: (the jit cache is not keyed on it); this knob is the reliable path.
     use_quant_tiled: bool = False
+    #: Opt-in: factored dequant-attention (ops/quant.py::
+    #: quant_region_attention_fused) for GROUPED KIVI regions — scales fold
+    #: into query/probabilities so no dequantized chunk is materialised.
+    #: q_layout="pa" regions always take this path; this knob forces it for
+    #: the group-64 layout too (benchable counterfactual).
+    use_quant_fused: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
     #: Chunked prefill (models/chunked_prefill.py): run the prompt forward

@@ -129,6 +129,8 @@ class Engine:
             plan = dataclasses.replace(plan, use_quant_kernel=True)
         if self.engine_spec.use_quant_tiled and use_pallas:
             plan = dataclasses.replace(plan, use_quant_tiled=True)
+        if self.engine_spec.use_quant_fused:
+            plan = dataclasses.replace(plan, use_quant_fused=True)
         return plan
 
     def _get_prefill(self, bucket: int):

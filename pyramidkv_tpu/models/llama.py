@@ -630,6 +630,7 @@ def prefill(
                         qs.outlier_threshold
                         if qs.quant_method == "kvquant" else None
                     ),
+                    layout=qs.q_layout,
                 )
                 return hidden, (
                     ckv._replace(k=ckv.k[:, :, sp_q:, :],
@@ -916,14 +917,43 @@ def decode_step(
                 from ..kernels.quant_decode import MAX_KERNEL_SLOTS
 
                 s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
+                use_fused = (
+                    cs.quant_method == "kivi"
+                    and (cs.q_layout == "pa" or subplan.use_quant_fused)
+                )
                 use_kernel = (
                     (subplan.use_quant_kernel or _FORCE_QUANT_KERNEL[0])
+                    and not use_fused
                     and cs.quant_method == "kivi"
+                    and cs.q_layout == "group"
                     and s_pad_k <= MAX_KERNEL_SLOTS
                     # kernel has no softcap/custom-scale support
                     and ascale is None and asoftcap is None
                 )
-                if use_kernel:
+                if use_fused:
+                    # factored dequant: scales fold into query/probs, the
+                    # dots read only the packed codes (ops/quant.py::
+                    # quant_region_attention_fused) — always for the "pa"
+                    # layout (its scale shapes fit no other path), opt-in
+                    # for grouped regions via EngineSpec.use_quant_fused
+                    from ..ops.attention import (
+                        decode_attention_partials,
+                        merge_attention_partials,
+                    )
+                    from ..ops.quant import quant_region_attention_fused
+
+                    part_r = quant_region_attention_fused(
+                        q, qreg, visible[:, :, :sp_], num_slots=sp_,
+                        head_dim=spec.head_dim, nbits=cs.nbits,
+                        scale=ascale, softcap=asoftcap,
+                    )
+                    part_t = decode_attention_partials(
+                        q, layer.k, layer.v, visible[:, :, sp_:],
+                        scale=ascale, softcap=asoftcap,
+                    )
+                    attn = merge_attention_partials(
+                        [part_r, part_t]).astype(q.dtype)
+                elif use_kernel:
                     # fused dequant-attention over the packed region: HBM
                     # traffic = codes + scales only (~nbits/16 of bf16)
                     from ..kernels.quant_decode import quant_decode_attention

@@ -29,6 +29,7 @@ from .quant import (
     QuantizedKVRegion,
     quantize_kv_region,
     dequantize_kv_region,
+    quant_region_attention_fused,
 )
 from .sparse_prefill import (
     VerticalSlashPattern,

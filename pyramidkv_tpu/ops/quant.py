@@ -190,6 +190,7 @@ def quantize_kv_region(
     group_size: int = 64,
     outlier_threshold: float | None = None,
     outlier_budget: int = 8,
+    layout: str = "group",
 ) -> QuantizedKVRegion:
     """Quantize a compacted [B, H, S, D] prefill region (slots never change
     after compaction, so this is a one-shot — no rolling re-quantization like
@@ -202,7 +203,18 @@ def quantize_kv_region(
     interleave, no concat in the Pallas kernel.  Quant GROUPS keep the
     KIVI axes regardless (K per-channel along slots, V per-token along
     channels).  S_pad is rounded to ``group_size * per`` so every plane is
-    group-aligned."""
+    group-aligned.
+
+    ``layout="pa"`` (per-axis) widens each group to its WHOLE axis — K
+    scales become one (channel) value across all slots, V scales one
+    (token) value across all channels: exactly the KIVI paper's
+    per-channel-K / per-token-V axes without the reference's HQQ group-64
+    refinement.  The payoff is at decode: per-axis scales fold into the
+    query / probability vectors, so attention over the region never
+    materialises a dequantized copy (see
+    :func:`quant_region_attention_fused`)."""
+    if layout not in ("group", "pa"):
+        raise ValueError(f"layout must be group|pa, got {layout!r}")
     b, h, s, d = k.shape
     per = 8 // nbits
     k_oi = k_ov = v_oi = v_ov = None
@@ -215,12 +227,15 @@ def quantize_kv_region(
     s_pad = _round_up(s, group_size * per)
     kt = jnp.swapaxes(kf, 2, 3)
     kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
-    kq = quantize(kt, nbits=nbits, group_size=group_size)
+    kq = quantize(kt, nbits=nbits,
+                  group_size=s_pad if layout == "pa" else group_size)
     # values: group along channels (d is a multiple of 64 for all our
     # models), pack along SLOTS (padded to the same plane width as K)
     d_pad = _round_up(d, group_size)
     vp = jnp.pad(vf, ((0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)))
-    vq = quantize(vp, nbits=nbits, group_size=group_size, pack_axis=-2)
+    vq = quantize(vp, nbits=nbits,
+                  group_size=d_pad if layout == "pa" else group_size,
+                  pack_axis=-2)
     return QuantizedKVRegion(
         k=kq, v=vq, k_out_idx=k_oi, k_out_val=k_ov,
         v_out_idx=v_oi, v_out_val=v_ov,
@@ -231,11 +246,19 @@ def dequantize_kv_region(
     reg: QuantizedKVRegion, *, num_slots: int, head_dim: int, nbits: int,
     group_size: int = 64, dtype=jnp.bfloat16,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (k [B,H,num_slots,head_dim], v likewise); the static sizes undo the
-    group padding applied at quantization time."""
-    kt = dequantize(reg.k, nbits=nbits, group_size=group_size, dtype=jnp.float32)
+    """-> (k [B,H,num_slots,head_dim], v likewise); the static sizes undo
+    the group padding applied at quantization time.  Group sizes are
+    INFERRED from the scale shapes (so both the ``group`` and per-axis
+    ``pa`` layouts of :func:`quantize_kv_region` roundtrip); the
+    ``group_size`` argument is kept for call-site compatibility."""
+    del group_size  # inferred below
+    per = 8 // nbits
+    s_pad = reg.k.codes.shape[-1] * per
+    kg = s_pad // reg.k.scale.shape[-2]
+    vg = reg.v.codes.shape[-1] // reg.v.scale.shape[-2]
+    kt = dequantize(reg.k, nbits=nbits, group_size=kg, dtype=jnp.float32)
     k = jnp.swapaxes(kt, 2, 3)[:, :, :num_slots, :]
-    v = dequantize(reg.v, nbits=nbits, group_size=group_size,
+    v = dequantize(reg.v, nbits=nbits, group_size=vg,
                    dtype=jnp.float32, pack_axis=-2)
     v = v[:, :, :num_slots, :head_dim]
     if reg.k_out_idx is not None:
@@ -358,3 +381,135 @@ def quant_region_attention_partials(
 
 
 _NEG_HALF = float(jnp.finfo(jnp.float32).min) / 2
+
+
+def quant_region_attention_fused(
+    q: jax.Array,
+    reg: QuantizedKVRegion,
+    visible: jax.Array,
+    *,
+    num_slots: int,
+    head_dim: int,
+    nbits: int,
+    scale: float | None = None,
+    softcap: float | None = None,
+):
+    """Online-softmax partials over a KIVI region WITHOUT materialising a
+    dequantized K/V copy.
+
+    The chunked scan (:func:`quant_region_attention_partials`) dequantizes
+    one bf16 chunk at a time, and XLA materialises each chunk through HBM
+    between the dequant fusion and the dots — measured ~5x the packed-code
+    bytes at int4, leaving long-region decode at ~40% of its byte roofline
+    (BASELINE r2ay / round 3).  Here the affine dequant is FACTORED through
+    the attention algebra instead:
+
+      K side:  s_t = sum_d q_d (c_dt * ks_{d,g(t)} + kz_{d,g(t)})
+                   = sum_g [ (q (.) ks_:,g) @ c_{:,t in g} ] + (q @ kz)_{g(t)}
+        — the scale folds into the QUERY per slot-group (a [G_q, D]-row
+        rescale) and the zero term is a rank-1 per-group bias, so the only
+        large operand the dot reads is the RAW code plane.
+      V side:  pv_e = sum_t p_t (c_te * vs_{t,g(e)} + vz_{t,g(e)})
+                    = sum_g [ (p (.) vs_:,g) @ c_{t,e in g} ] + sum_t p_t vz_t
+        — scales fold into the PROBABILITIES.
+
+    With the per-axis layout (``quantize_kv_region(layout="pa")``: one K
+    group per channel, one V group per token — the KIVI paper's axes) the
+    group dimension vanishes and each side is ONE clean
+    [G_q, D] x [D, S] / [G_q, S] x [S, D] matmul per kv-head over packed
+    codes: HBM traffic = codes + scales, the quantization bandwidth win
+    realised at decode.  Grouped layouts batch the same einsum over their
+    group axis.  Bit-planes (planar packing, see ``_pack``) are processed
+    as ``per`` independent slot spans whose logits concatenate in planar
+    slot order.  KIVI only (outlier sidecars keep the dequant paths).
+
+    Args/returns match :func:`quant_region_attention_partials`.
+    """
+    import math
+
+    assert reg.k_out_idx is None and reg.v_out_idx is None, "KIVI only"
+    b, h, d = q.shape
+    hk = reg.k.codes.shape[1]
+    g = h // hk
+    per = 8 // nbits
+    w = reg.k.codes.shape[-1]          # plane width in slots
+    s_pad = w * per
+    dp = reg.v.codes.shape[-1]
+    gk = reg.k.scale.shape[-2]         # K slot-groups ("pa": 1)
+    gv = reg.v.scale.shape[-2]         # V channel-groups ("pa": 1)
+    assert gk == 1 or gk % per == 0, (gk, per)
+
+    mask = visible
+    if mask.shape[-1] != s_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, s_pad - mask.shape[-1])))
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    qg = q.astype(jnp.float32).reshape(b, hk, g, d) * sc
+
+    ku = reg.k.codes.astype(jnp.uint8)
+    vu = reg.v.codes.astype(jnp.uint8)
+    mb = jnp.uint8((1 << nbits) - 1)
+    ksc, kzc = reg.k.scale[..., 0], reg.k.zero[..., 0]   # [B,Hk,D,Gk]
+    vsc, vzc = reg.v.scale[..., 0], reg.v.zero[..., 0]   # [B,Hk,S,Gv]
+
+    # ---- logits (scale folded into the query) ----
+    s_planes = []
+    for p in range(per):
+        cp = ((ku >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
+        if gk == 1:
+            qs = (qg * ksc[:, :, None, :, 0]).astype(jnp.bfloat16)
+            s_p = jnp.einsum("bkqd,bkdw->bkqw", qs, cp,
+                             preferred_element_type=jnp.float32)
+            z = jnp.einsum("bkqd,bkd->bkq", qg, kzc[..., 0],
+                           preferred_element_type=jnp.float32)
+            s_p = s_p + z[..., None]
+        else:
+            kg_sz = s_pad // gk
+            gpl = w // kg_sz           # groups per plane (planar-aligned)
+            ks_p = jax.lax.slice_in_dim(ksc, p * gpl, (p + 1) * gpl, axis=-1)
+            kz_p = jax.lax.slice_in_dim(kzc, p * gpl, (p + 1) * gpl, axis=-1)
+            qs = (qg[..., None] * ks_p[:, :, None, :, :]).astype(
+                jnp.bfloat16)                       # [B,Hk,Gq,D,gpl]
+            cp5 = cp.reshape(b, hk, d, gpl, kg_sz)
+            s5 = jnp.einsum("bkqdg,bkdgt->bkqgt", qs, cp5,
+                            preferred_element_type=jnp.float32)
+            z5 = jnp.einsum("bkqd,bkdg->bkqg", qg, kz_p,
+                            preferred_element_type=jnp.float32)
+            s_p = (s5 + z5[..., None]).reshape(b, hk, g, w)
+        s_planes.append(s_p)
+    s = jnp.concatenate(s_planes, axis=-1)          # planar slot order
+    if softcap is not None:
+        s = jnp.tanh(s * (1.0 / softcap)) * softcap
+    valid = mask[:, :, None, :]
+    s = jnp.where(valid, s, float(jnp.finfo(jnp.float32).min))
+    m = jnp.max(s, axis=-1)                         # [B,Hk,Gq]
+    pe = jnp.where(valid,
+                   jnp.exp(s - jnp.maximum(m, _NEG_HALF)[..., None]), 0.0)
+    l = pe.sum(-1)
+
+    # ---- PV (scale folded into the probabilities) ----
+    acc = jnp.zeros((b, hk, g, dp), jnp.float32)
+    for p in range(per):
+        vp_c = ((vu >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
+        pe_p = jax.lax.slice_in_dim(pe, p * w, (p + 1) * w, axis=-1)
+        vs_p = jax.lax.slice_in_dim(vsc, p * w, (p + 1) * w, axis=2)
+        vz_p = jax.lax.slice_in_dim(vzc, p * w, (p + 1) * w, axis=2)
+        if gv == 1:
+            ps = (pe_p * vs_p[:, :, None, :, 0]).astype(jnp.bfloat16)
+            acc_p = jnp.einsum("bkqw,bkwe->bkqe", ps, vp_c,
+                               preferred_element_type=jnp.float32)
+            zv = jnp.einsum("bkqw,bkw->bkq", pe_p, vz_p[..., 0],
+                            preferred_element_type=jnp.float32)
+            acc_p = acc_p + zv[..., None]
+        else:
+            vg_sz = dp // gv
+            ps5 = (pe_p[..., None] * vs_p[:, :, None, :, :]).astype(
+                jnp.bfloat16)                       # [B,Hk,Gq,W,Gv]
+            vp5 = vp_c.reshape(b, hk, w, gv, vg_sz)
+            acc5 = jnp.einsum("bkqwg,bkwge->bkqge", ps5, vp5,
+                              preferred_element_type=jnp.float32)
+            zv5 = jnp.einsum("bkqw,bkwg->bkqg", pe_p, vz_p,
+                             preferred_element_type=jnp.float32)
+            acc_p = (acc5 + zv5[..., None]).reshape(b, hk, g, dp)
+        acc = acc + acc_p
+    return (acc[..., :head_dim].reshape(b, h, head_dim),
+            m.reshape(b, h), l.reshape(b, h))

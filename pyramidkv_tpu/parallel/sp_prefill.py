@@ -699,6 +699,7 @@ def sequence_parallel_prefill(
             kk, vv, nbits=qs.nbits, group_size=qs.q_group_size,
             outlier_threshold=(qs.outlier_threshold
                                if qs.quant_method == "kvquant" else None),
+            layout=qs.q_layout,
         ))(cache.k[:, :, :, :sp_q, :], cache.v[:, :, :, :sp_q, :])
         cache = cache._replace(k=cache.k[:, :, :, sp_q:, :],
                                v=cache.v[:, :, :, sp_q:, :], quant=reg)

@@ -62,6 +62,9 @@ class PolicyPlan:
     use_quant_kernel: bool = False
     #: opt-in tiled long-region dequant kernel (EngineSpec.use_quant_tiled)
     use_quant_tiled: bool = False
+    #: opt-in factored dequant attention for grouped KIVI regions
+    #: (EngineSpec.use_quant_fused; q_layout="pa" always uses it)
+    use_quant_fused: bool = False
     #: Contiguous layer runs with their own static slot widths:
     #: ((start, stop, width), ...).  One entry == the uniform layout (the
     #: default for most methods).  Multiple entries let methods whose

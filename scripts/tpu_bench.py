@@ -47,9 +47,11 @@ def parse():
     p.add_argument("--max_new", type=int, default=128)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lm_head_nbits", type=int, default=4)
-    p.add_argument("--lm_head_pad", type=int, default=None,
-                   help="pad the lm_head vocab axis to this multiple "
-                        "(2048 -> 129024, 4096 -> 131072; logits sliced)")
+    p.add_argument("--lm_head_pad", type=int, nargs="*", default=[0],
+                   help="pad the lm_head vocab axis to multiples of each "
+                        "value, one engine per value in ONE process "
+                        "(0 = no padding; 2048 -> 129024, 4096 -> 131072; "
+                        "logits sliced back)")
     p.add_argument("--quant_method", type=str, default=None)
     p.add_argument("--nbits", type=int, default=8)
     p.add_argument("--q_group_size", type=int, default=64)
@@ -80,7 +82,7 @@ def main():
     spec = spec_depth(args.depth)
     params = random_int4_params(spec, jax.random.PRNGKey(0), fused=True,
                                 lm_head_nbits=args.lm_head_nbits,
-                                lm_head_pad_to=args.lm_head_pad)
+                                lm_head_pad_to=args.lm_head_pad[0] or None)
     if args.blocks:
         W._INT4_KERNEL_BLOCKS[0] = tuple(args.blocks)
     if args.sub_in:
@@ -137,20 +139,29 @@ def main():
                                         for r in res.values()), 2)})
         return
 
-    for method in args.methods:
-        eng = build_engine(spec, params, method=method, ctx=args.ctx,
-                           cap=args.cap, window=args.window,
-                           max_new=args.max_new, batch=args.batch,
-                           prefill_block=args.prefill_block,
-                           comp_kw=comp_kw, eng_kw=eng_kw)
-        extra = {}
-        if args.quant_method:
-            extra = {"quant": f"{args.quant_method}{args.nbits}"}
-        if args.prefill_chunk:
-            extra["prefill_chunk"] = args.prefill_chunk
-        run_generate(f"{args.tag}/{method}", eng, args.ctx,
-                     max_new=args.max_new, batch=args.batch, log=log,
-                     extra=extra or None, repeats=args.repeats)
+    for pi, pad in enumerate(args.lm_head_pad):
+        if pi:  # re-draw params with the next pad (same key: same layers)
+            params = random_int4_params(spec, jax.random.PRNGKey(0),
+                                        fused=True,
+                                        lm_head_nbits=args.lm_head_nbits,
+                                        lm_head_pad_to=pad or None)
+        for method in args.methods:
+            eng = build_engine(spec, params, method=method, ctx=args.ctx,
+                               cap=args.cap, window=args.window,
+                               max_new=args.max_new, batch=args.batch,
+                               prefill_block=args.prefill_block,
+                               comp_kw=comp_kw, eng_kw=eng_kw)
+            extra = {}
+            if args.quant_method:
+                extra = {"quant": f"{args.quant_method}{args.nbits}"}
+            if args.prefill_chunk:
+                extra["prefill_chunk"] = args.prefill_chunk
+            if pad:
+                extra["lm_head_pad"] = pad
+            tag = f"{args.tag}/{method}" + (f"_pad{pad}" if pad else "")
+            run_generate(tag, eng, args.ctx,
+                         max_new=args.max_new, batch=args.batch, log=log,
+                         extra=extra or None, repeats=args.repeats)
     log("ALL DONE")
 
 
