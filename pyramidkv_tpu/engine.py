@@ -190,7 +190,7 @@ class Engine:
 
         def init_fn(batch: int):
             if quant:
-                return cp.init_quant_state(spec, plan, batch)
+                return cp.init_quant_state(spec, plan, batch, c)
             return cp.init_state(spec, plan, batch, act_dtype)
 
         if quant:

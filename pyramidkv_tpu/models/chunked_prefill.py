@@ -271,6 +271,19 @@ class QuantChunkState(NamedTuple):
     v_zero: jax.Array
 
 
+def _quant_groups(cs, chunk: int, dp: int) -> Tuple[int, int]:
+    """(K slot-group, V channel-group) sizes for the chunk carry.
+
+    ``q_layout='pa'``: K groups are ONE PER CHUNK (the chunk is the widest
+    slot span whose values exist together during prefill — the finished
+    region is 'grouped with group=chunk', which the factored decode path
+    handles like any grouped layout), V stays exactly per-token (channel
+    grouping is untouched by slot chunking)."""
+    if cs.q_layout == "pa":
+        return chunk, dp
+    return cs.q_group_size, cs.q_group_size
+
+
 def supports_chunked_quant(plan: PolicyPlan, chunk: int) -> bool:
     """fullkv + KIVI only: compression methods already fit long contexts
     (their caches are capacity-bounded); kvquant's outlier sidecars keep
@@ -280,29 +293,36 @@ def supports_chunked_quant(plan: PolicyPlan, chunk: int) -> bool:
     if spec.method != "fullkv" or spec.quant_method != "kivi":
         return False
     per = 8 // spec.nbits
-    return (chunk % (spec.q_group_size * per) == 0
+    if spec.q_layout == "pa":
+        # per-chunk K groups: the planar repack and the factored decode's
+        # per-plane group slicing need whole groups per bit-plane
+        ok = (chunk % per == 0
+              and (plan.bucket_len // chunk) % per == 0)
+    else:
+        ok = chunk % (spec.q_group_size * per) == 0
+    return (ok
             and plan.prefill_slots == plan.bucket_len
             and plan.bucket_len % chunk == 0)
 
 
-def init_quant_state(spec: ModelSpec, plan: PolicyPlan,
-                     batch: int) -> QuantChunkState:
+def init_quant_state(spec: ModelSpec, plan: PolicyPlan, batch: int,
+                     chunk: int) -> QuantChunkState:
     from ..ops.quant import _round_up
 
     cs = plan.spec
-    gs = cs.q_group_size
     per = 8 // cs.nbits
     L, kv, d = (spec.num_hidden_layers, spec.num_key_value_heads,
                 spec.head_dim)
     n = plan.bucket_len
-    dp = _round_up(d, gs)
+    dp = _round_up(d, cs.q_group_size)
+    kg, vg = _quant_groups(cs, chunk, dp)
     return QuantChunkState(
         k_codes=jnp.zeros((L, batch, kv, d, n // per), jnp.int8),
-        k_scale=jnp.zeros((L, batch, kv, d, n // gs, 1), jnp.float32),
-        k_zero=jnp.zeros((L, batch, kv, d, n // gs, 1), jnp.float32),
+        k_scale=jnp.zeros((L, batch, kv, d, n // kg, 1), jnp.float32),
+        k_zero=jnp.zeros((L, batch, kv, d, n // kg, 1), jnp.float32),
         v_codes=jnp.zeros((L, batch, kv, n // per, dp), jnp.int8),
-        v_scale=jnp.zeros((L, batch, kv, n, dp // gs, 1), jnp.float32),
-        v_zero=jnp.zeros((L, batch, kv, n, dp // gs, 1), jnp.float32),
+        v_scale=jnp.zeros((L, batch, kv, n, dp // vg, 1), jnp.float32),
+        v_zero=jnp.zeros((L, batch, kv, n, dp // vg, 1), jnp.float32),
     )
 
 
@@ -333,7 +353,6 @@ def prefill_chunk_quant(
     from ..ops.quant import QuantizedTensor, _round_up, dequantize, quantize
 
     cs = plan.spec
-    gs = cs.q_group_size
     nbits = cs.nbits
     per = 8 // nbits
     b, c = tokens.shape
@@ -341,7 +360,8 @@ def prefill_chunk_quant(
     w = plan.window
     kvh = spec.num_key_value_heads
     dh = spec.head_dim
-    dp = _round_up(dh, gs)
+    dp = _round_up(dh, cs.q_group_size)
+    kg, vg = _quant_groups(cs, c, dp)   # pa: per-chunk K, per-token V
     chunk_start = jnp.asarray(chunk_start, jnp.int32)
     n_hist = chunk_start // c  # traced loop bound
     inv_freq = llama.rope_inv_freq(spec)
@@ -425,12 +445,12 @@ def prefill_chunk_quant(
                 hc * (c // per), c // per, axis=-1)
             ks = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(ks_f, li, 0, False),
-                hc * (c // gs), c // gs, axis=-2)
+                hc * (c // kg), c // kg, axis=-2)
             kz = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(kz_f, li, 0, False),
-                hc * (c // gs), c // gs, axis=-2)
+                hc * (c // kg), c // kg, axis=-2)
             kt = dequantize(QuantizedTensor(kc, ks, kz, None),
-                            nbits=nbits, group_size=gs, dtype=act_dtype)
+                            nbits=nbits, group_size=kg, dtype=act_dtype)
             k_tile = jnp.swapaxes(kt, 2, 3)               # [B,KV,C,Dh]
             vc = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(vc_f, li, 0, False),
@@ -442,7 +462,7 @@ def prefill_chunk_quant(
                 jax.lax.dynamic_index_in_dim(vz_f, li, 0, False),
                 hc * c, c, axis=-3)
             v_tile = dequantize(QuantizedTensor(vc, vs, vz, None),
-                                nbits=nbits, group_size=gs,
+                                nbits=nbits, group_size=vg,
                                 dtype=act_dtype,
                                 pack_axis=-2)[..., :dh]   # [B,KV,C,Dh]
             if use_flash:
@@ -495,15 +515,15 @@ def prefill_chunk_quant(
         colv = (cols[None, :] >= pad[:, None])[:, None, :, None]  # [B,1,C,1]
         kz_in = jnp.where(colv, k.astype(jnp.float32), 0.0)
         vz_in = jnp.where(colv, v.astype(jnp.float32), 0.0)
-        kq = quantize(jnp.swapaxes(kz_in, 2, 3), nbits=nbits, group_size=gs)
+        kq = quantize(jnp.swapaxes(kz_in, 2, 3), nbits=nbits, group_size=kg)
         vpad = jnp.pad(vz_in, ((0, 0), (0, 0), (0, 0), (0, dp - dh)))
-        vq = quantize(vpad, nbits=nbits, group_size=gs, pack_axis=-2)
+        vq = quantize(vpad, nbits=nbits, group_size=vg, pack_axis=-2)
         kc_f = jax.lax.dynamic_update_slice(
             kc_f, kq.codes[None], (li, 0, 0, 0, chunk_start // per))
         ks_f = jax.lax.dynamic_update_slice(
-            ks_f, kq.scale[None], (li, 0, 0, 0, chunk_start // gs, 0))
+            ks_f, kq.scale[None], (li, 0, 0, 0, chunk_start // kg, 0))
         kz_f = jax.lax.dynamic_update_slice(
-            kz_f, kq.zero[None], (li, 0, 0, 0, chunk_start // gs, 0))
+            kz_f, kq.zero[None], (li, 0, 0, 0, chunk_start // kg, 0))
         vc_f = jax.lax.dynamic_update_slice(
             vc_f, vq.codes[None], (li, 0, 0, chunk_start // per, 0))
         vs_f = jax.lax.dynamic_update_slice(

@@ -55,6 +55,11 @@ def parse():
     p.add_argument("--quant_method", type=str, default=None)
     p.add_argument("--nbits", type=int, default=8)
     p.add_argument("--q_group_size", type=int, default=64)
+    p.add_argument("--q_layout", type=str, default="group",
+                   choices=["group", "pa"])
+    p.add_argument("--quant_fused", action="store_true",
+                   help="EngineSpec.use_quant_fused (factored dequant "
+                        "attention on grouped regions)")
     p.add_argument("--prefill_chunk", type=int, default=None)
     p.add_argument("--minference_config", type=str, default=None)
     p.add_argument("--dense_below", type=int, default=None,
@@ -93,7 +98,8 @@ def main():
     comp_kw = {}
     if args.quant_method:
         comp_kw = dict(quant_method=args.quant_method, nbits=args.nbits,
-                       q_group_size=args.q_group_size)
+                       q_group_size=args.q_group_size,
+                       q_layout=args.q_layout)
     if args.minference_config:
         from pyramidkv_tpu.config import load_minference_pattern_config
 
@@ -105,6 +111,8 @@ def main():
     eng_kw = {}
     if args.prefill_chunk:
         eng_kw["prefill_chunk"] = args.prefill_chunk
+    if args.quant_fused:
+        eng_kw["use_quant_fused"] = True
 
     if args.serving:
         from pyramidkv_tpu.serving import ContinuousBatcher, Request
@@ -153,7 +161,10 @@ def main():
                                comp_kw=comp_kw, eng_kw=eng_kw)
             extra = {}
             if args.quant_method:
-                extra = {"quant": f"{args.quant_method}{args.nbits}"}
+                extra = {"quant": f"{args.quant_method}{args.nbits}",
+                         "q_layout": args.q_layout,
+                         "fused": bool(args.quant_fused or
+                                       args.q_layout == "pa")}
             if args.prefill_chunk:
                 extra["prefill_chunk"] = args.prefill_chunk
             if pad:

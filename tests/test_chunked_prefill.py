@@ -296,7 +296,7 @@ def test_quant_chunked_flash_partials_matches_xla(tiny):
     tl = jnp.asarray([len(p) for p in prompts], jnp.int32)
 
     def run(impl):
-        state = cp.init_quant_state(ms, plan, 2)
+        state = cp.init_quant_state(ms, plan, 2, 64)
         for i in range(4):
             state, wq, hl = cp.prefill_chunk_quant(
                 params, ms, plan, state,
@@ -337,3 +337,48 @@ def test_flash_partials_merge_equals_rectangular_flash():
            / jnp.maximum(l1 * w1 + l2 * w2, 1e-30)[..., None])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nbits", [8, 4])
+def test_quant_chunked_pa_layout(tiny, nbits):
+    """q_layout='pa' through the chunked carry: K gets one scale group per
+    CHUNK (the widest span whose values coexist during prefill), V stays
+    exactly per-token; the finished cache decodes through the factored
+    fused path and layer-0 V bytes match the post-hoc pa quantization."""
+    from pyramidkv_tpu.ops.quant import quantize_kv_region
+
+    ms, params = tiny
+    mk = lambda ch: Engine(  # noqa: E731
+        ms,
+        CompressionSpec(method="fullkv", quant_method="kivi",
+                        nbits=nbits, q_group_size=16, q_layout="pa"),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(256,),
+                   prefill_chunk=ch),
+        params,
+    )
+    e_post, e_chk = mk(None), mk(64)
+    assert e_chk.chunked_prefill_supported(256)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    tokens = np.zeros((2, 256), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, 256 - len(p):] = p
+    tl = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    lg1, c1 = e_post._get_prefill(256)(
+        e_post.params, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    lg2, c2 = e_chk._run_chunked_prefill(
+        256, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    # post-hoc pa: ONE K group; chunked pa: one group per chunk
+    assert c1.quant.k.scale.shape[-2] == 1
+    assert c2.quant.k.scale.shape[-2] == 256 // 64
+    # V is per-token in both; layer-0 V bytes identical (embedding-only)
+    assert c1.quant.v.scale.shape[-2] == 1 == c2.quant.v.scale.shape[-2]
+    for a, b in [(c1.quant.v.codes, c2.quant.v.codes),
+                 (c1.quant.v.scale, c2.quant.v.scale),
+                 (c1.quant.v.zero, c2.quant.v.zero)]:
+        assert bool(jnp.all(a[0] == b[0]))
+    # prefill logits stay within quantization noise of the post-hoc path
+    d = float(jnp.max(jnp.abs(lg1 - lg2)))
+    assert d < (0.25 if nbits == 8 else 1.0), d
+    # end-to-end decode through the fused path on the chunk-grouped region
+    out = e_chk.generate(prompts)
+    assert all(len(t) == 8 for t in out.tokens)
