@@ -535,12 +535,16 @@ class EngineSpec:
     #: trace time: set it before Engine construction or it has no effect
     #: (the jit cache is not keyed on it); this knob is the reliable path.
     use_quant_tiled: bool = False
-    #: Opt-in: factored dequant-attention (ops/quant.py::
-    #: quant_region_attention_fused) for GROUPED KIVI regions — scales fold
+    #: Force the factored dequant-attention (ops/quant.py::
+    #: quant_region_attention_fused) for ALL region sizes — scales fold
     #: into query/probabilities so no dequantized chunk is materialised.
-    #: q_layout="pa" regions always take this path; this knob forces it for
-    #: the group-64 layout too (benchable counterfactual).
+    #: It is already the DEFAULT for long KIVI regions (measured 64k kivi4
+    #: 32.1 -> 57.8 tok/s over the chunked scan, logs/tpu_r3p) and for
+    #: every q_layout="pa" region; this knob extends it to short regions.
     use_quant_fused: bool = False
+    #: Counterfactual: revert long grouped KIVI regions to the chunked XLA
+    #: dequant scan (the pre-r3p default; measured ~45% slower at 64k).
+    use_quant_scan: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
     #: Chunked prefill (models/chunked_prefill.py): run the prompt forward

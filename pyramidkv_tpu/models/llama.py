@@ -917,9 +917,19 @@ def decode_step(
                 from ..kernels.quant_decode import MAX_KERNEL_SLOTS
 
                 s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
+                long_region = s_pad_k > _QUANT_CHUNK_THRESHOLD[0]
                 use_fused = (
                     cs.quant_method == "kivi"
-                    and (cs.q_layout == "pa" or subplan.use_quant_fused)
+                    and (cs.q_layout == "pa"
+                         or subplan.use_quant_fused
+                         # DEFAULT for long grouped regions since r3p
+                         # (64k kivi4 32.1 -> 57.8 tok/s vs the chunked
+                         # scan); tiled/scan knobs select the
+                         # counterfactuals, _FORCE_QUANT_KERNEL tests them
+                         or (long_region
+                             and not subplan.use_quant_tiled
+                             and not subplan.use_quant_scan
+                             and not _FORCE_QUANT_KERNEL[0]))
                 )
                 use_kernel = (
                     (subplan.use_quant_kernel or _FORCE_QUANT_KERNEL[0])

@@ -65,6 +65,8 @@ class PolicyPlan:
     #: opt-in factored dequant attention for grouped KIVI regions
     #: (EngineSpec.use_quant_fused; q_layout="pa" always uses it)
     use_quant_fused: bool = False
+    #: counterfactual: chunked XLA dequant scan for long grouped regions
+    use_quant_scan: bool = False
     #: Contiguous layer runs with their own static slot widths:
     #: ((start, stop, width), ...).  One entry == the uniform layout (the
     #: default for most methods).  Multiple entries let methods whose

@@ -66,8 +66,9 @@ def test_chunked_partials_respect_scale_softcap():
 
 
 def test_engine_tokens_identical_across_paths():
-    """Greedy tokens through the chunked region path equal the one-shot
-    path (threshold hook flips the dispatch)."""
+    """Greedy tokens through every long-region dispatch equal the one-shot
+    path: the FUSED factored path (the long-region default since r3p) and
+    the chunked XLA scan (use_quant_scan counterfactual)."""
     spec = ModelSpec.tiny()
     params = jl.init_params(spec, jax.random.PRNGKey(42), dtype=jnp.float32)
     rng = np.random.default_rng(3)
@@ -76,12 +77,18 @@ def test_engine_tokens_identical_across_paths():
     es = EngineSpec(max_new_tokens=8, prefill_buckets=(128,))
     a = Engine(spec, cs, es, params).generate([prompt], eos_token_ids=())
     old = jl._QUANT_CHUNK_THRESHOLD[0]
-    jl._QUANT_CHUNK_THRESHOLD[0] = 16  # force the chunked path
+    jl._QUANT_CHUNK_THRESHOLD[0] = 16  # everything below is "long" now
     try:
-        b = Engine(spec, cs, es, params).generate([prompt], eos_token_ids=())
+        b = Engine(spec, cs, es, params).generate([prompt],
+                                                  eos_token_ids=())
+        es_scan = EngineSpec(max_new_tokens=8, prefill_buckets=(128,),
+                             use_quant_scan=True)
+        c = Engine(spec, cs, es_scan, params).generate([prompt],
+                                                       eos_token_ids=())
     finally:
         jl._QUANT_CHUNK_THRESHOLD[0] = old
-    assert a.tokens[0] == b.tokens[0]
+    assert a.tokens[0] == b.tokens[0]  # fused default
+    assert a.tokens[0] == c.tokens[0]  # chunked-scan counterfactual
 
 
 def test_engine_tokens_identical_tiled_kernel_path():
