@@ -67,6 +67,14 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="override the lm_head width (default int8 whenever "
                         "--quant_weights is set; int4 halves the fixed "
                         "per-step vocab-projection read)")
+    p.add_argument("--q_layout", type=str, default="group",
+                   choices=["group", "pa"],
+                   help="KV-quant group layout: 'group' = HQQ group-64 on "
+                        "the KIVI axes (reference parity); 'pa' = per-axis "
+                        "(per-channel K / per-token V, the KIVI paper's "
+                        "axes) — decodes through the factored fused path "
+                        "at packed-code bandwidth, ~1.5x group's K "
+                        "roundtrip error")
     p.add_argument("--quant_lm_head_pad", type=int, default=None,
                    help="zero-pad the lm_head vocab axis to this multiple "
                         "before quantizing (e.g. 2048): power-of-two kernel "
@@ -120,6 +128,7 @@ def build_compression_spec(args, model_spec: ModelSpec) -> CompressionSpec:
         recent_size=args.recent_size,
         quant_method=args.quant_method,
         nbits=args.nbits,
+        q_layout=getattr(args, "q_layout", "group"),
         gqa_aggregate=args.gqa_aggregate,
     )
     if method == "headkv":
