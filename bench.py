@@ -55,15 +55,18 @@ def random_int4_params(spec, key):
                                      jnp.float32))
 
     emb_codes = jax.random.randint(next(ks), (V, Dm), -127, 128, jnp.int8)
-    # packed-int4 lm_head (the fastest decode config — BASELINE Round 3)
-    lm_codes = jax.random.randint(next(ks), (Dm, V // 2), -128, 128,
+    # packed-int4 lm_head, vocab padded to 32x4096 = 131072 (the fastest
+    # decode config — BASELINE Round 3 + r3o tile padding; the model
+    # slices logits back to V, bit-identical argmax)
+    Vp = ((V + 4095) // 4096) * 4096
+    lm_codes = jax.random.randint(next(ks), (Dm, Vp // 2), -128, 128,
                                   jnp.int8)
     return {
         "embed": QuantW(codes=emb_codes,
                         scale=jnp.full((V,), 0.02 / 127.0, jnp.float32)),
         "final_norm": jnp.ones((Dm,), jnp.bfloat16),
         "lm_head": QuantW(codes=lm_codes,
-                          scale=jnp.full((V,), 1.0 / (7.0 * np.sqrt(Dm)),
+                          scale=jnp.full((Vp,), 1.0 / (7.0 * np.sqrt(Dm)),
                                          jnp.float32)),
         "layers": {
             "wq": qw((L, Dm, H * Dh)),
