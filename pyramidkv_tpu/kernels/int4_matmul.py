@@ -592,6 +592,166 @@ def int8_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Manual-DMA planar variant (per-channel scales): one grid step per OUT
+# tile; the in-dim loop lives inside the kernel with double-buffered
+# window copies.  The automatic pipeline double-buffers whole
+# [block_in, block_out2] code blocks (2 x 4 MB at the (2048, 2048)
+# defaults) and holds the int4 matmuls at ~73% of their weight-byte
+# roofline (BASELINE Round 3 — DMA bubbles at grid-step boundaries);
+# finer explicit windows overlap copy w+1 with compute w at sub-block
+# granularity, the block-sparse kernel's pattern (`_db_kernel`).
+# ---------------------------------------------------------------------------
+
+
+def _dma_window_body(x_ref, y_ref, buf, sem, src, *, span: int, win: int,
+                     op_dtype):
+    """Shared double-buffered window loop; ``src(w)`` yields window w's
+    HBM ref slice ([win, bo] packed bytes)."""
+    rp = x_ref.shape[0]
+    bo = buf.shape[-1]
+    nw = x_ref.shape[1] // win
+
+    def start(slot, w):
+        pltpu.make_async_copy(src(w), buf.at[slot], sem.at[slot]).start()
+
+    start(0, 0)
+
+    def body(w, acc):
+        ye, yo = acc
+        slot = jax.lax.rem(w, 2)
+
+        @pl.when(w + 1 < nw)
+        def _prefetch():
+            start(1 - slot, w + 1)
+
+        pltpu.make_async_copy(src(w), buf.at[slot], sem.at[slot]).wait()
+        lo, hi = _nibbles_f32(buf[slot], op_dtype)
+        xs = x_ref[:, pl.ds(w * win, win)].astype(op_dtype)
+        ye = ye + jax.lax.dot_general(
+            xs, lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        yo = yo + jax.lax.dot_general(
+            xs, hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return ye, yo
+
+    ye, yo = jax.lax.fori_loop(
+        0, nw, body,
+        (jnp.zeros((rp, bo), jnp.float32),
+         jnp.zeros((rp, bo), jnp.float32)))
+    y_ref[...] = _assemble_planar(ye, yo, span)
+
+
+def _kernel_planar_dma(x_ref, c_hbm, y_ref, buf, sem, *, span: int,
+                       win: int, op_dtype, bo: int):
+    o = pl.program_id(0)
+
+    def src(w):
+        return c_hbm.at[pl.ds(w * win, win), pl.ds(o * bo, bo)]
+
+    _dma_window_body(x_ref, y_ref, buf, sem, src, span=span, win=win,
+                     op_dtype=op_dtype)
+
+
+def _kernel_planar_dma_pref(l_ref, x_ref, c_hbm, y_ref, buf, sem, *,
+                            span: int, win: int, op_dtype, bo: int):
+    o = pl.program_id(0)
+    lyr = l_ref[0]
+
+    def src(w):
+        return c_hbm.at[lyr, pl.ds(w * win, win), pl.ds(o * bo, bo)]
+
+    _dma_window_body(x_ref, y_ref, buf, sem, src, span=span, win=win,
+                     op_dtype=op_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_out2", "win", "interpret", "op"),
+)
+def int4_matmul_dma(
+    x: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    *,
+    layer=None,
+    block_out2: int = DEFAULT_BLOCK_OUT2,
+    win: int = 512,
+    interpret: bool = False,
+    op: "str | None" = None,
+) -> jax.Array:
+    """Manual-DMA counterpart of :func:`int4_matmul` (per-channel scales,
+    span-planar layout only).  Same contract; ``win`` is the in-dim window
+    each double-buffered copy streams (2 x win x bo bytes of VMEM)."""
+    stacked = codes.ndim == 3
+    assert stacked == (layer is not None), (codes.shape, layer)
+    rows, in_dim = x.shape
+    out2 = codes.shape[-1]
+    assert out2 % 128 == 0 and scale.ndim == 1, (out2, scale.shape)
+    span = 128
+    bo = min(block_out2, out2)
+    if out2 % bo:
+        bo = _largest_tile(out2, bo) or bo
+    while out2 % bo:
+        bo //= 2
+    assert bo % span == 0, (bo, span)
+    w_ = min(win, in_dim)
+    while in_dim % w_:
+        w_ //= 2
+    n_o = out2 // bo
+
+    out_dtype = x.dtype
+    if x.dtype.itemsize < 4 and rows <= 8:
+        x = x.astype(jnp.float32)
+    sub = 16 if x.dtype.itemsize < 4 else 8
+    rp = max(sub, ((rows + sub - 1) // sub) * sub)
+    xp = jnp.pad(x, ((0, rp - rows), (0, 0))) if rp != rows else x
+    op_dtype = (jnp.bfloat16
+                if x.dtype == jnp.bfloat16 and rows > 32 else jnp.float32)
+    if op is not None:
+        op_dtype = jnp.bfloat16 if op == "bf16" else jnp.float32
+
+    kern_kw = dict(span=span, win=w_, op_dtype=op_dtype, bo=bo)
+    scratch = [
+        pltpu.VMEM((2, w_, bo), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out_shape = jax.ShapeDtypeStruct((rp, out2 * 2), jnp.float32)
+    cparams = pltpu.CompilerParams(dimension_semantics=("parallel",))
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_o,),
+            in_specs=[
+                pl.BlockSpec((rp, in_dim), lambda o, l: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((rp, 2 * bo), lambda o, l: (0, o)),
+            scratch_shapes=scratch,
+        )
+        y = pl.pallas_call(
+            functools.partial(_kernel_planar_dma_pref, **kern_kw),
+            grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), xp, codes)
+    else:
+        y = pl.pallas_call(
+            functools.partial(_kernel_planar_dma, **kern_kw),
+            grid=(n_o,),
+            in_specs=[
+                pl.BlockSpec((rp, in_dim), lambda o: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((rp, 2 * bo), lambda o: (0, o)),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=cparams, interpret=interpret,
+        )(xp, codes)
+    y = y * scale.astype(jnp.float32)[None, :]
+    return y[:rows].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
 # Tensor-parallel path: custom_partitioning over the fused kernel
 # ---------------------------------------------------------------------------
 #

@@ -401,6 +401,12 @@ _INT4_KERNEL_SUBIN = [0]
 #: static kernel arg, so the jit cache keys on it.
 _INT4_KERNEL_OP = [None]
 
+#: Manual-DMA variant (kernels/int4_matmul.py::int4_matmul_dma): the
+#: in-dim loop double-buffers explicit [win, bo] window copies inside the
+#: kernel instead of Pallas's whole-block pipeline.  [flag, win].  Trace-
+#: time, like the other knobs.  Per-channel single-device path only.
+_INT4_KERNEL_DMA = [False, 512]
+
 
 #: Test hook: route multi-device traces through the custom_partitioning
 #: kernel wrapper even off-TPU (CPU-mesh TP tests set this together with
@@ -479,6 +485,14 @@ def _int4_kernel_mm(x: jax.Array, w: QuantW):
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, group_size=gs, interpret=interpret,
                         **kw)
+    elif _INT4_KERNEL_DMA[0] and codes.shape[-1] % 128 == 0:
+        from ..kernels.int4_matmul import int4_matmul_dma
+
+        y = int4_matmul_dma(
+            x.reshape(rows, in_dim), codes, w.scale, layer=layer,
+            win=_INT4_KERNEL_DMA[1], interpret=interpret,
+            **{k: v for k, v in kw.items()
+               if k in ("block_out2", "op")})
     else:
         y = int4_matmul(x.reshape(rows, in_dim), codes, w.scale,
                         layer=layer, interpret=interpret, **kw)

@@ -705,3 +705,28 @@ def test_int8_matmul_kernel_matches_xla():
     from pyramidkv_tpu.kernels.int4_matmul import int8_tiles
     assert int8_tiles(512, 1536)[0] > 0
     assert int8_tiles(500, 1536) == (0, 0)
+
+
+def test_int4_matmul_dma_matches_grid_kernel():
+    """Manual-DMA variant (double-buffered in-dim window copies inside the
+    kernel; kernels/int4_matmul.py::int4_matmul_dma) computes the same
+    product as the grid-pipelined kernel — 2-D and stacked+layer codes."""
+    from pyramidkv_tpu.kernels.int4_matmul import int4_matmul, int4_matmul_dma
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(-128, 128, size=(512, 512)), jnp.int8)
+    scale = jnp.asarray(rng.random(1024).astype(np.float32) * 0.1)
+    a = int4_matmul(x, codes, scale, interpret=True)
+    b = int4_matmul_dma(x, codes, scale, interpret=True, win=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+    codes3 = jnp.asarray(rng.integers(-128, 128, size=(3, 512, 512)),
+                         jnp.int8)
+    for l in (0, 2):
+        a = int4_matmul(x, codes3, scale, layer=jnp.int32(l), interpret=True)
+        b = int4_matmul_dma(x, codes3, scale, layer=jnp.int32(l),
+                            interpret=True, win=256)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
