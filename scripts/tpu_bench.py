@@ -70,6 +70,9 @@ def parse():
     p.add_argument("--sub_in", type=int, default=0)
     p.add_argument("--op", type=str, default=None, choices=[None, "bf16",
                                                             "f32"])
+    p.add_argument("--int4_dma_wins", type=int, nargs="*", default=None,
+                   help="sweep the manual-DMA int4 matmul: one engine per "
+                        "window size (0 = auto-pipeline control)")
     p.add_argument("--serving", type=int, default=0,
                    help="N requests through the ContinuousBatcher")
     p.add_argument("--lanes", type=int, default=4)
@@ -147,6 +150,23 @@ def main():
                                         for r in res.values()), 2)})
         return
 
+    if args.int4_dma_wins is not None:
+        # DMA-variant sweep: one engine per window (trace-time hook)
+        for win in args.int4_dma_wins:
+            W._INT4_KERNEL_DMA[0] = bool(win)
+            W._INT4_KERNEL_DMA[1] = win or 512
+            eng = build_engine(spec, params, method=args.methods[0],
+                               ctx=args.ctx, cap=args.cap,
+                               window=args.window, max_new=args.max_new,
+                               prefill_block=args.prefill_block,
+                               comp_kw=comp_kw, eng_kw=eng_kw)
+            run_generate(f"{args.tag}/dma{win}", eng, args.ctx,
+                         max_new=args.max_new, batch=args.batch, log=log,
+                         extra={"dma_win": win}, repeats=args.repeats)
+        W._INT4_KERNEL_DMA[0] = False
+        log("ALL DONE")
+        return
+
     for pi, pad in enumerate(args.lm_head_pad):
         if pi:  # re-draw params with the next pad (same key: same layers)
             params = random_int4_params(spec, jax.random.PRNGKey(0),
@@ -161,10 +181,13 @@ def main():
                                comp_kw=comp_kw, eng_kw=eng_kw)
             extra = {}
             if args.quant_method:
+                # "auto": the factored path is the long-region default
+                # since r3p — short grouped regions keep one-shot dequant
                 extra = {"quant": f"{args.quant_method}{args.nbits}",
                          "q_layout": args.q_layout,
-                         "fused": bool(args.quant_fused or
-                                       args.q_layout == "pa")}
+                         "fused": (True if (args.quant_fused
+                                            or args.q_layout == "pa")
+                                   else "auto")}
             if args.prefill_chunk:
                 extra["prefill_chunk"] = args.prefill_chunk
             if pad:
