@@ -112,12 +112,14 @@ def build_engine(spec, params, method="snapkv", ctx=4096, cap=128,
                  window=8, max_new=128, batch=1, prefill_block=512,
                  comp_kw=None, eng_kw=None) -> Engine:
     del batch  # batch is a generate-time property; kept for call-site clarity
+    es_kw = dict(max_new_tokens=max_new, prefill_buckets=(ctx,),
+                 prefill_block=prefill_block)
+    es_kw.update(eng_kw or {})  # callers may override the bucket ladder
     return Engine(
         spec,
         CompressionSpec(method=method, max_capacity_prompt=cap,
                         window_size=window, **(comp_kw or {})),
-        EngineSpec(max_new_tokens=max_new, prefill_buckets=(ctx,),
-                   prefill_block=prefill_block, **(eng_kw or {})),
+        EngineSpec(**es_kw),
         params,
     )
 

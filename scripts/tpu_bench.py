@@ -77,6 +77,15 @@ def parse():
                    help="N requests through the ContinuousBatcher")
     p.add_argument("--lanes", type=int, default=4)
     p.add_argument("--quantum", type=int, default=16)
+    p.add_argument("--buckets", type=int, nargs="*", default=None,
+                   help="override EngineSpec.prefill_buckets (serving with "
+                        "mixed prompt lengths needs a bucket ladder)")
+    p.add_argument("--arrival_rate", type=float, default=0.0,
+                   help="serving: Poisson arrival rate (req/s); 0 = batch "
+                        "arrival (the historical best case)")
+    p.add_argument("--prompt_lens", type=int, nargs="*", default=None,
+                   help="serving: mixed prompt lengths cycled across "
+                        "requests (default: ctx-1 for all)")
     p.add_argument("--tag", type=str, default="bench")
     p.add_argument("--repeats", type=int, default=2)
     return p.parse_args()
@@ -116,9 +125,13 @@ def main():
         eng_kw["prefill_chunk"] = args.prefill_chunk
     if args.quant_fused:
         eng_kw["use_quant_fused"] = True
+    if args.buckets:
+        eng_kw["prefill_buckets"] = tuple(args.buckets)
 
     if args.serving:
-        from pyramidkv_tpu.serving import ContinuousBatcher, Request
+        from pyramidkv_tpu.serving import (ContinuousBatcher, Request,
+                                           latency_summary,
+                                           poisson_workload)
 
         eng = build_engine(spec, params, method=args.methods[0],
                            ctx=args.ctx, cap=args.cap, window=args.window,
@@ -127,27 +140,32 @@ def main():
                            comp_kw=comp_kw, eng_kw=eng_kw)
         cb = ContinuousBatcher(eng, lanes=args.lanes, quantum=args.quantum)
         rng = np.random.default_rng(0)
-        reqs = [Request(request_id=f"r{i}",
-                        prompt_ids=[int(t) for t in rng.integers(
-                            0, spec.vocab_size, size=args.ctx - 1)])
-                for i in range(args.serving)]
-        log("serving: warmup (compiles) ...")
-        cb.run([Request("w0", list(reqs[0].prompt_ids),
-                        max_new_tokens=8)])
+        lens = args.prompt_lens or [args.ctx - 1]
+        reqs = poisson_workload(
+            args.serving, rate=args.arrival_rate, prompt_lens=lens,
+            seed=0, vocab=spec.vocab_size)
+        log("serving: warmup (compiles all buckets) ...")
+        cb.run([Request(f"w{n}", [int(t) for t in rng.integers(
+                    0, spec.vocab_size, size=n)], max_new_tokens=8)
+                for n in sorted(set(lens))])
         t0 = time.perf_counter()
         res = cb.run(reqs)
         wall = time.perf_counter() - t0
         total = sum(len(r.tokens) for r in res.values())
-        emit({"bench": f"{args.tag}/serving_{args.methods[0]}",
-              "wall_s": round(wall, 2), "total_tokens": total,
-              "serving_tok_s": round(total / wall, 2),
-              "requests": args.serving, "ctx": args.ctx,
-              "lanes": args.lanes,
-              "prefill_chunk": args.prefill_chunk,
-              "sum_prefill_s": round(sum(r.prefill_seconds
-                                         for r in res.values()), 2),
-              "sum_decode_s": round(sum(r.decode_seconds
-                                        for r in res.values()), 2)})
+        row = {"bench": f"{args.tag}/serving_{args.methods[0]}",
+               "wall_s": round(wall, 2), "total_tokens": total,
+               "serving_tok_s": round(total / wall, 2),
+               "requests": args.serving, "ctx": args.ctx,
+               "lanes": args.lanes,
+               "prefill_chunk": args.prefill_chunk,
+               "arrival_rate": args.arrival_rate,
+               "prompt_lens": lens if args.prompt_lens else None,
+               "sum_prefill_s": round(sum(r.prefill_seconds
+                                          for r in res.values()), 2),
+               "sum_decode_s": round(sum(r.decode_seconds
+                                         for r in res.values()), 2)}
+        row.update(latency_summary(res))
+        emit(row)
         return
 
     if args.int4_dma_wins is not None:
