@@ -536,14 +536,14 @@ class EngineSpec:
     #: (the jit cache is not keyed on it); this knob is the reliable path.
     use_quant_tiled: bool = False
     #: Force the factored dequant-attention (ops/quant.py::
-    #: quant_region_attention_fused) for ALL region sizes — scales fold
-    #: into query/probabilities so no dequantized chunk is materialised.
-    #: It is already the DEFAULT for long KIVI regions (measured 64k kivi4
-    #: 32.1 -> 57.8 tok/s over the chunked scan, logs/tpu_r3p) and for
-    #: every q_layout="pa" region; this knob extends it to short regions.
+    #: quant_region_attention_fused) even when a counterfactual knob below
+    #: is set.  Since r3q it is already the DEFAULT for EVERY KIVI region
+    #: (scales fold into query/probabilities so no dequantized copy is
+    #: materialised: 64k kivi4 32.1 -> 57.8 tok/s over the chunked scan,
+    #: short cap-2048 regions 89.8 -> 109.6 over one-shot dequant).
     use_quant_fused: bool = False
-    #: Counterfactual: revert long grouped KIVI regions to the chunked XLA
-    #: dequant scan (the pre-r3p default; measured ~45% slower at 64k).
+    #: Counterfactual: revert to the pre-r3q dispatch — chunked XLA dequant
+    #: scan for long grouped KIVI regions, one-shot dequant for short.
     use_quant_scan: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512

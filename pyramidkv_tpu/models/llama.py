@@ -917,18 +917,19 @@ def decode_step(
                 from ..kernels.quant_decode import MAX_KERNEL_SLOTS
 
                 s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
-                long_region = s_pad_k > _QUANT_CHUNK_THRESHOLD[0]
                 use_fused = (
                     cs.quant_method == "kivi"
                     and (cs.q_layout == "pa"
                          or subplan.use_quant_fused
-                         # DEFAULT for long grouped regions since r3p
-                         # (64k kivi4 32.1 -> 57.8 tok/s vs the chunked
-                         # scan); tiled/scan knobs select the
-                         # counterfactuals, _FORCE_QUANT_KERNEL tests them
-                         or (long_region
-                             and not subplan.use_quant_tiled
+                         # DEFAULT for every KIVI region size since r3q:
+                         # long regions 64k kivi4 32.1 -> 57.8 tok/s vs
+                         # the chunked scan (r3p), short cap-2048 regions
+                         # 89.8 -> 109.6 vs one-shot dequant (r3q).  The
+                         # tiled/scan/kernel knobs select the
+                         # counterfactuals; _FORCE_QUANT_KERNEL tests them
+                         or (not subplan.use_quant_tiled
                              and not subplan.use_quant_scan
+                             and not subplan.use_quant_kernel
                              and not _FORCE_QUANT_KERNEL[0]))
                 )
                 use_kernel = (
