@@ -188,7 +188,10 @@ class Engine:
         impl = ("pallas" if es.use_pallas
                 and jax.devices()[0].platform == "tpu" else "xla")
         act_dtype = self.params["final_norm"].dtype
-        quant = plan.spec.quant_method is not None
+        # quant-CARRY path (fullkv+KIVI blockwise quantization); compressed
+        # methods with quant_method set ride the bf16 carry and quantize
+        # their compacted region at finish, like the monolithic prefill
+        quant = cp.supports_chunked_quant(plan, c)
 
         def init_fn(batch: int):
             if quant:

@@ -21,12 +21,29 @@ Design (everything static under jit):
   per layer — identical math to the monolithic ``llama.prefill``, so
   kept-sets and greedy tokens match the unchunked path exactly (tested).
 
-Method coverage: every method whose scoring reads only the window queries
-(or none) — snapkv / pyramidkv / adakv / headkv / streamingllm / l2norm /
-random / fullkv.  h2o and cam need full-sequence attention statistics,
-think prunes channels against window queries but splits storage, and
-minference replaces prefill attention itself — those fall back to the
-monolithic prefill (`supports_chunked`).
+Method coverage: every method whose scoring reads only the window (or
+trailing-32) queries — snapkv / pyramidkv / adakv / headkv / streamingllm
+/ l2norm / random / fullkv / cam / think (both layouts) / pivot merge —
+including KIVI/kvquant region quantization of the compressed cache at
+finish (identical math to the monolithic per-layer quantization: the bf16
+carry holds the same values).  Two methods cannot chunk:
+
+- h2o: its score is EXACTLY the reference's quirky statistic
+  (pyramidkv_utils.py:544-561) — a softmax over ALL columns with the
+  causal mask applied only inside the trailing WxW block, summed over ALL
+  query rows.  Rows in chunk u attend keys of chunks t > u in both the
+  numerator and the denominator, so no per-chunk accumulation with
+  bounded state exists: the column score S_j = sum_i exp(s_ij - m_i)/l_i
+  mixes rows whose (m_i, l_i) only finalise after the LAST chunk, and a
+  per-row rescale of an already-mixed column sum is unrecoverable.
+  Exact chunking would require storing every layer's full query tensor
+  ([L, B, H, N, D] — 4x the K carry under GQA) or O(N^2) state.  h2o
+  falls back to the monolithic prefill; a causal-semantics h2o would
+  chunk fine but would break token parity with the monolithic path.
+- minference: replaces prefill attention itself (per-head sparse
+  patterns over the full context).
+
+`supports_chunked` encodes this table.
 """
 
 from __future__ import annotations
@@ -59,15 +76,23 @@ class ChunkState(NamedTuple):
 
 
 def supports_chunked(plan: PolicyPlan) -> bool:
-    """True when the plan's compression reads only window queries."""
+    """True when the plan's compression reads only trailing queries (see
+    the module docstring's method table — h2o/minference cannot)."""
     spec = plan.spec
-    return (
-        spec.method in ("snapkv", "pyramidkv", "adakv", "headkv",
-                        "streamingllm", "l2norm", "random", "fullkv")
-        and spec.quant_method is None
-        and not plan.think_narrow
-        and spec.merge is None
-    )
+    if spec.method == "think":
+        # channel scores read the last 32 REAL query rows
+        # (ops/think.py::think_channel_selection, reference
+        # pyramidkv_utils.py:17 q[..., -32:, :]); those rows live inside
+        # the captured window iff window >= 32.  Applies to both the
+        # dense-zeroing and narrow-split layouts.
+        return plan.window >= 32
+    if spec.method == "fullkv":
+        # fullkv+quant belongs to the QUANTIZED chunk carry
+        # (supports_chunked_quant) — a bf16 carry would defeat the
+        # memory purpose that path exists for
+        return spec.quant_method is None
+    return spec.method in ("snapkv", "pyramidkv", "adakv", "headkv",
+                           "streamingllm", "l2norm", "random", "cam")
 
 
 def init_state(spec: ModelSpec, plan: PolicyPlan, batch: int,
@@ -216,8 +241,12 @@ def prefill_finish(
     ``window_q``: [L, B, H, W, D] observation-window queries from the LAST
     chunk.  Each layer rebuilds a bucket-length query buffer that is zero
     except at the window — ``compress_layer`` reads only those rows for
-    every supported method, so the compression math is bit-identical to
-    the monolithic prefill's.
+    every supported method (think's channel scorer reads the last 32 rows,
+    inside the window by the ``supports_chunked`` guard), so the
+    compression math is bit-identical to the monolithic prefill's.  The
+    three per-layer tails (plain compact / think narrow split / region
+    quantization) mirror ``llama.prefill``'s layer_fn exactly, feeding the
+    shared ``assemble_cache``.
     """
     assert supports_chunked(plan), plan.spec.method
     n = plan.bucket_len
@@ -236,6 +265,32 @@ def prefill_finish(
                 qfull, window_q[li], (0, 0, n - w, 0))
             ckv = compress_layer(sub, ctx, qfull, state.k[li], state.v[li],
                                  true_len=tl)
+            if sub.think_narrow:
+                from ..policy import think_split
+
+                kp, kc, krest = think_split(ckv, qfull, sub, tl)
+                return None, (ckv._replace(k=krest), kp, kc)
+            if sub.spec.quant_method is not None:
+                # quantize the compacted prefill region per layer, exactly
+                # like the monolithic scan (models/llama.py layer_fn)
+                from ..ops.quant import quantize_kv_region
+
+                qs = sub.spec
+                sp_q = sub.prefill_slots
+                reg = quantize_kv_region(
+                    ckv.k[:, :, :sp_q, :], ckv.v[:, :, :sp_q, :],
+                    nbits=qs.nbits, group_size=qs.q_group_size,
+                    outlier_threshold=(
+                        qs.outlier_threshold
+                        if qs.quant_method == "kvquant" else None
+                    ),
+                    layout=qs.q_layout,
+                )
+                return None, (
+                    ckv._replace(k=ckv.k[:, :, sp_q:, :],
+                                 v=ckv.v[:, :, sp_q:, :]),
+                    reg,
+                )
             return None, ckv
 
         _, ckv = jax.lax.scan(

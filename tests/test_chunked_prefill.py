@@ -96,13 +96,20 @@ def test_q_start_flash_kernel_matches_causal(window):
 
 @pytest.mark.parametrize("method", [
     "snapkv", "pyramidkv", "streamingllm", "l2norm", "adakv",
-    "random", "fullkv",
+    "random", "fullkv", "cam", "headkv",
 ])
 def test_generate_chunked_matches_monolithic(tiny, method):
     ms, params = tiny
+    kw = {}
+    if method == "headkv":
+        L, H = ms.num_hidden_layers, ms.num_attention_heads
+        kw["head_capacity"] = tuple(
+            tuple(40 + (i + j) % 9 for j in range(H)) for i in range(L))
+    cs = CompressionSpec(method=method, max_capacity_prompt=64,
+                         window_size=8, **kw)
     prompts = [list(range(1, 180)), list(range(7, 240))]
-    plain = _engine(ms, params, method).generate(prompts)
-    chunked = _engine(ms, params, method, chunk=64).generate(prompts)
+    plain = _engine_spec(ms, params, cs).generate(prompts)
+    chunked = _engine_spec(ms, params, cs, chunk=64).generate(prompts)
     assert plain.tokens == chunked.tokens
 
 
@@ -113,6 +120,88 @@ def test_unsupported_method_falls_back(tiny):
     plain = _engine(ms, params, "h2o").generate([list(range(1, 180))])
     fallback = eng.generate([list(range(1, 180))])
     assert plain.tokens == fallback.tokens
+
+
+def _engine_spec(ms, params, cs, chunk=None):
+    return Engine(ms, cs,
+                  EngineSpec(max_new_tokens=16, prefill_buckets=(256,),
+                             prefill_chunk=chunk), params)
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_think_chunked_matches_monolithic(tiny, dense):
+    """ThinK chunks in BOTH layouts: the channel scorer's last-32-rows
+    queries sit inside the captured window when window >= 32 (the
+    supports_chunked guard)."""
+    ms, params = tiny
+    cs = CompressionSpec(method="think", max_capacity_prompt=64,
+                         window_size=32, think_dense=dense)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    chunked = _engine_spec(ms, params, cs, chunk=64)
+    assert chunked.chunked_prefill_supported(256)
+    plain = _engine_spec(ms, params, cs).generate(prompts)
+    assert plain.tokens == chunked.generate(prompts).tokens
+
+
+def test_think_narrow_window_guard(tiny):
+    """window < 32 would starve the channel scorer — must fall back."""
+    ms, params = tiny
+    cs = CompressionSpec(method="think", max_capacity_prompt=64,
+                         window_size=8)
+    eng = _engine_spec(ms, params, cs, chunk=64)
+    assert not eng.chunked_prefill_supported(256)
+
+
+def test_pivot_merge_chunked_matches_monolithic(tiny):
+    ms, params = tiny
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=64,
+                         window_size=8, merge="pivot")
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    chunked = _engine_spec(ms, params, cs, chunk=64)
+    assert chunked.chunked_prefill_supported(256)
+    plain = _engine_spec(ms, params, cs).generate(prompts)
+    assert plain.tokens == chunked.generate(prompts).tokens
+
+
+@pytest.mark.parametrize("qm,nbits", [("kivi", 8), ("kvquant", 8)])
+def test_compressed_quant_chunked_matches_monolithic(tiny, qm, nbits):
+    """Compression + region quantization through the bf16 chunk carry:
+    finish quantizes the compacted region per layer exactly like the
+    monolithic scan, so at 8 bits greedy tokens match end to end."""
+    ms, params = tiny
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=64,
+                         window_size=8, quant_method=qm, nbits=nbits,
+                         q_group_size=16)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    chunked = _engine_spec(ms, params, cs, chunk=64)
+    assert chunked.chunked_prefill_supported(256)
+    plain = _engine_spec(ms, params, cs).generate(prompts)
+    assert plain.tokens == chunked.generate(prompts).tokens
+
+
+def test_compressed_quant_chunked_kivi4_bounded(tiny):
+    """At 4 bits a single code flip from the chunked forward's float
+    association could flip a greedy tie — require bounded prefill-logit
+    divergence and a completed generation instead of exact tokens."""
+    ms, params = tiny
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=64,
+                         window_size=8, quant_method="kivi", nbits=4,
+                         q_group_size=16)
+    e_post = _engine_spec(ms, params, cs)
+    e_chk = _engine_spec(ms, params, cs, chunk=64)
+    prompts = [list(range(1, 180)), list(range(7, 240))]
+    tokens = np.zeros((2, 256), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, 256 - len(p):] = p
+    tl = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    lg1, c1 = e_post._get_prefill(256)(
+        e_post.params, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    lg2, c2 = e_chk._run_chunked_prefill(
+        256, jnp.asarray(tokens), tl, jax.random.PRNGKey(0))
+    assert c1.quant.k.codes.shape == c2.quant.k.codes.shape
+    assert float(jnp.max(jnp.abs(lg1 - lg2))) < 0.05
+    out = e_chk.generate(prompts)
+    assert all(len(t) == 16 for t in out.tokens)
 
 
 # ---------------------------------------------------------------------------
@@ -149,12 +238,17 @@ def test_cb_chunked_tokens_identical(tiny):
 
 
 def _quant_engines(ms, params, nbits, chunk):
+    # use_quant_scan pins the dequant+scan decode path: this pair tests
+    # CARRY equivalence (chunk-local quantization + repack vs post-hoc),
+    # and the fused factored default's different float association flips
+    # greedy ties between the two near-identical regions on the tiny
+    # model (fused-vs-dense parity has its own tests in test_quant.py)
     mk = lambda ch: Engine(  # noqa: E731
         ms,
         CompressionSpec(method="fullkv", quant_method="kivi",
                         nbits=nbits, q_group_size=16),
         EngineSpec(max_new_tokens=12, prefill_buckets=(256,),
-                   prefill_chunk=ch),
+                   prefill_chunk=ch, use_quant_scan=True),
         params,
     )
     return mk(None), mk(chunk)
