@@ -542,6 +542,12 @@ class EngineSpec:
     #: materialised: 64k kivi4 32.1 -> 57.8 tok/s over the chunked scan,
     #: short cap-2048 regions 89.8 -> 109.6 over one-shot dequant).
     use_quant_fused: bool = False
+    #: Opt-in: the STREAMING factored-dequant Pallas kernel for pa-layout
+    #: KIVI regions (kernels/quant_fused_decode.py) — unpack + online
+    #: softmax + PV stay in VMEM so the region's per-step HBM traffic is
+    #: the packed codes alone (the XLA factored path still materialises
+    #: each unpacked bf16 bit plane, ~2x the code bytes at int4).
+    use_quant_fused_kernel: bool = False
     #: Counterfactual: revert to the pre-r3q dispatch — chunked XLA dequant
     #: scan for long grouped KIVI regions, one-shot dequant for short.
     use_quant_scan: bool = False

@@ -131,6 +131,8 @@ class Engine:
             plan = dataclasses.replace(plan, use_quant_tiled=True)
         if self.engine_spec.use_quant_fused:
             plan = dataclasses.replace(plan, use_quant_fused=True)
+        if self.engine_spec.use_quant_fused_kernel and use_pallas:
+            plan = dataclasses.replace(plan, use_quant_fused_kernel=True)
         if self.engine_spec.use_quant_scan:
             plan = dataclasses.replace(plan, use_quant_scan=True)
         return plan

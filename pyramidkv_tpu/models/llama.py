@@ -722,6 +722,10 @@ def assemble_cache(plan: PolicyPlan, seg_ckvs: list, true_len: jax.Array
 #: the TPU.  Mutated by tests only.
 _FORCE_QUANT_KERNEL = [False]
 
+#: Test hook: force the STREAMING factored-dequant kernel (interpret mode)
+#: for pa-layout regions.  Mutated by tests only.
+_FORCE_QUANT_FUSED_KERNEL = [False]
+
 #: KIVI regions larger than this many padded slots decode via the chunked
 #: online-softmax dequant scan (ops/quant.py::quant_region_attention_
 #: partials) instead of the one-shot dequant+concat (which materialises a
@@ -953,11 +957,33 @@ def decode_step(
                     )
                     from ..ops.quant import quant_region_attention_fused
 
-                    part_r = quant_region_attention_fused(
-                        q, qreg, visible[:, :, :sp_], num_slots=sp_,
-                        head_dim=spec.head_dim, nbits=cs.nbits,
-                        scale=ascale, softcap=asoftcap,
-                    )
+                    use_fk = (subplan.use_quant_fused_kernel
+                              or _FORCE_QUANT_FUSED_KERNEL[0])
+                    if use_fk:
+                        from ..kernels.quant_fused_decode import (
+                            supports_fused_kernel)
+
+                        use_fk = supports_fused_kernel(
+                            qreg, nbits=cs.nbits, softcap=asoftcap)
+                    if use_fk:
+                        # streaming Pallas variant: unpack + online softmax
+                        # + PV stay in VMEM — region HBM traffic is the
+                        # packed codes alone (kernels/quant_fused_decode)
+                        from ..kernels.quant_fused_decode import (
+                            region_attention_fused_kernel)
+
+                        part_r = region_attention_fused_kernel(
+                            q, qreg, visible[:, :, :sp_],
+                            head_dim=spec.head_dim, nbits=cs.nbits,
+                            scale=ascale,
+                            interpret=_FORCE_QUANT_FUSED_KERNEL[0],
+                        )
+                    else:
+                        part_r = quant_region_attention_fused(
+                            q, qreg, visible[:, :, :sp_], num_slots=sp_,
+                            head_dim=spec.head_dim, nbits=cs.nbits,
+                            scale=ascale, softcap=asoftcap,
+                        )
                     part_t = decode_attention_partials(
                         q, layer.k, layer.v, visible[:, :, sp_:],
                         scale=ascale, softcap=asoftcap,

@@ -65,6 +65,9 @@ class PolicyPlan:
     #: opt-in factored dequant attention for grouped KIVI regions
     #: (EngineSpec.use_quant_fused; q_layout="pa" always uses it)
     use_quant_fused: bool = False
+    #: opt-in streaming factored-dequant kernel for pa regions
+    #: (EngineSpec.use_quant_fused_kernel)
+    use_quant_fused_kernel: bool = False
     #: counterfactual: chunked XLA dequant scan for long grouped regions
     use_quant_scan: bool = False
     #: Contiguous layer runs with their own static slot widths:

@@ -60,6 +60,9 @@ def parse():
     p.add_argument("--quant_fused", action="store_true",
                    help="EngineSpec.use_quant_fused (factored dequant "
                         "attention on grouped regions)")
+    p.add_argument("--quant_fused_kernel", action="store_true",
+                   help="EngineSpec.use_quant_fused_kernel (streaming "
+                        "factored-dequant Pallas kernel, pa layout)")
     p.add_argument("--prefill_chunk", type=int, default=None)
     p.add_argument("--minference_config", type=str, default=None)
     p.add_argument("--dense_below", type=int, default=None,
@@ -88,7 +91,64 @@ def parse():
                         "requests (default: ctx-1 for all)")
     p.add_argument("--tag", type=str, default="bench")
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--profile", type=str, default=None,
+                   help="perfetto-trace 16 decode steps of the first "
+                        "method's engine into this directory and emit the "
+                        "top-30 device ops (works over the axon tunnel)")
     return p.parse_args()
+
+
+def profile_decode(tag, eng, ctx, tdir, steps=16):
+    """Trace ``steps`` decode steps and emit per-op device-time totals
+    (the r3c attribution recipe, generalized to any engine config —
+    quantized regions and chunked prefill included)."""
+    import glob
+    import gzip
+    import json
+
+    spec = eng.model_spec
+    rng = np.random.default_rng(0)
+    prompt = np.zeros((1, ctx), np.int32)
+    prompt[0, 1:] = rng.integers(0, spec.vocab_size, size=ctx - 1)
+    tl = jnp.asarray([ctx - 1], jnp.int32)
+
+    def fresh_cache():
+        if (eng.engine_spec.prefill_chunk
+                and eng.chunked_prefill_supported(ctx)):
+            _, cache = eng._run_chunked_prefill(
+                ctx, jnp.asarray(prompt), tl, jax.random.PRNGKey(0))
+        else:
+            _, cache = eng._get_prefill(ctx)(
+                eng.params, jnp.asarray(prompt), tl, jax.random.PRNGKey(0))
+        return jax.block_until_ready(cache)
+
+    decode_fn = eng._get_decode(ctx)
+    first = jnp.zeros((1,), jnp.int32)
+    eos = jnp.asarray([-1], jnp.int32)
+    cache = fresh_cache()
+    out = decode_fn(eng.params, cache, first, eos, jax.random.PRNGKey(1),
+                    jnp.int32(steps))
+    jax.block_until_ready(out[0])  # compile + warmup
+    cache = fresh_cache()
+    jax.profiler.start_trace(tdir, create_perfetto_trace=True)
+    out = decode_fn(eng.params, cache, first, eos, jax.random.PRNGKey(1),
+                    jnp.int32(steps))
+    jax.block_until_ready(out[0])
+    jax.profiler.stop_trace()
+    time.sleep(2)
+    agg = {}
+    for f in glob.glob(f"{tdir}/**/*.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            name = ev.get("name", "?")
+            t, c = agg.get(name, (0.0, 0))
+            agg[name] = (t + ev["dur"], c + 1)
+    top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:30]
+    emit({"bench": f"{tag}/profile_top", "steps": steps,
+          "ops": [[n, round(t, 1), c] for n, (t, c) in top]})
 
 
 def main():
@@ -125,6 +185,8 @@ def main():
         eng_kw["prefill_chunk"] = args.prefill_chunk
     if args.quant_fused:
         eng_kw["use_quant_fused"] = True
+    if args.quant_fused_kernel:
+        eng_kw["use_quant_fused_kernel"] = True
     if args.buckets:
         eng_kw["prefill_buckets"] = tuple(args.buckets)
 
@@ -182,6 +244,17 @@ def main():
                          max_new=args.max_new, batch=args.batch, log=log,
                          extra={"dma_win": win}, repeats=args.repeats)
         W._INT4_KERNEL_DMA[0] = False
+        log("ALL DONE")
+        return
+
+    if args.profile:
+        eng = build_engine(spec, params, method=args.methods[0],
+                           ctx=args.ctx, cap=args.cap, window=args.window,
+                           max_new=args.max_new,
+                           prefill_block=args.prefill_block,
+                           comp_kw=comp_kw, eng_kw=eng_kw)
+        profile_decode(f"{args.tag}/{args.methods[0]}", eng, args.ctx,
+                       args.profile)
         log("ALL DONE")
         return
 
