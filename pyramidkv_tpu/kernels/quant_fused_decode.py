@@ -69,9 +69,9 @@ def _kernel(
     zb_ref,    # [1, 1, G8, 128] f32  (K zero-term logit bias, same group)
     kc_ref,    # [1, D, T]      int8  (slot-planar K codes, byte tile)
     vc_ref,    # [1, T, Dp]     int8  (slot-planar V codes, byte tile)
-    vs_ref,    # [1, 1, T]      f32   (per-token V scale, plane p's slots)
-    vz_ref,    # [1, 1, T]      f32   (per-token V zero)
-    mask_ref,  # [1, 1, T]      int8  (slot validity, plane p's slots)
+    vs_ref,    # [1, 1, 1, T]   f32   (per-token V scale, plane p's slots)
+    vz_ref,    # [1, 1, 1, T]   f32   (per-token V zero)
+    mask_ref,  # [1, 1, 1, T]   int8  (slot validity, plane p's slots)
     acc_out,   # [1, G8, Dp]    f32
     m_out,     # [1, G8, 128]   f32
     l_out,     # [1, G8, 128]   f32
@@ -96,7 +96,7 @@ def _kernel(
         zv_scr[...] = jnp.zeros_like(zv_scr)
 
     shift = p * nbits
-    valid = mask_ref[0] > 0                                 # [1, T]
+    valid = mask_ref[0, 0] > 0                              # [1, T]
 
     # ---- logits over this plane-tile's slots (codes straight to MXU) ----
     ku = _u32(kc_ref[0])                                    # [D, T] i32
@@ -121,14 +121,14 @@ def _kernel(
     # ---- PV (V scale folds into the probabilities) ----
     vu = _u32(vc_ref[0])                                    # [T, Dp] i32
     vp = ((vu >> shift) & mb).astype(jnp.bfloat16)
-    ps = (pe * vs_ref[0]).astype(jnp.bfloat16)              # [G8, T]
+    ps = (pe * vs_ref[0, 0]).astype(jnp.bfloat16)           # [G8, T]
     pv = jax.lax.dot_general(
         ps, vp, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # [G8, Dp]
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
     zv_scr[...] = zv_scr[...] * alpha + jnp.broadcast_to(
-        (pe * vz_ref[0]).sum(axis=1, keepdims=True), zv_scr.shape)
+        (pe * vz_ref[0, 0]).sum(axis=1, keepdims=True), zv_scr.shape)
 
     @pl.when((t == n_tiles - 1) & (p == per - 1))
     def _emit():
@@ -184,9 +184,13 @@ def quant_fused_attention_pa(
             pl.BlockSpec((1, 1, g8, 128), qidx),
             pl.BlockSpec((1, d, tile), lambda b, t, p: (b, 0, t)),
             pl.BlockSpec((1, tile, dp), lambda b, t, p: (b, t, 0)),
-            pl.BlockSpec((1, 1, tile), lambda b, t, p: (b, p, t)),
-            pl.BlockSpec((1, 1, tile), lambda b, t, p: (b, p, t)),
-            pl.BlockSpec((1, 1, tile), lambda b, t, p: (b, p, t)),
+            # per-token sidecars carry a singleton axis before the slot
+            # axis so the block's last-two dims are (1, tile) — Mosaic
+            # requires them divisible by (8, 128) OR equal to the array
+            # dims, and a (1, tile) block over [.., per, W] is neither.
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, p: (b, p, 0, t)),
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, p: (b, p, 0, t)),
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, p: (b, p, 0, t)),
         ],
         out_specs=[
             pl.BlockSpec((1, g8, dp), lambda b, t, p: (b, 0, 0)),
@@ -206,7 +210,8 @@ def quant_fused_attention_pa(
         ],
         interpret=interpret,
     )
-    return call(qs, zb, kc, vc, vs, vz, mask)
+    return call(qs, zb, kc, vc, vs[:, :, None], vz[:, :, None],
+                mask[:, :, None])
 
 
 def supports_fused_kernel(reg, *, nbits: int, softcap) -> bool:
