@@ -553,6 +553,14 @@ class EngineSpec:
     use_quant_scan: bool = False
     #: Chunk size for blockwise prefill attention / H2O score accumulation.
     prefill_block: int = 512
+    #: Flash-prefill software pipelining: split each fetched k/v block into
+    #: this many sub-tiles whose logit dots are all issued before any
+    #: online-softmax update (MXU computes sub-tile j+1 while the VPU
+    #: updates sub-tile j).  1 = original single-dot body.  When > 1 the
+    #: engine fetches ``max(prefill_block, 1024)``-wide k/v blocks with
+    #: block_q = fetched/sub_k (>= 512) to keep the fp32 logit sub-tiles
+    #: inside scoped VMEM.
+    prefill_sub_k: int = 1
     #: Chunked prefill (models/chunked_prefill.py): run the prompt forward
     #: in fixed-size token chunks so serving refills interleave with decode
     #: quanta at chunk granularity instead of stalling whole prompts.

@@ -151,6 +151,7 @@ class Engine:
                 return llama.prefill(
                     params, self.model_spec, plan, tokens, true_len,
                     rng=rng, prefill_block=block, attention_impl=impl,
+                    prefill_sub_k=self.engine_spec.prefill_sub_k,
                 )
 
             fn = self._prefill_fns[bucket] = prefill_fn
@@ -223,6 +224,7 @@ class Engine:
                         params, spec, plan, state, tokens, true_len,
                         chunk_start=_start, attention_impl=impl,
                         prefill_block=es.prefill_block,
+                        prefill_sub_k=es.prefill_sub_k,
                     )
                 chunks.append(chunk_fn)
 

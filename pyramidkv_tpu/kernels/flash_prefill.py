@@ -66,6 +66,7 @@ def _kernel(
     softcap: float | None,
     q_start: int,
     normalize: bool = True,
+    sub_k: int = 1,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -85,20 +86,31 @@ def _kernel(
     # rate; accumulate in fp32 via preferred_element_type.  q arrives
     # pre-scaled by 1/sqrt(d) (and log2(e) in exp2 mode) from the caller —
     # scaling here would redo the multiply for every k-tile of the q-block.
-    s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, bk] f32
-    if softcap is not None:
-        # Gemma-2 attention-logit soft-capping: q arrives pre-scaled by the
-        # NATURAL softmax scale only (log2(e) cannot be folded through the
-        # tanh), so the exp2-domain conversion happens here post-cap.
-        s = jnp.tanh(s * (1.0 / softcap)) * (
-            softcap * (math.log2(math.e) if use_exp2 else 1.0)
-        )
+    # With sub_k > 1 the fetched k/v block is split into sub_k sub-tiles
+    # whose logit dots are ALL issued before any softmax update: the MXU
+    # computes sub-tile j+1's logits while the VPU runs sub-tile j's
+    # online-softmax update (no data dependency between them) — a software
+    # pipeline probing the r3j finding that MXU and VPU serialize per tile.
+    sk = block_k // sub_k
+    ss = []
+    for j in range(sub_k):
+        sj = jax.lax.dot_general(
+            q_ref[0], k_ref[0, j * sk:(j + 1) * sk, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, sk] f32
+        if softcap is not None:
+            # Gemma-2 attention-logit soft-capping: q arrives pre-scaled by
+            # the NATURAL softmax scale only (log2(e) cannot be folded
+            # through the tanh), so the exp2 conversion happens post-cap.
+            sj = jnp.tanh(sj * (1.0 / softcap)) * (
+                softcap * (math.log2(math.e) if use_exp2 else 1.0)
+            )
+        ss.append(sj)
 
-    def _update(s):
-        """Online-softmax rank-1 update of (m, l, acc) with tile logits s.
+    def _update(s, v):
+        """Online-softmax rank-1 update of (m, l, acc) with sub-tile logits
+        s [bq, sk] and values v [sk, D].
 
         Masked entries carry _NEG_INF: after the clamped subtraction they
         sit at <= _NEG_INF/2, so exp underflows to exactly 0 — no post-exp
@@ -111,23 +123,27 @@ def _kernel(
         alpha = exp(jnp.minimum(m_prev - m_new, 0.0))
         l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    def _masked_update():
+    def _masked_update(s, col0, v):
         rows = q_start + qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
+            jnp.int32, (block_q, sk), 0
         )
-        cols = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
+        cols = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, sk), 1
         )
         mask = (cols <= rows) & (cols >= pad)
         if sliding_window is not None:
             mask &= (rows - cols) < sliding_window
-        _update(jnp.where(mask, s, _NEG_INF))
+        _update(jnp.where(mask, s, _NEG_INF), v)
+
+    def _all(update):
+        for j in range(sub_k):
+            update(j, ss[j], v_ref[0, j * sk:(j + 1) * sk, :])
 
     if fast_path:
         # Tiles fully inside the causal/banded region AND past this batch
@@ -138,13 +154,13 @@ def _kernel(
 
         @pl.when(fast)
         def _fast():
-            _update(s)
+            _all(lambda j, s, v: _update(s, v))
 
         @pl.when(~fast)
         def _slow():
-            _masked_update()
+            _all(lambda j, s, v: _masked_update(s, ki * block_k + j * sk, v))
     else:
-        _masked_update()
+        _all(lambda j, s, v: _masked_update(s, ki * block_k + j * sk, v))
 
     @pl.when(last_ref[t] == 1)
     def _finalize():
@@ -249,7 +265,8 @@ def _fit_blocks(nq_len: int, nk_len: int, block_q: int, block_k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
-                     "fast_path", "use_exp2", "scale", "softcap", "q_start"),
+                     "fast_path", "use_exp2", "scale", "softcap", "q_start",
+                     "sub_k"),
 )
 def flash_causal_attention(
     q: jax.Array,
@@ -266,6 +283,7 @@ def flash_causal_attention(
     scale: float | None = None,
     softcap: float | None = None,
     q_start: int = 0,
+    sub_k: int = 1,
 ) -> jax.Array:
     """Causal self-attention over a left-padded buffer.
 
@@ -289,6 +307,8 @@ def flash_causal_attention(
     g = h // hk
     block_q, block_k = _fit_blocks(nq_len, n, min(block_q, nq_len),
                                    min(block_k, n), sliding_window, q_start)
+    if block_k % sub_k or (block_k // sub_k) % 128:
+        sub_k = 1  # clamped/odd blocks: fall back to the single-dot body
     assert nq_len % block_q == 0 and n % block_k == 0, (
         nq_len, n, block_q, block_k)
     nq, nk = nq_len // block_q, n // block_k
@@ -349,6 +369,7 @@ def flash_causal_attention(
             use_exp2=use_exp2,
             softcap=softcap,
             q_start=q_start,
+            sub_k=sub_k,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -366,7 +387,8 @@ def flash_causal_attention(
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
-                     "fast_path", "use_exp2", "scale", "softcap", "q_start"),
+                     "fast_path", "use_exp2", "scale", "softcap", "q_start",
+                     "sub_k"),
 )
 def flash_attention_partials(
     q: jax.Array,
@@ -383,6 +405,7 @@ def flash_attention_partials(
     scale: float | None = None,
     softcap: float | None = None,
     q_start: int = 0,
+    sub_k: int = 1,
 ):
     """:func:`flash_causal_attention` that returns ONLINE-SOFTMAX PARTIALS
     instead of the normalized output: ``(acc [B,H,Nq,D] f32 unnormalised,
@@ -406,6 +429,8 @@ def flash_attention_partials(
     g = h // hk
     block_q, block_k = _fit_blocks(nq_len, n, min(block_q, nq_len),
                                    min(block_k, n), sliding_window, q_start)
+    if block_k % sub_k or (block_k // sub_k) % 128:
+        sub_k = 1  # clamped/odd blocks: fall back to the single-dot body
     assert nq_len % block_q == 0 and n % block_k == 0, (
         nq_len, n, block_q, block_k)
     nq, nk = nq_len // block_q, n // block_k
@@ -464,6 +489,7 @@ def flash_attention_partials(
             use_exp2=use_exp2,
             softcap=softcap,
             q_start=q_start,
+            sub_k=sub_k,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

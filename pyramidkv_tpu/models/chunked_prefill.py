@@ -113,6 +113,7 @@ def prefill_chunk(
     chunk_start: int,
     attention_impl: str = "xla",
     prefill_block: int = 512,
+    prefill_sub_k: int = 1,
 ) -> Tuple[ChunkState, jax.Array, jax.Array]:
     """Forward one token chunk through all layers against the state so far.
 
@@ -163,10 +164,12 @@ def prefill_chunk(
 
             # 1024-tile floor, like the monolithic prefill (logs/tpu_r3k)
             fb = max(prefill_block, 1024)
+            bq = fb if prefill_sub_k == 1 else max(fb // prefill_sub_k, 512)
             return flash_causal_attention(
                 q, kh, vh, eff_len,
-                block_q=min(fb, c),
+                block_q=min(bq, c),
                 block_k=min(fb, kv_extent),
+                sub_k=prefill_sub_k,
                 sliding_window=win,
                 interpret=attention_impl == "pallas_interpret",
                 scale=ascale, softcap=asoftcap, q_start=chunk_start,

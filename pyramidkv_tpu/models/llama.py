@@ -444,6 +444,7 @@ def prefill(
     *,
     rng: Optional[jax.Array] = None,
     prefill_block: int = 512,
+    prefill_sub_k: int = 1,
     attention_impl: str = "xla",
 ) -> Tuple[jax.Array, KVCache]:
     """Run the prompt through the model, compressing each layer's KV.
@@ -514,10 +515,15 @@ def prefill(
                     # 1024x1024 tiles measured 32k prefill 6.44 -> 5.14 s
                     # (1.25x, logs/tpu_r3k; 2048 tiles blow VMEM)
                     fb = min(max(prefill_block, 1024), n)
+                    # sub_k > 1: fetched blocks stay fb wide; block_q
+                    # shrinks so sub_k fp32 logit sub-tiles fit VMEM
+                    bq = fb if prefill_sub_k == 1 else min(
+                        max(fb // prefill_sub_k, 512), n)
                     return flash_causal_attention(
                         q, k, v, true_len,
-                        block_q=fb,
+                        block_q=bq,
                         block_k=fb,
+                        sub_k=prefill_sub_k,
                         sliding_window=win,
                         interpret=attention_impl == "pallas_interpret",
                         scale=ascale, softcap=asoftcap,

@@ -68,6 +68,9 @@ def parse():
     p.add_argument("--dense_below", type=int, default=None,
                    help="minference_dense_below override (0 = force sparse)")
     p.add_argument("--prefill_block", type=int, default=512)
+    p.add_argument("--prefill_sub_k", type=int, default=1,
+                   help="flash software pipelining: k-sub-tiles per fetched "
+                        "block (dots hoisted before softmax updates)")
     p.add_argument("--blocks", type=int, nargs=2, default=None,
                    help="int4 kernel (block_in, block_out2)")
     p.add_argument("--sub_in", type=int, default=0)
@@ -181,6 +184,8 @@ def main():
     if args.dense_below is not None:
         comp_kw["minference_dense_below"] = args.dense_below
     eng_kw = {}
+    if args.prefill_sub_k != 1:
+        eng_kw["prefill_sub_k"] = args.prefill_sub_k
     if args.prefill_chunk:
         eng_kw["prefill_chunk"] = args.prefill_chunk
     if args.quant_fused:

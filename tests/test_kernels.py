@@ -258,3 +258,77 @@ def test_decode_attention_kernel_engine_tokens():
         finally:
             A._FORCE_DECODE_ATTN_KERNEL[0] = False
         assert got == want, (kw, got, want)
+
+
+@pytest.mark.parametrize("sub_k", [2, 4])
+def test_flash_sub_k_pipelined_matches_single_dot(sub_k):
+    """sub_k > 1 (software-pipelined sub-tile dots) is EXACT vs the
+    single-dot body: the online-softmax updates see the same logits in the
+    same slot order, only in finer sub-tiles (fp32 max/exp/sum per sub-tile
+    commute with the merge).  Covers padded rows (masked path) and the
+    interior fast path."""
+    n = 512
+    q, k, v = _rand(n, seed=3)
+    tl = jnp.asarray([n, n - 37], jnp.int32)
+    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                  interpret=True)
+    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                 sub_k=sub_k, interpret=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_flash_sub_k_sliding_window_and_qstart():
+    """sub_k composes with the sliding-window band mask and the chunked
+    rectangular walk (q_start > 0), and falls back to sub_k=1 when the
+    sub-tile would drop under a 128-lane multiple."""
+    n = 512
+    q, k, v = _rand(n, seed=4)
+    tl = jnp.asarray([n, n], jnp.int32)
+    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                  sliding_window=200, interpret=True)
+    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                 sliding_window=200, sub_k=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    qc = q[:, :, -128:, :]
+    want = flash_causal_attention(qc, k, v, tl, block_q=128, block_k=256,
+                                  q_start=n - 128, interpret=True)
+    got = flash_causal_attention(qc, k, v, tl, block_q=128, block_k=256,
+                                 q_start=n - 128, sub_k=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # block_k=128 / sub_k=2 -> 64-wide sub-tiles: guarded fallback, not an
+    # assert/lowering error
+    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=128,
+                                 sub_k=2, interpret=True)
+    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_sub_k_partials():
+    """The partials-returning wrapper threads sub_k (chunked-prefill
+    quantized-history merges run through it)."""
+    from pyramidkv_tpu.kernels import flash_attention_partials
+
+    n = 256
+    q, k, v = _rand(n, seed=5)
+    tl = jnp.asarray([n, n - 11], jnp.int32)
+    a0, m0, l0 = flash_attention_partials(q, k, v, tl, block_q=128,
+                                          block_k=128, interpret=True)
+    a1, m1, l1 = flash_attention_partials(q, k, v, tl, block_q=128,
+                                          block_k=256, sub_k=2,
+                                          interpret=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        o0 = np.asarray(a0)[bi, :, pad:] / np.asarray(l0)[bi, :, pad:, None]
+        o1 = np.asarray(a1)[bi, :, pad:] / np.asarray(l1)[bi, :, pad:, None]
+        np.testing.assert_allclose(o1, o0, rtol=2e-5, atol=2e-5)
