@@ -96,7 +96,8 @@ def _kernel(
         zv_scr[...] = jnp.zeros_like(zv_scr)
 
     shift = p * nbits
-    valid = mask_ref[0, 0] > 0                              # [1, T]
+    # widen before comparing: Mosaic has no i8 vector cmpi on this target
+    valid = mask_ref[0, 0].astype(jnp.int32) > 0            # [1, T]
 
     # ---- logits over this plane-tile's slots (codes straight to MXU) ----
     ku = _u32(kc_ref[0])                                    # [D, T] i32
