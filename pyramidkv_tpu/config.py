@@ -593,6 +593,14 @@ class EngineSpec:
     #: at >=8 lanes vs +14% at 4 (BASELINE r2as/r2at).
     spec_max_lanes: int = 4
 
+    def __post_init__(self):
+        if self.prefill_sub_k < 1:
+            raise ValueError(
+                f"prefill_sub_k must be >= 1, got {self.prefill_sub_k}")
+        if self.prefill_block < 1:
+            raise ValueError(
+                f"prefill_block must be >= 1, got {self.prefill_block}")
+
     def bucket_for(self, length: int) -> int:
         for b in self.prefill_buckets:
             if length <= b:

@@ -266,13 +266,18 @@ def test_flash_sub_k_pipelined_matches_single_dot(sub_k):
     single-dot body: the online-softmax updates see the same logits in the
     same slot order, only in finer sub-tiles (fp32 max/exp/sum per sub-tile
     commute with the merge).  Covers padded rows (masked path) and the
-    interior fast path."""
-    n = 512
+    interior fast path.  block_k scales with sub_k so the sub-tile width
+    stays a 128-lane multiple — (block_k // sub_k) % 128 != 0 silently
+    falls back to the single-dot body and the test would compare the
+    control against itself (ADVICE r3)."""
+    n = 512 * (sub_k // 2)
+    block_k = 128 * sub_k
+    assert (block_k // sub_k) % 128 == 0
     q, k, v = _rand(n, seed=3)
     tl = jnp.asarray([n, n - 37], jnp.int32)
-    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=block_k,
                                   interpret=True)
-    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=block_k,
                                  sub_k=sub_k, interpret=True)
     for bi in range(B):
         pad = n - int(tl[bi])
