@@ -291,6 +291,36 @@ class CompactedKV(NamedTuple):
     positions: jax.Array  # [B, H, S] int32 — original token position, -1 if invalid
 
 
+#: Chunk the one-hot compaction contraction over the buffer axis once the
+#: buffer is at least this long: the [B, H, width, N] one-hot operand at
+#: N=131072 x pyramidkv's ~2x segment width is a ~2-4 GB bf16 transient
+#: that OOMed the 128k pyramidkv prefill compile next to the flash
+#: transients + 4.3 GB of int4 weights (BASELINE r2bb) while snapkv's
+#: 1x width squeaked by.  Chunking bounds it at [B, H, width, CHUNK]
+#: (~126 MB) — exact: each output row's single 1.0 coefficient lives in
+#: exactly one chunk, every other chunk contributes +0.0 in f32.
+_COMPACT_CHUNK = 8192
+
+
+def _gather_rows(indices: jax.Array, src: jax.Array, col0, chunk_cols: int,
+                 hk: int) -> jax.Array:
+    """One chunk of the one-hot row gather: [B,H,width] indices against
+    src[:, :, col0:col0+chunk_cols, :], f32 accumulation."""
+    b, h, width = indices.shape
+    d = src.shape[-1]
+    cols = col0 + jnp.arange(chunk_cols, dtype=jnp.int32)
+    onehot = (indices[..., None] == cols[None, None, None, :]).astype(src.dtype)
+    if hk == h:
+        return jnp.einsum(
+            "bhwn,bhnd->bhwd", onehot, src, preferred_element_type=jnp.float32
+        )
+    g = h // hk
+    oh = onehot.reshape(b, hk, g, width, chunk_cols)
+    return jnp.einsum(
+        "bkgwn,bknd->bkgwd", oh, src, preferred_element_type=jnp.float32
+    ).reshape(b, h, width, d)
+
+
 def compact_kv(
     k: jax.Array,
     v: jax.Array,
@@ -315,25 +345,25 @@ def compact_kv(
     # bit-exact (single 1.0 coefficient per output row).  With grouped keys
     # (hk == num_kv_heads < H selection heads) the contraction reads each
     # KV head once for its whole query group — no repeat_kv buffer.
-    onehot = (
-        sel.indices[..., None] == jnp.arange(n, dtype=jnp.int32)[None, None, None, :]
-    ).astype(k.dtype)  # [B,H,width,N]
-    if hk == h:
-        kept_k = jnp.einsum(
-            "bhwn,bhnd->bhwd", onehot, k, preferred_element_type=jnp.float32
-        ).astype(k.dtype)
-        kept_v = jnp.einsum(
-            "bhwn,bhnd->bhwd", onehot, v, preferred_element_type=jnp.float32
-        ).astype(v.dtype)
+    if n >= 2 * _COMPACT_CHUNK and n % _COMPACT_CHUNK == 0:
+        chunk = _COMPACT_CHUNK
+
+        def body(i, acc):
+            ak, av = acc
+            col0 = i * chunk
+            ks = jax.lax.dynamic_slice_in_dim(k, col0, chunk, axis=2)
+            vs = jax.lax.dynamic_slice_in_dim(v, col0, chunk, axis=2)
+            ak = ak + _gather_rows(sel.indices, ks, col0, chunk, hk)
+            av = av + _gather_rows(sel.indices, vs, col0, chunk, hk)
+            return ak, av
+
+        zeros = jnp.zeros((b, h, width, d), dtype=jnp.float32)
+        acc_k, acc_v = jax.lax.fori_loop(0, n // chunk, body, (zeros, zeros))
+        kept_k = acc_k.astype(k.dtype)
+        kept_v = acc_v.astype(v.dtype)
     else:
-        g = h // hk
-        oh = onehot.reshape(b, hk, g, width, n)
-        kept_k = jnp.einsum(
-            "bkgwn,bknd->bkgwd", oh, k, preferred_element_type=jnp.float32
-        ).reshape(b, h, width, d).astype(k.dtype)
-        kept_v = jnp.einsum(
-            "bkgwn,bknd->bkgwd", oh, v, preferred_element_type=jnp.float32
-        ).reshape(b, h, width, d).astype(v.dtype)
+        kept_k = _gather_rows(sel.indices, k, 0, n, hk).astype(k.dtype)
+        kept_v = _gather_rows(sel.indices, v, 0, n, hk).astype(v.dtype)
     kept_pos = sel.indices - pad  # true positions
     kept_mask = sel.valid
 

@@ -157,7 +157,13 @@ def run_generate(tag, eng, ctx, max_new=None, batch=1, log=None,
             return row, out.tokens
         return row
     except Exception:
-        emit({"bench": tag, "error": traceback.format_exc()[-1200:]})
+        tb = traceback.format_exc()
+        # Keep the HEAD too: XLA OOM messages list the largest
+        # allocations first — the r3x kivi8-pa OOM kept only 512B tail
+        # entries and lost the culprit buffer.
+        if len(tb) > 4000:
+            tb = tb[:3000] + "\n...[snip]...\n" + tb[-1000:]
+        emit({"bench": tag, "error": tb})
         return None
 
 

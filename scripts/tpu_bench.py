@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo/scripts")
+import os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _bench_common import (build_engine, emit, make_logger,
                            random_int4_params, run_generate, spec_depth)
 

@@ -244,3 +244,32 @@ def test_per_layer_capacity_schedule():
     assert list(n[:, 0]) == [28, 12, 4]
     # batch 1 (len 12): layer budgets below 12 compress, others keep all 8
     assert list(n[:, 1]) == [8, 8, 4]
+
+
+def test_compaction_chunked_long_buffer_bitexact():
+    """n >= 2*_COMPACT_CHUNK engages the chunked one-hot contraction
+    (the 128k pyramidkv OOM fix) — outputs must be BIT-exact vs the
+    monolithic einsum: every output row's 1.0 coefficient lives in one
+    chunk, the others add f32 +0.0."""
+    from pyramidkv_tpu.ops import selection as S
+
+    b, hk, h, d = 1, 2, 4, 8
+    n = 4 * S._COMPACT_CHUNK
+    rng = np.random.default_rng(7)
+    k = jnp.asarray(rng.standard_normal((b, hk, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hk, n, d)), jnp.bfloat16)
+    scores = jnp.asarray(rng.standard_normal((b, h, n)), jnp.float32)
+    true_len = jnp.asarray([n - 123], jnp.int32)
+    sel = topk_select(scores, 64, jnp.asarray([48], jnp.int32))
+
+    got = compact_kv(k, v, sel, window_size=16, decode_slots=4,
+                     true_len=true_len)
+    old = S._COMPACT_CHUNK
+    S._COMPACT_CHUNK = 10 * n  # force the monolithic path
+    try:
+        want = compact_kv(k, v, sel, window_size=16, decode_slots=4,
+                          true_len=true_len)
+    finally:
+        S._COMPACT_CHUNK = old
+    for a, b_ in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
