@@ -326,16 +326,17 @@ class Engine:
         return fn
 
     def _spec_supported(self, plan: PolicyPlan, batch: int) -> bool:
-        """ngram speculation: B=1, plain bf16 cache paths (the quantized /
-        ThinK-narrow decode variants keep the 1-token loop).  Sampling is
-        supported: drafts are deterministic and every position samples
+        """ngram speculation: B=1, every cache layout — plain bf16,
+        quantized (verify folds the T queries into the fused region
+        partials' group axis, so drafts ride the packed-code read that
+        dominates long-region decode — exactly where drafts are
+        cheapest), and ThinK-narrow (two-block verify logits).  Sampling
+        is supported: drafts are deterministic and every position samples
         with the SAME per-position key as the 1-token loop
         (``fold_in(rng, out_column)``), so accepted drafts reproduce the
         plain sampled trajectory exactly."""
         es = self.engine_spec
-        return (es.speculative == "ngram" and batch == 1
-                and self.comp_spec.quant_method is None
-                and not plan.think_narrow)
+        return es.speculative == "ngram" and batch == 1
 
     def _get_spec_decode(self, bucket: int):
         """Jitted speculative decode loop: on-device prompt-lookup drafts

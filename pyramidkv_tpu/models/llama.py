@@ -1210,15 +1210,21 @@ def verify_step(
     ~1.6 + 0.25/layer ms — BASELINE.md r2ag), so verifying T tokens costs
     barely more than one step; each accepted draft is nearly free.
 
-    Scope: plain bf16 cache paths (quantized / ThinK-narrow regions keep
-    the one-token loop — the engine gates this).  ``lane_steps``
-    (continuous batching) gives each row its own append offset, exactly
-    like :func:`decode_step`'s lane path.
+    Scope: every B=1 cache layout — plain bf16, QUANTIZED (KIVI fused
+    factored region partials fold the T queries into the group axis, so
+    the packed codes are read once per verify; kvquant / counterfactual
+    knobs fall back to one-shot dequant + position-bound attention), and
+    ThinK-narrow (two-block verify logits).  ``lane_steps`` (continuous
+    batching) gives each row its own append offset, exactly like
+    :func:`decode_step`'s lane path — lanes keep plain bf16 caches (the
+    staged commit has no region analogue).
 
     Reference counterpart: none (the reference decodes strictly one token
     per forward, run_longbench.py:266-275).
     """
-    assert cache.quant is None and cache.think is None
+    quantized = cache.quant is not None
+    think = cache.think is not None
+    assert lane_steps is None or (not quantized and not think)
     b, t_seg = tokens.shape
     groups = spec.num_query_groups
     inv_freq = rope_inv_freq(spec)
@@ -1268,11 +1274,23 @@ def verify_step(
         return kf, vf, mf, pf
 
     def make_layer_fn(subplan, layer0):
-        slot = None if lanes else subplan.prefill_slots + cache.step
+        sp_t = subplan.think_pruned_slots if think else 0
+        if lanes:
+            slot = kv_slot = v_slot = None
+        else:
+            slot = subplan.prefill_slots + cache.step  # mask/positions
+            # K-buffer index mirrors decode_step: quant buffers hold only
+            # decode slots; think K holds only recent+window+decode
+            kv_slot = cache.step if quantized else slot - sp_t
+            v_slot = slot if think else kv_slot
 
         def layer_fn(carry, i):
             hidden, kf, vf, mf, pf = carry
             wts = layer_view(params["layers"], layer0 + i)
+            qreg = (jax.tree_util.tree_map(lambda x: x[i], cache.quant)
+                    if quantized else None)
+            treg = (jax.tree_util.tree_map(lambda x: x[i], cache.think)
+                    if think else None)
             # compressed caches attend ALL kept keys (reference decode
             # semantics — see decode_step); window masking only where
             # cache rows are positions
@@ -1301,9 +1319,9 @@ def verify_step(
                 )
             else:
                 kf = jax.lax.dynamic_update_slice(
-                    kf, k_new[None].astype(kf.dtype), (i, 0, 0, slot, 0))
+                    kf, k_new[None].astype(kf.dtype), (i, 0, 0, kv_slot, 0))
                 vf = jax.lax.dynamic_update_slice(
-                    vf, v_new[None].astype(vf.dtype), (i, 0, 0, slot, 0))
+                    vf, v_new[None].astype(vf.dtype), (i, 0, 0, v_slot, 0))
                 mf = jax.lax.dynamic_update_slice(
                     mf, jnp.ones((1, b, hm, t_seg), mf.dtype),
                     (i, 0, 0, slot))
@@ -1313,10 +1331,72 @@ def verify_step(
                     ).astype(pf.dtype),
                     (i, 0, 0, slot))
                 layer = LayerCacheView(kf[i], vf[i], mf[i], pf[i])
-                attn = verify_attention(
-                    q, layer.k, layer.v, layer.mask, layer.positions, q_pos,
-                    sliding_window=win_i, scale=ascale, softcap=asoftcap,
-                )                                             # [B,H,T,Dh]
+                cs_ = subplan.spec
+                if quantized:
+                    sp_ = subplan.prefill_slots
+                    use_fused = (
+                        cs_.quant_method == "kivi"
+                        and win_i is None  # window needs per-query region vis
+                        and (cs_.q_layout == "pa"
+                             or subplan.use_quant_fused
+                             or (not subplan.use_quant_tiled
+                                 and not subplan.use_quant_scan
+                                 and not subplan.use_quant_kernel
+                                 and not _FORCE_QUANT_KERNEL[0]))
+                    )
+                    if use_fused:
+                        from ..ops.attention import (
+                            merge_attention_partials,
+                            verify_attention_partials,
+                        )
+                        from ..ops.quant import (
+                            quant_region_attention_fused_multi,
+                        )
+
+                        part_r = quant_region_attention_fused_multi(
+                            q, qreg, layer.mask[:, :, :sp_], num_slots=sp_,
+                            head_dim=spec.head_dim, nbits=cs_.nbits,
+                            scale=ascale, softcap=asoftcap,
+                        )
+                        part_t = verify_attention_partials(
+                            q, layer.k, layer.v, layer.mask[:, :, sp_:],
+                            layer.positions[:, :, sp_:], q_pos,
+                            scale=ascale, softcap=asoftcap,
+                        )
+                        attn = merge_attention_partials(
+                            [part_r, part_t]).astype(q.dtype)
+                    else:
+                        # kvquant / counterfactual knobs / sliding-window
+                        # full-KV: one-shot dequant + position-bound
+                        # attention over the concat (decode's else branch)
+                        from ..ops.quant import dequantize_kv_region
+
+                        k_pre, v_pre = dequantize_kv_region(
+                            qreg, num_slots=sp_, head_dim=spec.head_dim,
+                            nbits=cs_.nbits, group_size=cs_.q_group_size,
+                            dtype=layer.k.dtype,
+                        )
+                        attn = verify_attention(
+                            q, jnp.concatenate([k_pre, layer.k], axis=2),
+                            jnp.concatenate([v_pre, layer.v], axis=2),
+                            layer.mask, layer.positions, q_pos,
+                            sliding_window=win_i, scale=ascale,
+                            softcap=asoftcap,
+                        )
+                elif think:
+                    from ..ops.attention import verify_attention_think
+
+                    attn = verify_attention_think(
+                        q, treg.k_pruned, treg.kept_channels, layer.k,
+                        layer.v, layer.mask, layer.positions, q_pos,
+                        scale=ascale, softcap=asoftcap,
+                    )
+                else:
+                    attn = verify_attention(
+                        q, layer.k, layer.v, layer.mask, layer.positions,
+                        q_pos, sliding_window=win_i, scale=ascale,
+                        softcap=asoftcap,
+                    )                                         # [B,H,T,Dh]
             attn = attn.transpose(0, 2, 1, 3).reshape(b, t_seg, -1)
             ao = mm(attn, wts["wo"])
             if spec.post_block_norms:
@@ -1349,6 +1429,7 @@ def verify_step(
         return logits, KVCache(
             k=k, v=v, mask=m, positions=p, true_len=cache.true_len,
             step=cache.step if lanes else cache.step + t_seg,
+            quant=cache.quant, think=cache.think,
         )
     hidden = hidden0
     outk, outv, outm, outp = [], [], [], []
@@ -1386,8 +1467,12 @@ def rollback_decode(cache: KVCache, plan: PolicyPlan,
     ``new_step`` may be a scalar (shared step, `Engine.generate`) or a
     ``[B]`` vector of per-lane step counts (continuous batching); the
     vector form leaves ``cache.step`` untouched.
+
+    Quantized / ThinK caches need no extra work: their regions are
+    immutable (only the bf16 decode tail's validity is rewound — the
+    mask layout puts decode slots at ``prefill_slots + step`` for every
+    cache kind) and ``_replace`` carries ``quant``/``think`` through.
     """
-    assert cache.quant is None and cache.think is None
     new_step = jnp.asarray(new_step, jnp.int32)
     per_lane = new_step.ndim == 1
     bound = new_step[None, :, None, None] if per_lane else new_step

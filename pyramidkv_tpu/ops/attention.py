@@ -430,6 +430,111 @@ def verify_attention(
     return out.reshape(b, h, t, d).astype(q.dtype)
 
 
+def verify_attention_partials(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+    positions: jax.Array,
+    q_pos: jax.Array,
+    *,
+    sliding_window=None,
+    scale: float | None = None,
+    softcap: float | None = None,
+):
+    """Online-softmax partials of :func:`verify_attention` — the
+    multi-token (speculative-verify) analogue of
+    :func:`decode_attention_partials`, for merging the bf16 decode tail
+    of a QUANTIZED cache with its region partials.
+
+    Args match :func:`verify_attention` (q [B,H,T,D], per-slot position
+    bound supplies the in-segment causal mask).  Returns
+    (acc [B,H,T,D] f32, m [B,H,T] f32, l [B,H,T] f32) — merge with
+    :func:`merge_attention_partials`.
+    """
+    b, h, t, d = q.shape
+    hk = k_cache.shape[1]
+    vis = mask[:, :, None, :] & (
+        positions[:, :, None, :] <= q_pos[:, None, :, None]
+    )
+    if sliding_window is not None:
+        vis = vis & (
+            positions[:, :, None, :]
+            > (q_pos[:, None, :, None] - sliding_window)
+        )
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    if hk == h:
+        logits = _scale_softcap(jnp.einsum(
+            "bhtd,bhsd->bhts", q, k_cache,
+            preferred_element_type=jnp.float32), sc, softcap)
+        logits = jnp.where(vis, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1)
+        p = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
+        p = jnp.where(vis, p, 0.0)
+        l = p.sum(-1)
+        acc = jnp.einsum("bhts,bhsd->bhtd", p, v_cache.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return acc, m, l
+    g = h // hk
+    qg = q.reshape(b, hk, g, t, d)
+    logits = _scale_softcap(jnp.einsum(
+        "bkgtd,bksd->bkgts", qg, k_cache,
+        preferred_element_type=jnp.float32), sc, softcap)
+    vis5 = vis[:, :, None, :, :]
+    logits = jnp.where(vis5, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - jnp.maximum(m, _NEG_INF / 2)[..., None])
+    p = jnp.where(vis5, p, 0.0)
+    l = p.sum(-1).reshape(b, h, t)
+    acc = jnp.einsum("bkgts,bksd->bkgtd", p, v_cache.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).reshape(b, h, t, d)
+    return acc, m.reshape(b, h, t), l
+
+
+def verify_attention_think(
+    q: jax.Array,
+    k_pruned: jax.Array,
+    kept_channels: jax.Array,
+    k_rest: jax.Array,
+    v_cache: jax.Array,
+    mask: jax.Array,
+    positions: jax.Array,
+    q_pos: jax.Array,
+    *,
+    scale: float | None = None,
+    softcap: float | None = None,
+) -> jax.Array:
+    """Multi-token :func:`decode_attention_think` for speculative
+    verification: the two ThinK logit blocks (channel-gathered query x
+    narrow pruned keys, full query x recent/window/decode keys —
+    llama_model_think.py:175-181) with the per-query position bound
+    masking the in-segment causal structure.
+
+    Args:
+      q: [B, H, T, D]; q_pos: [B, T] absolute draft positions.
+      positions/mask: [B, H, Sp+Sr] over the FULL slot layout.
+    Returns [B, H, T, D] in q's dtype.
+    """
+    b, h, t, d = q.shape
+    q_kept = jnp.take_along_axis(
+        q, jnp.broadcast_to(kept_channels[:, :, None, :],
+                            (b, h, t, kept_channels.shape[-1])), axis=-1)
+    lp = jnp.einsum("bhtd,bhsd->bhts", q_kept, k_pruned,
+                    preferred_element_type=jnp.float32)
+    lr = jnp.einsum("bhtd,bhsd->bhts", q, k_rest,
+                    preferred_element_type=jnp.float32)
+    sc = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = _scale_softcap(jnp.concatenate([lp, lr], axis=-1), sc, softcap)
+    vis = mask[:, :, None, :] & (
+        positions[:, :, None, :] <= q_pos[:, None, :, None]
+    )
+    logits = jnp.where(vis, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def decode_attention_think(
     q: jax.Array,
     k_pruned: jax.Array,

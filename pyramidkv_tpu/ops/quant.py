@@ -513,3 +513,36 @@ def quant_region_attention_fused(
         acc = acc + acc_p
     return (acc[..., :head_dim].reshape(b, h, head_dim),
             m.reshape(b, h), l.reshape(b, h))
+
+
+def quant_region_attention_fused_multi(
+    q: jax.Array,
+    reg,
+    visible: jax.Array,
+    *,
+    num_slots: int,
+    head_dim: int,
+    nbits: int,
+    scale: float | None = None,
+    softcap: float | None = None,
+):
+    """T-query wrapper of :func:`quant_region_attention_fused` for
+    speculative verification: the quantized region is strictly PAST every
+    draft query, so all T rows share the region visibility mask and T
+    folds straight into the per-kv-head query-group axis of the fused
+    einsums — one verify costs ~one decode-step region pass (the codes
+    are read once for all T rows).
+
+    Args: q [B, H, T, D]; rest as the single-query form.
+    Returns (acc [B,H,T,head_dim], m [B,H,T], l [B,H,T]) f32.
+    """
+    b, h, t, d = q.shape
+    # [B,H,T,D] -> [B, H*T, D]: the (H, T) flatten keeps queries of the
+    # same kv head contiguous, so the internal (b, hk, g*T, d) reshape is
+    # exactly the grouped layout the einsums expect.
+    acc, m, l = quant_region_attention_fused(
+        q.reshape(b, h * t, d), reg, visible, num_slots=num_slots,
+        head_dim=head_dim, nbits=nbits, scale=scale, softcap=softcap,
+    )
+    return (acc.reshape(b, h, t, head_dim), m.reshape(b, h, t),
+            l.reshape(b, h, t))

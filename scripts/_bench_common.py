@@ -158,11 +158,15 @@ def run_generate(tag, eng, ctx, max_new=None, batch=1, log=None,
         return row
     except Exception:
         tb = traceback.format_exc()
-        # Keep the HEAD too: XLA OOM messages list the largest
-        # allocations first — the r3x kivi8-pa OOM kept only 512B tail
-        # entries and lost the culprit buffer.
-        if len(tb) > 4000:
-            tb = tb[:3000] + "\n...[snip]...\n" + tb[-1000:]
+        # Keep the alloc list: XLA OOM messages bury "Largest program
+        # allocations" after kB of axon service noise — naive head/tail
+        # windows lose the culprit buffers (r3x kivi8-pa, r4a retakes).
+        if len(tb) > 5000:
+            mark = tb.find("Largest program allocations")
+            if mark >= 0:
+                tb = tb[:800] + "\n...[snip]...\n" + tb[mark:mark + 6000]
+            else:
+                tb = tb[:3000] + "\n...[snip]...\n" + tb[-1500:]
         emit({"bench": tag, "error": tb})
         return None
 

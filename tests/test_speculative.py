@@ -204,7 +204,7 @@ def test_spec_eos_mid_draft():
 
 
 def test_spec_falls_back_when_unsupported():
-    """B>1 / sampling / quantized caches keep the plain loop."""
+    """B>1 keeps the plain loop (quantized caches speculate since r4)."""
     spec = ModelSpec.tiny()
     params = jl.init_params(spec, jax.random.PRNGKey(9), dtype=jnp.float32)
     es = EngineSpec(max_new_tokens=8, prefill_buckets=(64,),
@@ -217,12 +217,60 @@ def test_spec_falls_back_when_unsupported():
                  es, params)
     out = eng.generate([p1, p2], eos_token_ids=())      # B=2 -> fallback
     assert out.spec_iterations is None and len(out.tokens) == 2
-    qeng = Engine(spec, CompressionSpec(method="snapkv",
-                                        max_capacity_prompt=16, window_size=4,
-                                        quant_method="kivi", nbits=8),
-                  es, params)
-    qout = qeng.generate([p1], eos_token_ids=())        # quant -> fallback
-    assert qout.spec_iterations is None
+
+
+@pytest.mark.parametrize("quant_kw", [
+    dict(quant_method="kivi", nbits=8),                     # fused (group)
+    dict(quant_method="kivi", nbits=4, q_layout="pa"),      # fused (pa)
+    dict(quant_method="kivi", nbits=2, q_layout="pa"),
+    dict(quant_method="kvquant", nbits=4),                  # dequant fallback
+])
+def test_spec_generate_equals_plain_quantized(quant_kw):
+    """VERDICT r3 #6: speculation composes with quantized caches —
+    greedy spec output == plain greedy output token for token, for the
+    fused factored region path (kivi group + pa) AND the one-shot
+    dequant fallback (kvquant outlier sidecars)."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(11), dtype=jnp.float32)
+    cs = CompressionSpec(method="snapkv", max_capacity_prompt=24,
+                         window_size=4, **quant_kw)
+    rng = np.random.default_rng(12)
+    phrase = rng.integers(0, 256, size=9).tolist()
+    for prompt in [(phrase * 6)[:50],
+                   rng.integers(0, 256, size=47).tolist()]:
+        plain = Engine(spec, cs, EngineSpec(max_new_tokens=12,
+                                            prefill_buckets=(64,)), params)
+        spec_e = Engine(spec, cs,
+                        EngineSpec(max_new_tokens=12, prefill_buckets=(64,),
+                                   speculative="ngram", spec_ngram=2,
+                                   spec_draft_len=4), params)
+        a = plain.generate([prompt], eos_token_ids=())
+        b = spec_e.generate([prompt], eos_token_ids=())
+        assert a.tokens[0] == b.tokens[0], (quant_kw, a.tokens, b.tokens)
+        assert b.spec_iterations is not None and b.spec_iterations >= 1
+
+
+def test_spec_generate_equals_plain_think():
+    """Speculation composes with the ThinK narrow-K cache (two-block
+    verify logits)."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(13), dtype=jnp.float32)
+    cs = CompressionSpec(method="think", max_capacity_prompt=24,
+                         window_size=4, pruning_ratio=0.4, recent_size=8)
+    rng = np.random.default_rng(14)
+    phrase = rng.integers(0, 256, size=9).tolist()
+    for prompt in [(phrase * 6)[:50],
+                   rng.integers(0, 256, size=47).tolist()]:
+        plain = Engine(spec, cs, EngineSpec(max_new_tokens=12,
+                                            prefill_buckets=(64,)), params)
+        spec_e = Engine(spec, cs,
+                        EngineSpec(max_new_tokens=12, prefill_buckets=(64,),
+                                   speculative="ngram", spec_ngram=2,
+                                   spec_draft_len=4), params)
+        a = plain.generate([prompt], eos_token_ids=())
+        b = spec_e.generate([prompt], eos_token_ids=())
+        assert a.tokens[0] == b.tokens[0], (a.tokens, b.tokens)
+        assert b.spec_iterations is not None and b.spec_iterations >= 1
 
 
 def test_generate_long_with_spec_margin():
