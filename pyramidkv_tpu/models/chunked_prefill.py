@@ -507,9 +507,6 @@ def prefill_chunk_quant(
             kz = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(kz_f, li, 0, False),
                 hc * (c // kg), c // kg, axis=-2)
-            kt = dequantize(QuantizedTensor(kc, ks, kz, None),
-                            nbits=nbits, group_size=kg, dtype=act_dtype)
-            k_tile = jnp.swapaxes(kt, 2, 3)               # [B,KV,C,Dh]
             vc = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(vc_f, li, 0, False),
                 hc * (c // per), c // per, axis=-2)
@@ -519,6 +516,17 @@ def prefill_chunk_quant(
             vz = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(vz_f, li, 0, False),
                 hc * c, c, axis=-3)
+            # Sever layout propagation from the per-tile consumers back to
+            # the CARRY buffers: the flash path's k_tile transpose made
+            # XLA relayout the whole [L,B,KV,D,N] code buffer D-minor —
+            # a 4 GB HLO-temp copy PER CHUNK CALL at 128k kivi8 (the r4b
+            # OOM; kivi4's 2 GB copy merely fit).  With the barrier the
+            # transpose lands on the sliced 8 MB tile instead.
+            kc, ks, kz, vc, vs, vz = jax.lax.optimization_barrier(
+                (kc, ks, kz, vc, vs, vz))
+            kt = dequantize(QuantizedTensor(kc, ks, kz, None),
+                            nbits=nbits, group_size=kg, dtype=act_dtype)
+            k_tile = jnp.swapaxes(kt, 2, 3)               # [B,KV,C,Dh]
             v_tile = dequantize(QuantizedTensor(vc, vs, vz, None),
                                 nbits=nbits, group_size=vg,
                                 dtype=act_dtype,

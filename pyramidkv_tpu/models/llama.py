@@ -210,6 +210,16 @@ def _qkv(x: jax.Array, wts: dict, spec: ModelSpec) -> Tuple[jax.Array, jax.Array
     return q, k, v
 
 
+#: Token-chunk the dense prefill MLP above this many rows: the monolithic
+#: gate-up projection materialises a [B, N, 2*ffn] bf16 temp — 7.00 GB at
+#: N=131072 on Llama-3-8B (the r4b pyramidkv-128k OOM culprit,
+#: weights.py:650 dot) — while the MLP is position-wise, so slicing rows
+#: is exact.  16384-row chunks bound it at 0.875 GB; the threshold leaves
+#: every measured <=64k row on the monolithic schedule.
+_MLP_CHUNK_THRESHOLD = 65536 + 1
+_MLP_CHUNK_ROWS = 16384
+
+
 def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
          capacity_factor: Optional[float] = None,
          valid: Optional[jax.Array] = None,
@@ -217,12 +227,27 @@ def _mlp(x: jax.Array, wts: dict, top_k: int = 2,
     if "router" in wts:
         return _moe_mlp(x, wts, top_k=top_k,
                         capacity_factor=capacity_factor, valid=valid)
-    if "w_gateup" in wts:
-        g, u = jnp.split(mm(x, wts["w_gateup"]), 2, axis=-1)
-    else:
-        g, u = mm(x, wts["w_gate"]), mm(x, wts["w_up"])
-    return mm(_act(g.astype(jnp.float32), hidden_act).astype(x.dtype) * u,
-              wts["w_down"])
+
+    def dense(xr):
+        if "w_gateup" in wts:
+            g, u = jnp.split(mm(xr, wts["w_gateup"]), 2, axis=-1)
+        else:
+            g, u = mm(xr, wts["w_gate"]), mm(xr, wts["w_up"])
+        return mm(_act(g.astype(jnp.float32), hidden_act).astype(xr.dtype)
+                  * u, wts["w_down"])
+
+    rows = x.shape[1] if x.ndim == 3 else 0
+    ck = _MLP_CHUNK_ROWS
+    if rows >= _MLP_CHUNK_THRESHOLD and rows % ck == 0:
+        out = jnp.zeros_like(x)  # w_down projects back to hidden size
+
+        def body(i, o):
+            xr = jax.lax.dynamic_slice_in_dim(x, i * ck, ck, axis=1)
+            return jax.lax.dynamic_update_slice(
+                o, dense(xr).astype(o.dtype), (0, i * ck, 0))
+
+        return jax.lax.fori_loop(0, rows // ck, body, out)
+    return dense(x)
 
 
 def _moe_mlp(x: jax.Array, wts: dict, top_k: int = 2,

@@ -207,3 +207,26 @@ def test_tied_embeddings_checkpoint(tmp_path):
                            jnp.asarray([16], jnp.int32))
     np.testing.assert_allclose(np.asarray(logits)[0], ref[0, -1],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mlp_token_chunking_exact():
+    """The long-prefill MLP token chunking (the 128k pyramidkv OOM fix)
+    matches the monolithic dense MLP — position-wise op; only matmul
+    reduction tiling differs (shape-dependent), so allclose at f32."""
+    rng = np.random.default_rng(3)
+    dm, ffn = 32, 64
+    x = jnp.asarray(rng.standard_normal((1, 128, dm)), jnp.float32)
+    wts = {
+        "w_gateup": jnp.asarray(rng.standard_normal((dm, 2 * ffn)),
+                                jnp.float32),
+        "w_down": jnp.asarray(rng.standard_normal((ffn, dm)), jnp.float32),
+    }
+    want = jl._mlp(x, wts)
+    old = jl._MLP_CHUNK_THRESHOLD, jl._MLP_CHUNK_ROWS
+    jl._MLP_CHUNK_THRESHOLD, jl._MLP_CHUNK_ROWS = 128, 32
+    try:
+        got = jl._mlp(x, wts)
+    finally:
+        jl._MLP_CHUNK_THRESHOLD, jl._MLP_CHUNK_ROWS = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
