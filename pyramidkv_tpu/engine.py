@@ -196,9 +196,16 @@ class Engine:
         # their compacted region at finish, like the monolithic prefill
         quant = cp.supports_chunked_quant(plan, c)
 
+        h2o = (not quant) and cp.needs_score_pass(plan)
+
         def init_fn(batch: int):
             if quant:
                 return cp.init_quant_state(spec, plan, batch, c)
+            if h2o:
+                # h2o: the chunk state is (ChunkState, score accumulator)
+                # so the driver loop stays uniform across the two passes
+                return (cp.init_state(spec, plan, batch, act_dtype),
+                        cp.init_h2o_scores(spec, plan, batch))
             return cp.init_state(spec, plan, batch, act_dtype)
 
         if quant:
@@ -217,9 +224,19 @@ class Engine:
             ]
         else:
             chunks = []
+            tok_starts = []
             for i in range(bucket // c):
                 @functools.partial(jax.jit, donate_argnums=(1,))
                 def chunk_fn(params, state, tokens, true_len, _start=i * c):
+                    if h2o:
+                        st, sa = state
+                        st, wq, hl = cp.prefill_chunk(
+                            params, spec, plan, st, tokens, true_len,
+                            chunk_start=_start, attention_impl=impl,
+                            prefill_block=es.prefill_block,
+                            prefill_sub_k=es.prefill_sub_k,
+                        )
+                        return (st, sa), wq, hl
                     return cp.prefill_chunk(
                         params, spec, plan, state, tokens, true_len,
                         chunk_start=_start, attention_impl=impl,
@@ -227,6 +244,25 @@ class Engine:
                         prefill_sub_k=es.prefill_sub_k,
                     )
                 chunks.append(chunk_fn)
+                tok_starts.append(i)
+            if h2o:
+                # pass 2 (score reconstruction): same chunks again, now
+                # accumulating exact h2o column sums against the full carry
+                for i in range(bucket // c):
+                    @functools.partial(jax.jit, donate_argnums=(1,))
+                    def score_fn(params, state, tokens, true_len,
+                                 _start=i * c):
+                        st, sa = state
+                        st, wq, hl, sa = cp.prefill_chunk(
+                            params, spec, plan, st, tokens, true_len,
+                            chunk_start=_start, attention_impl=impl,
+                            prefill_block=es.prefill_block,
+                            prefill_sub_k=es.prefill_sub_k,
+                            score_acc=sa,
+                        )
+                        return (st, sa), wq, hl
+                    chunks.append(score_fn)
+                    tok_starts.append(i)
 
         @jax.jit
         def finish_fn(params, state, window_q, hidden_last, true_len, rng):
@@ -235,12 +271,21 @@ class Engine:
             if quant:
                 return cp.prefill_finish_quant(params, spec, plan, state,
                                                hidden_last, true_len, c)
+            if h2o:
+                st, sa = state
+                return cp.prefill_finish(params, spec, plan, st, window_q,
+                                         hidden_last, true_len, rng,
+                                         h2o_raw_scores=sa)
             return cp.prefill_finish(params, spec, plan, state, window_q,
                                      hidden_last, true_len, rng)
 
         got = self._chunked_fns[bucket] = {
             "init": init_fn, "chunks": chunks, "finish": finish_fn,
             "chunk_len": c,
+            # chunk i consumes the token slice starting at tok_starts[i]*c
+            # (h2o lists every chunk twice — the reconstruction pass)
+            "tok_starts": (tok_starts if not quant
+                           else list(range(bucket // c))),
         }
         return got
 
@@ -251,9 +296,9 @@ class Engine:
         c = fns["chunk_len"]
         state = fns["init"](tokens.shape[0])
         window_q = hidden_last = None
-        for i, chunk_fn in enumerate(fns["chunks"]):
+        for s, chunk_fn in zip(fns["tok_starts"], fns["chunks"]):
             state, window_q, hidden_last = chunk_fn(
-                self.params, state, tokens[:, i * c:(i + 1) * c], true_len)
+                self.params, state, tokens[:, s * c:(s + 1) * c], true_len)
         return fns["finish"](self.params, state, window_q, hidden_last,
                              true_len, rng)
 

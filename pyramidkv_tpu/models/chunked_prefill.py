@@ -26,22 +26,28 @@ trailing-32) queries — snapkv / pyramidkv / adakv / headkv / streamingllm
 / l2norm / random / fullkv / cam / think (both layouts) / pivot merge —
 including KIVI/kvquant region quantization of the compressed cache at
 finish (identical math to the monolithic per-layer quantization: the bf16
-carry holds the same values).  Two methods cannot chunk:
+carry holds the same values).
 
-- h2o: its score is EXACTLY the reference's quirky statistic
-  (pyramidkv_utils.py:544-561) — a softmax over ALL columns with the
-  causal mask applied only inside the trailing WxW block, summed over ALL
-  query rows.  Rows in chunk u attend keys of chunks t > u in both the
-  numerator and the denominator, so no per-chunk accumulation with
-  bounded state exists: the column score S_j = sum_i exp(s_ij - m_i)/l_i
-  mixes rows whose (m_i, l_i) only finalise after the LAST chunk, and a
-  per-row rescale of an already-mixed column sum is unrecoverable.
-  Exact chunking would require storing every layer's full query tensor
-  ([L, B, H, N, D] — 4x the K carry under GQA) or O(N^2) state.  h2o
-  falls back to the monolithic prefill; a causal-semantics h2o would
-  chunk fine but would break token parity with the monolithic path.
-- minference: replaces prefill attention itself (per-head sparse
-  patterns over the full context).
+- h2o chunks via a TWO-PASS scheme (VERDICT r3 #5).  Its score is
+  EXACTLY the reference's quirky statistic (pyramidkv_utils.py:544-561)
+  — a softmax over ALL columns with the causal mask applied only inside
+  the trailing WxW block, summed over ALL query rows.  Rows in chunk u
+  attend keys of chunks t > u in both the numerator and the
+  denominator, so no SINGLE-pass per-chunk accumulation with bounded
+  state exists: S_j = sum_i exp(s_ij - m_i)/l_i mixes rows whose
+  (m_i, l_i) only finalise after the LAST chunk, and recovering them
+  later would need every layer's full query tensor ([L, B, H, N, D] —
+  4x the K carry under GQA).  Instead, once pass 1 completes the K
+  carry, a SECOND chunked pass re-runs the forward (bit-identical
+  hidden states — the carry holds the same K/V) and accumulates each
+  chunk's rows' EXACT column-sum contributions against the full K
+  buffer (``ops.scoring.h2o_partial_scores``): every row's softmax
+  stats are final because all columns exist.  Cost: 2x prefill compute
+  for h2o refills — the price of serving the reference's non-causal
+  statistic under chunked refills; the engine folds the score
+  accumulator into the chunk-state tuple so the CB driver is uniform.
+- minference cannot chunk: it replaces prefill attention itself
+  (per-head sparse patterns over the full context).
 
 `supports_chunked` encodes this table.
 """
@@ -92,7 +98,23 @@ def supports_chunked(plan: PolicyPlan) -> bool:
         # memory purpose that path exists for
         return spec.quant_method is None
     return spec.method in ("snapkv", "pyramidkv", "adakv", "headkv",
-                           "streamingllm", "l2norm", "random", "cam")
+                           "streamingllm", "l2norm", "random", "cam",
+                           "h2o")
+
+
+def needs_score_pass(plan: PolicyPlan) -> bool:
+    """h2o's chunked prefill appends a second (score-reconstruction) pass
+    over the same chunks — see the module docstring."""
+    return plan.spec.method == "h2o"
+
+
+def init_h2o_scores(spec: ModelSpec, plan: PolicyPlan,
+                    batch: int) -> jax.Array:
+    """[L, B, H, N - W] f32 column-sum accumulator for the h2o
+    reconstruction pass."""
+    return jnp.zeros(
+        (spec.num_hidden_layers, batch, spec.num_attention_heads,
+         plan.bucket_len - plan.window), jnp.float32)
 
 
 def init_state(spec: ModelSpec, plan: PolicyPlan, batch: int,
@@ -114,18 +136,25 @@ def prefill_chunk(
     attention_impl: str = "xla",
     prefill_block: int = 512,
     prefill_sub_k: int = 1,
-) -> Tuple[ChunkState, jax.Array, jax.Array]:
+    score_acc: Optional[jax.Array] = None,
+):
     """Forward one token chunk through all layers against the state so far.
 
     Args:
       tokens: [B, C] the chunk's token ids (columns [chunk_start,
         chunk_start + C) of the left-padded bucket buffer).
       chunk_start: STATIC global column of the chunk's first token.
+      score_acc: h2o reconstruction pass (pass 2) only — the
+        [L, B, H, N - W] column-sum accumulator.  When given, the K
+        carry is COMPLETE (every chunk already written), the chunk's
+        forward is recomputed bit-identically, and each layer adds its
+        rows' exact h2o contributions against the full K buffer.
 
     Returns:
       (state', window_q [L, B, H, W, D] — the plan-window queries of this
       chunk (consumed by ``prefill_finish`` when this was the last chunk),
-      hidden_last [B, Dm] — the chunk's final hidden row).
+      hidden_last [B, Dm] — the chunk's final hidden row), plus the
+      updated ``score_acc`` as a 4th element when one was passed.
     """
     b, c = tokens.shape
     n = plan.bucket_len
@@ -181,7 +210,7 @@ def prefill_chunk(
         )
 
     def layer_fn(carry, xs):
-        hidden, kf, vf = carry
+        hidden, kf, vf, sa = carry
         wts, li = xs
         x = llama.rms_norm(hidden, wts["attn_norm"], spec.rms_norm_eps, unit)
         q, k, v = llama._qkv(x, wts, spec)
@@ -191,6 +220,21 @@ def prefill_chunk(
             kf, k[None].astype(kf.dtype), (li, 0, 0, chunk_start, 0))
         vf = jax.lax.dynamic_update_slice(
             vf, v[None].astype(vf.dtype), (li, 0, 0, chunk_start, 0))
+        if sa is not None:
+            # pass 2: the full K buffer exists — these rows' h2o column
+            # contributions are final (h2o_partial_scores docstring)
+            from ..ops.scoring import h2o_partial_scores
+
+            k_full = jax.lax.dynamic_slice(
+                kf, (li, 0, 0, 0, 0), (1, b, kvh, n, dh))[0]
+            part = h2o_partial_scores(
+                q, k_full, row_start=chunk_start, window_size=w,
+                true_len=true_len, scale=ascale, softcap=asoftcap,
+            )
+            sa_li = jax.lax.dynamic_slice(
+                sa, (li, 0, 0, 0), (1,) + part.shape)
+            sa = jax.lax.dynamic_update_slice(
+                sa, sa_li + part[None], (li, 0, 0, 0))
         kh = jax.lax.dynamic_slice(
             kf, (li, 0, 0, 0, 0), (1, b, kvh, kv_extent, dh))[0]
         vh = jax.lax.dynamic_slice(
@@ -219,13 +263,15 @@ def prefill_chunk(
             mo = llama.rms_norm(mo, wts["mlp_post_norm"],
                                 spec.rms_norm_eps, unit)
         hidden = hidden + mo
-        return (hidden, kf, vf), q[:, :, c - w:, :]
+        return (hidden, kf, vf, sa), q[:, :, c - w:, :]
 
-    (hidden, kf, vf), window_q = jax.lax.scan(
-        layer_fn, (hidden0, state.k, state.v),
+    (hidden, kf, vf, sa), window_q = jax.lax.scan(
+        layer_fn, (hidden0, state.k, state.v, score_acc),
         (params["layers"],
          jnp.arange(spec.num_hidden_layers, dtype=jnp.int32)),
     )
+    if score_acc is not None:
+        return ChunkState(k=kf, v=vf), window_q, hidden[:, -1, :], sa
     return ChunkState(k=kf, v=vf), window_q, hidden[:, -1, :]
 
 
@@ -238,6 +284,7 @@ def prefill_finish(
     hidden_last: jax.Array,
     true_len: jax.Array,
     rng: Optional[jax.Array] = None,
+    h2o_raw_scores: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Compress the accumulated full-KV state into the slot cache.
 
@@ -252,6 +299,9 @@ def prefill_finish(
     shared ``assemble_cache``.
     """
     assert supports_chunked(plan), plan.spec.method
+    # h2o's statistic cannot be built from window queries — it MUST come
+    # from the reconstruction pass (module docstring)
+    assert (plan.spec.method != "h2o") or (h2o_raw_scores is not None)
     n = plan.bucket_len
     w = plan.window
     l_, b, h, wq_w, dh = window_q.shape
@@ -266,8 +316,10 @@ def prefill_finish(
             qfull = jnp.zeros((b, h, n, dh), window_q.dtype)
             qfull = jax.lax.dynamic_update_slice(
                 qfull, window_q[li], (0, 0, n - w, 0))
-            ckv = compress_layer(sub, ctx, qfull, state.k[li], state.v[li],
-                                 true_len=tl)
+            ckv = compress_layer(
+                sub, ctx, qfull, state.k[li], state.v[li], true_len=tl,
+                h2o_raw_scores=(None if h2o_raw_scores is None
+                                else h2o_raw_scores[li]))
             if sub.think_narrow:
                 from ..policy import think_split
 

@@ -115,26 +115,32 @@ def window_scores(
     return jnp.where(past_valid, s, _NEG_INF)
 
 
-def h2o_scores(
-    q: jax.Array,
+def h2o_partial_scores(
+    q_rows: jax.Array,
     k: jax.Array,
     *,
+    row_start: int,
     window_size: int,
     true_len: jax.Array,
     block: int = 512,
     scale: float | None = None,
     softcap: float | None = None,
 ) -> jax.Array:
-    """H2O heavy-hitter score: softmax attention of ALL queries, summed
-    column-wise over the non-window keys; no pooling.
+    """Column-sum contribution of the query rows ``[row_start,
+    row_start + C)`` to the h2o statistic, given the FULL key buffer.
 
-    Parity notes (pyramidkv_utils.py:544-561): the reference applies the
-    causal mask only inside the trailing W x W block, so non-window query
-    rows "see" future keys in the score.  We reproduce that, mask padding
-    rows/columns, and accumulate blockwise over query rows so that peak
-    memory is O(block * N) instead of O(N^2) per head.
+    Every row's softmax normalises over ALL n columns (the reference's
+    non-causal quirk, pyramidkv_utils.py:544-561), so a row's
+    contribution is final the moment the whole K buffer exists — the
+    chunked-prefill reconstruction pass (pass 2) accumulates these per
+    token chunk and the sum over all chunks equals :func:`h2o_scores`
+    exactly (f32 adds of per-row terms commute).
+
+    Returns the UNMASKED [B, H, n - w] accumulator (callers apply the
+    past-column validity mask once, after all rows are in).
     """
-    b, h, n, d = q.shape
+    b, h, c, d = q_rows.shape
+    n = k.shape[2]
     hk = k.shape[1]
     if hk != h:
         # grouped keys: expand per-query-head logits via the grouped einsum
@@ -143,13 +149,13 @@ def h2o_scores(
     # cap the transient [B, H, block, N] fp32 logits at ~256 MB
     budget = (1 << 26) // max(b * h * n, 1)
     block = max(min(block, budget), 8)
-    if n % block != 0:
-        block = math.gcd(n, block) or n
-    nblocks = n // block
+    if c % block != 0:
+        block = math.gcd(c, block) or c
+    nblocks = c // block
     colv = _column_valid(n, true_len)  # [B, N]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    q_blocks = q.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
+    q_blocks = q_rows.reshape(b, h, nblocks, block, d).transpose(2, 0, 1, 3, 4)
     row = jnp.arange(n, dtype=jnp.int32)
     pad = (n - true_len).astype(jnp.int32)
 
@@ -168,7 +174,7 @@ def h2o_scores(
             ).reshape(b, h, block, n) * scale
         if softcap is not None:
             logits = jnp.tanh(logits * (1.0 / softcap)) * softcap
-        r = bi * block + jnp.arange(block, dtype=jnp.int32)  # buffer row ids
+        r = row_start + bi * block + jnp.arange(block, dtype=jnp.int32)
         # Causal bias only where both row and col are inside the last W block.
         jcol = row[None, :]
         in_blk = (r[:, None] >= n - w) & (jcol >= n - w)
@@ -183,6 +189,36 @@ def h2o_scores(
 
     acc0 = jnp.zeros((b, h, n - w), dtype=jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (jnp.arange(nblocks), q_blocks))
+    return acc
+
+
+def h2o_scores(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    window_size: int,
+    true_len: jax.Array,
+    block: int = 512,
+    scale: float | None = None,
+    softcap: float | None = None,
+) -> jax.Array:
+    """H2O heavy-hitter score: softmax attention of ALL queries, summed
+    column-wise over the non-window keys; no pooling.
+
+    Parity notes (pyramidkv_utils.py:544-561): the reference applies the
+    causal mask only inside the trailing W x W block, so non-window query
+    rows "see" future keys in the score.  We reproduce that, mask padding
+    rows/columns, and accumulate blockwise over query rows (via
+    :func:`h2o_partial_scores` at row_start 0) so that peak memory is
+    O(block * N) instead of O(N^2) per head.
+    """
+    b, h, n, _ = q.shape
+    w = window_size
+    acc = h2o_partial_scores(
+        q, k, row_start=0, window_size=window_size, true_len=true_len,
+        block=block, scale=scale, softcap=softcap,
+    )
+    colv = _column_valid(n, true_len)
     past_valid = colv[:, None, : n - w]
     return jnp.where(past_valid, acc, _NEG_INF)
 

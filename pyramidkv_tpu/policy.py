@@ -429,6 +429,7 @@ def compress_layer(
     true_len: jax.Array,
     k_kv: jax.Array | None = None,
     v_kv: jax.Array | None = None,
+    h2o_raw_scores: jax.Array | None = None,
 ) -> CompactedKV:
     """Compress one layer's prefill KV into the static slot layout.
 
@@ -440,6 +441,10 @@ def compress_layer(
         :func:`stores_kv_heads` — fullkv always, and ``gqa_aggregate`` mode
         where per-query-head scores are group-averaged and the cache stays at
         ``num_kv_heads`` (group_size x less HBM than the reference layout).
+      h2o_raw_scores: [B, H, N - W] precomputed raw h2o column sums (the
+        chunked-prefill reconstruction pass accumulates them per token
+        chunk — ``ops.scoring.h2o_partial_scores``); replaces the (q, k)
+        scoring here, masking applied identically.
     """
     spec = plan.spec
     b, h, n, d = q.shape
@@ -523,7 +528,15 @@ def compress_layer(
                           decode_slots=plan.decode_slots, true_len=true_len)
 
     if m == "h2o":
-        if plan.use_pallas and plan.attn_scale is None and plan.attn_softcap is None:
+        if h2o_raw_scores is not None:
+            # chunked-prefill reconstruction pass: the accumulated column
+            # sums, needing only the shared past-column masking
+            from .ops.scoring import _column_valid
+
+            raw = jnp.where(
+                _column_valid(n, true_len)[:, None, : n - w],
+                h2o_raw_scores, -jnp.inf)
+        elif plan.use_pallas and plan.attn_scale is None and plan.attn_softcap is None:
             from .kernels.h2o_scores import h2o_scores_pallas
 
             raw = h2o_scores_pallas(q, k_score, window_size=w, true_len=true_len)

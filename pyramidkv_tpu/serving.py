@@ -571,8 +571,9 @@ class ContinuousBatcher:
             chunks = fns["chunks"]
             c = fns["chunk_len"]
             if i < len(chunks):
+                s = fns["tok_starts"][i]  # h2o lists each chunk twice
                 g["state"], g["wq"], g["hl"] = chunks[i](
-                    engine.params, g["state"], g["toks"][:, i * c:(i + 1) * c],
+                    engine.params, g["state"], g["toks"][:, s * c:(s + 1) * c],
                     g["tls"])
                 g["next_chunk"] = i + 1
                 return

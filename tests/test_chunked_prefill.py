@@ -96,7 +96,7 @@ def test_q_start_flash_kernel_matches_causal(window):
 
 @pytest.mark.parametrize("method", [
     "snapkv", "pyramidkv", "streamingllm", "l2norm", "adakv",
-    "random", "fullkv", "cam", "headkv",
+    "random", "fullkv", "cam", "headkv", "h2o",
 ])
 def test_generate_chunked_matches_monolithic(tiny, method):
     ms, params = tiny
@@ -115,11 +115,23 @@ def test_generate_chunked_matches_monolithic(tiny, method):
 
 def test_unsupported_method_falls_back(tiny):
     ms, params = tiny
-    eng = _engine(ms, params, "h2o", chunk=64)
+    eng = _engine(ms, params, "minference", chunk=64)
     assert not eng.chunked_prefill_supported(256)
-    plain = _engine(ms, params, "h2o").generate([list(range(1, 180))])
+    plain = _engine(ms, params, "minference").generate([list(range(1, 180))])
     fallback = eng.generate([list(range(1, 180))])
     assert plain.tokens == fallback.tokens
+
+
+def test_h2o_chunked_runs_score_pass(tiny):
+    """h2o chunks via the two-pass scheme: 2x chunk fns + token parity
+    (covered in the parametrized test above); here pin the pass
+    structure so a refactor can't silently drop the reconstruction."""
+    ms, params = tiny
+    eng = _engine(ms, params, "h2o", chunk=64)
+    assert eng.chunked_prefill_supported(256)
+    fns = eng._get_prefill_chunked(256)
+    assert len(fns["chunks"]) == 2 * (256 // 64)
+    assert fns["tok_starts"] == [0, 1, 2, 3, 0, 1, 2, 3]
 
 
 def _engine_spec(ms, params, cs, chunk=None):
