@@ -210,8 +210,24 @@ class Engine:
 
         if quant:
             # chunk_start is TRACED in the quant variant (its history loop
-            # is tile-count-bounded): ONE compile covers every chunk index
-            @functools.partial(jax.jit, donate_argnums=(1,))
+            # is tile-count-bounded): ONE compile covers every chunk index.
+            # The STATE rides AUTO layouts: the hist-tile reads prefer the
+            # code buffers D-minor while jit's default entry/exit layout
+            # is slot-minor, and XLA reconciled that with a whole-buffer
+            # relayout copy PER CHUNK CALL — 4 GB of HLO temp at 128k
+            # kivi8, the r4b/r4c OOM.  AUTO lets XLA pick ONE layout for
+            # entry, body, and exit, so chunk N's output feeds chunk N+1
+            # copy-free.
+            from jax.experimental.layout import Format, Layout
+
+            _auto = jax.tree_util.tree_map(
+                lambda _: Format(Layout.AUTO),
+                jax.eval_shape(lambda: cp.init_quant_state(spec, plan, 1, c)),
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               in_shardings=(None, _auto, None, None, None),
+                               out_shardings=(_auto, None, None))
             def qchunk_fn(params, state, tokens, true_len, start):
                 return cp.prefill_chunk_quant(
                     params, spec, plan, state, tokens, true_len, start,
@@ -264,7 +280,10 @@ class Engine:
                     chunks.append(score_fn)
                     tok_starts.append(i)
 
-        @jax.jit
+        _fin_in = ((None, _auto, None, None, None, None) if quant
+                   else None)
+
+        @functools.partial(jax.jit, in_shardings=_fin_in)
         def finish_fn(params, state, window_q, hidden_last, true_len, rng):
             # no donation: the compressed outputs don't alias the bucket-
             # length state buffers, so donating only warns
