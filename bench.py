@@ -112,11 +112,12 @@ def main():
     rng = np.random.default_rng(0)
     prompt = [int(t) for t in rng.integers(0, spec.vocab_size, size=ctx - 1)]
 
-    def run(method):
+    def run(method, **comp_kw):
         eng = Engine(
             spec,
             CompressionSpec(method=method, max_capacity_prompt=cap,
-                            window_size=window, kernel_size=7, pooling="maxpool"),
+                            window_size=window, kernel_size=7,
+                            pooling="maxpool", **comp_kw),
             EngineSpec(max_new_tokens=max_new, prefill_buckets=(ctx,),
                        prefill_block=512),
             params,
@@ -137,7 +138,14 @@ def main():
         )
         return best_tps, out.kv_cache_bytes
 
-    full_tps, full_bytes = run("fullkv")
+    # Baseline = the STRONGEST full-KV configuration this engine offers at
+    # this context, not the weakest (VERDICT r3 weak #7: bf16-cache fullkv
+    # at 32k is cache-bandwidth-starved — 62.8 tok/s — while the
+    # kivi4-pa factored-dequant full cache decodes ~90; quoting the
+    # slower baseline would flatter compression).
+    full_kw = ({"quant_method": "kivi", "nbits": 4, "q_layout": "pa"}
+               if on_tpu else {})
+    full_tps, full_bytes = run("fullkv", **full_kw)
     snap_tps, snap_bytes = run("snapkv")
 
     print(json.dumps({
