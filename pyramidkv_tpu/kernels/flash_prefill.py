@@ -67,6 +67,7 @@ def _kernel(
     q_start: int,
     normalize: bool = True,
     sub_k: int = 1,
+    l_mxu: bool = False,
 ):
     bh = pl.program_id(0)
     t = pl.program_id(1)
@@ -121,7 +122,20 @@ def _kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         p = exp(s - jnp.maximum(m_new, _NEG_INF / 2))
         alpha = exp(jnp.minimum(m_prev - m_new, 0.0))
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        if l_mxu:
+            # r4 probe: the row-sum of p is one of the ~3 large VPU passes
+            # serializing against the MXU per tile (r3j attribution);
+            # as a [bq, sk] x [sk, 8] ones-dot it rides the MXU instead
+            # (f32 operands keep the exact summands; only the reduction
+            # tree order changes).
+            l_cur = jax.lax.dot_general(
+                p, jnp.ones((s.shape[1], 8), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :1]
+        else:
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
+        l_new = alpha * l_ref[:, :1] + l_cur
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -300,6 +314,8 @@ def flash_causal_attention(
     log2(e) folded into the q scaling (one fewer VPU multiply per logit —
     softmax ratios are unchanged).
     """
+    import os as _os
+
     b, h, nq_len, d = q.shape
     hk = k.shape[1]
     n = k.shape[2]
@@ -309,6 +325,8 @@ def flash_causal_attention(
                                    min(block_k, n), sliding_window, q_start)
     if block_k % sub_k or (block_k // sub_k) % 128:
         sub_k = 1  # clamped/odd blocks: fall back to the single-dot body
+    # r4 probe (trace-time opt-in): ride the l row-sum on the MXU
+    l_mxu = _os.environ.get("PKV_FLASH_LSUM_MXU", "0") == "1"
     assert nq_len % block_q == 0 and n % block_k == 0, (
         nq_len, n, block_q, block_k)
     nq, nk = nq_len // block_q, n // block_k
@@ -370,6 +388,7 @@ def flash_causal_attention(
             softcap=softcap,
             q_start=q_start,
             sub_k=sub_k,
+            l_mxu=l_mxu,
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

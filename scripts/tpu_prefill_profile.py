@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo/scripts")
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from _bench_common import build_engine, emit, make_logger, random_int4_params, spec_depth
 
 log = make_logger("pprof")

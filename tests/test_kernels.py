@@ -337,3 +337,22 @@ def test_flash_sub_k_partials():
         o0 = np.asarray(a0)[bi, :, pad:] / np.asarray(l0)[bi, :, pad:, None]
         o1 = np.asarray(a1)[bi, :, pad:] / np.asarray(l1)[bi, :, pad:, None]
         np.testing.assert_allclose(o1, o0, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_l_mxu_matches_default(monkeypatch):
+    """PKV_FLASH_LSUM_MXU=1 (l row-sum as an MXU ones-dot) matches the
+    VPU-reduce default — same summands, different reduction tree."""
+    monkeypatch.setenv("PKV_FLASH_LSUM_MXU", "1")
+    n = 512
+    q, k, v = _rand(n, seed=9)
+    tl = jnp.asarray([n, n - 37], jnp.int32)
+    got = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                 interpret=True)
+    monkeypatch.setenv("PKV_FLASH_LSUM_MXU", "0")
+    want = flash_causal_attention(q, k, v, tl, block_q=128, block_k=256,
+                                  interpret=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-5, atol=2e-5)
