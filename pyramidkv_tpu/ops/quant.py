@@ -452,8 +452,28 @@ def quant_region_attention_fused(
     vsc, vzc = reg.v.scale[..., 0], reg.v.zero[..., 0]   # [B,Hk,S,Gv]
 
     # ---- logits (scale folded into the query) ----
+    import os as _os
+
+    multiplane = (per > 1 and gk == 1 and gv == 1
+                  and _os.environ.get("PKV_QUANT_MULTIPLANE", "0") == "1")
+    if multiplane:
+        # r4 probe (VERDICT #1): batch the per-plane einsums into ONE dot
+        # per side — the plane shifts concatenate into a single unpacked
+        # operand, so the packed bytes are read once (not ``per`` times)
+        # and the MXU sees one [G,D]x[D,per*W] dot instead of ``per``
+        # skinny ones.  pa layout only (plane-independent scales); the
+        # planar concat order matches the loop's exactly.
+        cp_all = jnp.concatenate(
+            [((ku >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
+             for p in range(per)], axis=-1)          # [B,Hk,D,per*W]
+        qs = (qg * ksc[:, :, None, :, 0]).astype(jnp.bfloat16)
+        s = jnp.einsum("bkqd,bkdw->bkqw", qs, cp_all,
+                       preferred_element_type=jnp.float32)
+        z = jnp.einsum("bkqd,bkd->bkq", qg, kzc[..., 0],
+                       preferred_element_type=jnp.float32)
+        s = s + z[..., None]
     s_planes = []
-    for p in range(per):
+    for p in range(per if not multiplane else 0):
         cp = ((ku >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
         if gk == 1:
             qs = (qg * ksc[:, :, None, :, 0]).astype(jnp.bfloat16)
@@ -476,7 +496,8 @@ def quant_region_attention_fused(
                             preferred_element_type=jnp.float32)
             s_p = (s5 + z5[..., None]).reshape(b, hk, g, w)
         s_planes.append(s_p)
-    s = jnp.concatenate(s_planes, axis=-1)          # planar slot order
+    if not multiplane:
+        s = jnp.concatenate(s_planes, axis=-1)      # planar slot order
     if softcap is not None:
         s = jnp.tanh(s * (1.0 / softcap)) * softcap
     valid = mask[:, :, None, :]
@@ -487,6 +508,18 @@ def quant_region_attention_fused(
     l = pe.sum(-1)
 
     # ---- PV (scale folded into the probabilities) ----
+    if multiplane:
+        vp_all = jnp.concatenate(
+            [((vu >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
+             for p in range(per)], axis=2)           # [B,Hk,per*W,E]
+        ps = (pe * vsc[:, :, None, :, 0]).astype(jnp.bfloat16)
+        acc = jnp.einsum("bkqw,bkwe->bkqe", ps, vp_all,
+                         preferred_element_type=jnp.float32)
+        zv = jnp.einsum("bkqw,bkw->bkq", pe, vzc[..., 0],
+                        preferred_element_type=jnp.float32)
+        acc = acc + zv[..., None]
+        return (acc[..., :head_dim].reshape(b, h, head_dim),
+                m.reshape(b, h), l.reshape(b, h))
     acc = jnp.zeros((b, hk, g, dp), jnp.float32)
     for p in range(per):
         vp_c = ((vu >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)

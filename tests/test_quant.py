@@ -228,3 +228,28 @@ def test_pa_rejects_kvquant():
         CompressionSpec(method="snapkv", max_capacity_prompt=16,
                         window_size=4, quant_method="kvquant",
                         q_layout="pa")
+
+
+def test_fused_multiplane_matches_loop(monkeypatch):
+    """PKV_QUANT_MULTIPLANE=1 (one concat-plane dot per side, packed
+    bytes read once) matches the per-plane loop on pa layouts."""
+    from pyramidkv_tpu.ops import quant as Q
+
+    rng = np.random.default_rng(31)
+    b, hk, h, d, s = 1, 2, 4, 32, 256
+    k = jnp.asarray(rng.normal(size=(b, hk, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, hk, s, d)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    for nbits in (4, 2):
+        reg = Q.quantize_kv_region(k, v, nbits=nbits, group_size=64,
+                                   layout="pa")
+        vis = jnp.ones((b, hk, s), bool).at[:, :, :13].set(False)
+        ref = Q.quant_region_attention_fused(q, reg, vis, num_slots=s,
+                                             head_dim=d, nbits=nbits)
+        monkeypatch.setenv("PKV_QUANT_MULTIPLANE", "1")
+        got = Q.quant_region_attention_fused(q, reg, vis, num_slots=s,
+                                             head_dim=d, nbits=nbits)
+        monkeypatch.setenv("PKV_QUANT_MULTIPLANE", "0")
+        for a, g_ in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(g_),
+                                       rtol=1e-5, atol=1e-5)
