@@ -155,7 +155,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _extract_outliers(x: jax.Array, threshold: float, budget: int):
-    """Zero |x| > threshold and return (x_clean, idx [...,budget], val)."""
+    """Extract the top-``budget`` |x| > threshold per row into an (idx,
+    val) sidecar and zero ONLY those entries.
+
+    A row with more than ``budget`` outliers keeps the excess IN the
+    dense tensor — it stretches that group's quant grid instead of being
+    deleted (zeroing unsaved values, the pre-r4 behavior, lost them
+    outright: the accuracy-proxy test measured the sidecar HURTING on
+    outlier-heavy keys).  Rows within budget behave exactly as before
+    (and exactly as the reference's unbounded sidecar, quantcache.py:
+    51-58 — the A/B exactness tests pin that case)."""
     mag = jnp.abs(x)
     is_out = mag > threshold
     vals, idx = jax.lax.top_k(jnp.where(is_out, mag, -1.0), budget)
@@ -163,8 +172,14 @@ def _extract_outliers(x: jax.Array, threshold: float, budget: int):
     valid = vals > 0
     out_idx = jnp.where(valid, idx, -1).astype(jnp.int32)
     out_val = jnp.where(valid, take, 0.0).astype(jnp.bfloat16)
-    x_clean = jnp.where(is_out, 0.0, x)
-    return x_clean, out_idx, out_val
+    *lead, d = x.shape
+    xf = x.reshape(-1, d)
+    idxf = out_idx.reshape(-1, budget)
+    rows = jnp.arange(xf.shape[0])[:, None]
+    safe = jnp.maximum(idxf, 0)
+    cur = jnp.take_along_axis(xf, safe, axis=-1)
+    xf = xf.at[rows, safe].set(jnp.where(idxf >= 0, 0.0, cur))
+    return xf.reshape(*lead, d), out_idx, out_val
 
 
 def _inject_outliers(x: jax.Array, idx: jax.Array, val: jax.Array) -> jax.Array:

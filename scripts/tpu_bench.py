@@ -58,6 +58,10 @@ def parse():
     p.add_argument("--q_group_size", type=int, default=64)
     p.add_argument("--q_layout", type=str, default="group",
                    choices=["group", "pa"])
+    p.add_argument("--quant_scan", action="store_true",
+                   help="EngineSpec.use_quant_scan (chunked XLA dequant "
+                        "scan counterfactual; slice-level relayouts only "
+                        "- the capacity fallback for kivi8@128k)")
     p.add_argument("--quant_fused", action="store_true",
                    help="EngineSpec.use_quant_fused (factored dequant "
                         "attention on grouped regions)")
@@ -191,6 +195,8 @@ def main():
         eng_kw["prefill_chunk"] = args.prefill_chunk
     if args.quant_fused:
         eng_kw["use_quant_fused"] = True
+    if args.quant_scan:
+        eng_kw["use_quant_scan"] = True
     if args.quant_fused_kernel:
         eng_kw["use_quant_fused_kernel"] = True
     if args.buckets:
