@@ -23,6 +23,11 @@ env PKV_QUANT_MULTIPLANE=1 PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scr
 $P $Q --ctx 131072 --prefill_chunk 8192 --nbits 2 --tag r4e_mp_ctl_128k2
 env PKV_QUANT_MULTIPLANE=1 PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scripts/tpu_bench.py \
    $Q --ctx 131072 --prefill_chunk 8192 --nbits 2 --tag r4e_mp_on_128k2
+# kivi8 128k: decode-entry relayout copy is the capacity blocker (r4d);
+# the chunked-scan counterfactual relayouts slice-level only
+$P $Q --ctx 131072 --prefill_chunk 8192 --nbits 8 --quant_scan --tag r4e_k8_128k_scan
+# kivi8 64k AUTO sanity (r3q fused: 71.4 tok/s)
+$P $Q --ctx 65536 --nbits 8 --tag r4e_k8_64k_auto
 env PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scripts/tpu_prefill_profile.py
 $P --methods fullkv --ctx 65536 --max_new 32 --repeats 1 --lm_head_pad 4096 \
    --quant_method kivi --nbits 4 --q_layout pa \
