@@ -24,12 +24,18 @@ $P $Q --ctx 131072 --prefill_chunk 8192 --nbits 2 --tag r4e_mp_ctl_128k2
 env PKV_QUANT_MULTIPLANE=1 PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scripts/tpu_bench.py \
    $Q --ctx 131072 --prefill_chunk 8192 --nbits 2 --tag r4e_mp_on_128k2
 # kivi8 128k: decode-entry relayout copy is the capacity blocker (r4d);
-# the chunked-scan counterfactual relayouts slice-level only
-$P $Q --ctx 131072 --prefill_chunk 8192 --nbits 8 --quant_scan --tag r4e_k8_128k_scan
+# the chunked-scan counterfactual relayouts slice-level only (GROUP
+# layout: the pa scale shapes fit no path but the fused one)
+$P --methods fullkv --max_new 128 --lm_head_pad 4096 --quant_method kivi \
+   --repeats 1 --ctx 131072 --prefill_chunk 8192 --nbits 8 --quant_scan \
+   --tag r4e_k8_128k_scan
 # kivi8 64k AUTO sanity (r3q fused: 71.4 tok/s)
 $P $Q --ctx 65536 --nbits 8 --tag r4e_k8_64k_auto
 env PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scripts/tpu_prefill_profile.py
 $P --methods fullkv --ctx 65536 --max_new 32 --repeats 1 --lm_head_pad 4096 \
    --quant_method kivi --nbits 4 --q_layout pa \
    --profile /root/repo/logs/r4e_k4pa64k_trace --tag r4e_k4pa64k_prof
+# does the per-call overhead hit CB decode quanta on segmented caches?
+$P --serving 8 --ctx 32768 --lanes 4 --quantum 16 --methods pyramidkv \
+   --prefill_chunk 8192 --tag r4e_cb_pyr32k
 echo "R4E ALL DONE"
