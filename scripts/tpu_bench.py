@@ -138,6 +138,14 @@ def profile_decode(tag, eng, ctx, tdir, steps=16):
                     jnp.int32(steps))
     jax.block_until_ready(out[0])  # compile + warmup
     cache = fresh_cache()
+    t0 = time.perf_counter()
+    out = decode_fn(eng.params, cache, first, eos, jax.random.PRNGKey(1),
+                    jnp.int32(steps))
+    jax.block_until_ready(out[0])
+    wall_ms = (time.perf_counter() - t0) * 1e3 / steps
+    emit({"bench": f"{tag}/decode_wall_ms_per_step",
+          "value": round(wall_ms, 3), "steps": steps})
+    cache = fresh_cache()
     jax.profiler.start_trace(tdir, create_perfetto_trace=True)
     out = decode_fn(eng.params, cache, first, eos, jax.random.PRNGKey(1),
                     jnp.int32(steps))
