@@ -12,4 +12,8 @@ $P --methods pyramidkv --ctx 4096 --max_new 128 --repeats 1 \
 # snapkv control profile (same harness, same interpretation rules)
 $P --methods snapkv --ctx 4096 --max_new 128 --repeats 1 \
    --profile /root/repo/logs/r4f_snap4k_trace --tag r4f_snap4k_prof
+# 128k pyramidkv: r4c measured prefill 45.7s (max_new 32), r4e 140.9s
+# (max_new 128, +12 commits) — bisect max_new vs code with repeats 2
+$P --methods pyramidkv --ctx 131072 --max_new 32 --repeats 2 --tag r4f_128k_mn32
+$P --methods pyramidkv --ctx 131072 --max_new 128 --repeats 2 --tag r4f_128k_mn128
 echo "R4F ALL DONE"
