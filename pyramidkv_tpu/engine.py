@@ -552,7 +552,14 @@ class Engine:
             eos_cols = jnp.asarray(list(eos_token_ids), jnp.int32)
             logits = logits.at[:, eos_cols].set(-jnp.inf)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        first.block_until_ready()
+        # Drain the WHOLE prefill before the timing boundary: through the
+        # axon tunnel, readiness of one output does not imply the others
+        # have materialised — a segmented (16-buffer) cache's tail
+        # completed up to seconds after `first` at long ctx, queueing the
+        # decode behind it and mis-billing prefill time as decode time
+        # (r4e/r4f: pyramidkv 128k decode read 26-31 tok/s while the
+        # decode program itself profiled 6.8 ms/step ≈ 148).
+        jax.block_until_ready((first, cache))
         t1 = time.perf_counter()
 
         if not self.engine_spec.greedy:
