@@ -177,7 +177,13 @@ def quant_decode_attention(
 
     Returns (acc [B, H, D] f32, m [B, H] f32, l [B, H] f32) such that the
     region's attention output is acc / l after merging with other partials.
+
+    Since r4 the REGION stores K codes slot-major ([B, Hk, S/per, D] —
+    the layout the default XLA factored path wants natively); this
+    opt-in kernel keeps its channel-major BlockSpecs and transposes at
+    entry (an explicit small copy on an already-counterfactual path).
     """
+    kc = jnp.swapaxes(kc, -1, -2)      # slot-major region -> [B,Hk,D,S/per]
     b, h, d = q.shape
     hk = kc.shape[1]
     g = h // hk
@@ -448,13 +454,16 @@ def quant_decode_attention_tiled(
     but the grid runs (kv-head rows) x (slot tiles) with an online-softmax
     carry, each KV head computing all of its GQA query rows at once —
     dequantization happens exactly once per tile regardless of the group
-    size.  Requires ``s_pad % tile == 0`` with the default
+    size.  K codes arrive slot-major (r4 region layout) and are
+    transposed at entry like :func:`quant_decode_attention`.
+    Requires ``s_pad % tile == 0`` with the default
     ``tile = tiled_kernel_tile(nbits, group_size)`` (128 scale groups per
     plane per tile, the Mosaic lane-block quantum); the engine falls back
     to the chunked XLA path for unaligned regions.
     """
     import math as _math
 
+    kc = jnp.swapaxes(kc, -1, -2)      # slot-major region -> [B,Hk,D,S/per]
     b, h, d = q.shape
     hk = kc.shape[1]
     g = h // hk

@@ -226,7 +226,7 @@ def supports_fused_kernel(reg, *, nbits: int, softcap) -> bool:
     gv = reg.v.scale.shape[-2]
     if gv != 1:
         return False
-    w = reg.k.codes.shape[-1]
+    w = reg.k.codes.shape[-2]          # slot-major region (r4)
     s_pad = w * per
     if s_pad % gk != 0:
         return False
@@ -262,7 +262,7 @@ def region_attention_fused_kernel(
     hk = reg.k.codes.shape[1]
     g = h // hk
     per = 8 // nbits
-    w = reg.k.codes.shape[-1]
+    w = reg.k.codes.shape[-2]          # slot-major region (r4)
     s_pad = w * per
     dp = reg.v.codes.shape[-1]
     gk = reg.k.scale.shape[-2]
@@ -290,7 +290,7 @@ def region_attention_fused_kernel(
     acc, m, l = quant_fused_attention_pa(
         qs.astype(jnp.bfloat16).reshape(bhn, gk, g8, d),
         zb.reshape(bhn, gk, g8, 128),
-        reg.k.codes.reshape(bhn, d, w),
+        jnp.swapaxes(reg.k.codes, -1, -2).reshape(bhn, d, w),
         reg.v.codes.reshape(bhn, w, dp),
         vs, vz,
         mask.astype(jnp.int8).reshape(bhn, per, w),

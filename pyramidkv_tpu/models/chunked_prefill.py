@@ -373,7 +373,9 @@ class QuantChunkState(NamedTuple):
     the chunk is a multiple of group_size * per — layer 0 repacks
     bit-identically, tested)."""
 
-    k_codes: jax.Array   # [L,B,KV,D,N/per] int8, chunk-local planar
+    k_codes: jax.Array   # [L,B,KV,N/per,D] int8, chunk-local planar
+    #: (slot-major since r4 — the layout every consumer dot prefers;
+    #: the old channel-major carry was whole-buffer relayout-copied)
     k_scale: jax.Array   # [L,B,KV,D,N/gs,1] f32
     k_zero: jax.Array
     v_codes: jax.Array   # [L,B,KV,N/per,Dp] int8, chunk-local planar (slots)
@@ -427,7 +429,7 @@ def init_quant_state(spec: ModelSpec, plan: PolicyPlan, batch: int,
     dp = _round_up(d, cs.q_group_size)
     kg, vg = _quant_groups(cs, chunk, dp)
     return QuantChunkState(
-        k_codes=jnp.zeros((L, batch, kv, d, n // per), jnp.int8),
+        k_codes=jnp.zeros((L, batch, kv, n // per, d), jnp.int8),
         k_scale=jnp.zeros((L, batch, kv, d, n // kg, 1), jnp.float32),
         k_zero=jnp.zeros((L, batch, kv, d, n // kg, 1), jnp.float32),
         v_codes=jnp.zeros((L, batch, kv, n // per, dp), jnp.int8),
@@ -550,9 +552,9 @@ def prefill_chunk_quant(
                 q_block=q_block)
 
         def hist_body(hc, pcarry):
-            kc = jax.lax.dynamic_slice_in_dim(
+            kc = jnp.swapaxes(jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(kc_f, li, 0, False),
-                hc * (c // per), c // per, axis=-1)
+                hc * (c // per), c // per, axis=-2), -1, -2)
             ks = jax.lax.dynamic_slice_in_dim(
                 jax.lax.dynamic_index_in_dim(ks_f, li, 0, False),
                 hc * (c // kg), c // kg, axis=-2)
@@ -637,7 +639,8 @@ def prefill_chunk_quant(
         vpad = jnp.pad(vz_in, ((0, 0), (0, 0), (0, 0), (0, dp - dh)))
         vq = quantize(vpad, nbits=nbits, group_size=vg, pack_axis=-2)
         kc_f = jax.lax.dynamic_update_slice(
-            kc_f, kq.codes[None], (li, 0, 0, 0, chunk_start // per))
+            kc_f, jnp.swapaxes(kq.codes, -1, -2)[None],
+            (li, 0, 0, chunk_start // per, 0))
         ks_f = jax.lax.dynamic_update_slice(
             ks_f, kq.scale[None], (li, 0, 0, 0, chunk_start // kg, 0))
         kz_f = jax.lax.dynamic_update_slice(
@@ -686,10 +689,12 @@ def prefill_finish_quant(
     ds = plan.decode_slots
 
     def repack(_, li):
-        kc = state.k_codes[li]                       # [B,KV,D,N/per]
-        kc = kc.reshape(*kc.shape[:-1], nc, chunk // per)
-        kc = _unpack(kc, nbits, axis=-1)             # [...,nc,chunk] ints
-        kc = _pack(kc.reshape(*kc.shape[:-2], n), nbits, axis=-1)
+        kc = state.k_codes[li]                       # [B,KV,N/per,D]
+        kc = kc.reshape(kc.shape[0], kc.shape[1], nc, chunk // per,
+                        kc.shape[-1])
+        kc = _unpack(kc, nbits, axis=3)              # [B,KV,nc,chunk,D]
+        kc = _pack(kc.reshape(kc.shape[0], kc.shape[1], n, kc.shape[-1]),
+                   nbits, axis=-2)
         vc = state.v_codes[li]                       # [B,KV,N/per,Dp]
         vc = vc.reshape(vc.shape[0], vc.shape[1], nc, chunk // per,
                         vc.shape[-1])

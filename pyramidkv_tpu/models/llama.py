@@ -951,7 +951,7 @@ def decode_step(
                 sp_ = subplan.prefill_slots
                 from ..kernels.quant_decode import MAX_KERNEL_SLOTS
 
-                s_pad_k = qreg.k.codes.shape[-1] * (8 // cs.nbits)
+                s_pad_k = qreg.k.codes.shape[-2] * (8 // cs.nbits)
                 use_fused = (
                     cs.quant_method == "kivi"
                     and (cs.q_layout == "pa"

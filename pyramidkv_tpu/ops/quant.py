@@ -238,12 +238,18 @@ def quantize_kv_region(
     if outlier_threshold is not None:
         kf, k_oi, k_ov = _extract_outliers(kf, outlier_threshold, outlier_budget)
         vf, v_oi, v_ov = _extract_outliers(vf, outlier_threshold, outlier_budget)
-    # keys: group + pack along slots -> transpose to [B,H,D,S_pad]
+    # keys: group + pack along slots (grid computed in the [B,H,D,S_pad]
+    # orientation), then store the codes SLOT-MAJOR ([B,H,S_pad/per,D],
+    # matching V's orientation): the decode dots contract D, and XLA
+    # wants the contracted axis minor — the old channel-major buffer was
+    # relayout-copied wholesale (4 GB per program at 128k kivi8, the
+    # r4b/r4d OOMs).  Scales/zeros keep their [B,H,D,G,1] shapes.
     s_pad = _round_up(s, group_size * per)
     kt = jnp.swapaxes(kf, 2, 3)
     kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
     kq = quantize(kt, nbits=nbits,
                   group_size=s_pad if layout == "pa" else group_size)
+    kq = kq._replace(codes=jnp.swapaxes(kq.codes, -1, -2))
     # values: group along channels (d is a multiple of 64 for all our
     # models), pack along SLOTS (padded to the same plane width as K)
     d_pad = _round_up(d, group_size)
@@ -268,10 +274,11 @@ def dequantize_kv_region(
     ``group_size`` argument is kept for call-site compatibility."""
     del group_size  # inferred below
     per = 8 // nbits
-    s_pad = reg.k.codes.shape[-1] * per
+    s_pad = reg.k.codes.shape[-2] * per        # codes are slot-major
     kg = s_pad // reg.k.scale.shape[-2]
     vg = reg.v.codes.shape[-1] // reg.v.scale.shape[-2]
-    kt = dequantize(reg.k, nbits=nbits, group_size=kg, dtype=jnp.float32)
+    kcm = reg.k._replace(codes=jnp.swapaxes(reg.k.codes, -1, -2))
+    kt = dequantize(kcm, nbits=nbits, group_size=kg, dtype=jnp.float32)
     k = jnp.swapaxes(kt, 2, 3)[:, :, :num_slots, :]
     v = dequantize(reg.v, nbits=nbits, group_size=vg,
                    dtype=jnp.float32, pack_axis=-2)
@@ -321,7 +328,7 @@ def quant_region_attention_partials(
     assert reg.k_out_idx is None and reg.v_out_idx is None, "KIVI only"
     b, h, d = q.shape
     per = 8 // nbits
-    s_pad = reg.k.codes.shape[-1] * per
+    s_pad = reg.k.codes.shape[-2] * per        # codes are slot-major
     w = s_pad // per  # plane width in slots (planar packing, see _pack)
     # chunks must hold whole group-aligned planes (quantize_kv_region pads
     # S to group*per, so the gcd below stays a multiple of the alignment)
@@ -357,8 +364,8 @@ def quant_region_attention_partials(
 
     def body(carry, c):
         acc, m, l = carry
-        kc_c = jax.lax.dynamic_slice_in_dim(
-            kcodes, c * (chunk // per), chunk // per, axis=3)
+        kc_c = jnp.swapaxes(jax.lax.dynamic_slice_in_dim(
+            kcodes, c * (chunk // per), chunk // per, axis=2), 2, 3)
         ks_c = _planes(ksc, 3, group_size, c)
         kz_c = _planes(kz, 3, group_size, c)
         kt = dequantize(QuantizedTensor(kc_c, ks_c, kz_c, None),
@@ -447,7 +454,7 @@ def quant_region_attention_fused(
     hk = reg.k.codes.shape[1]
     g = h // hk
     per = 8 // nbits
-    w = reg.k.codes.shape[-1]          # plane width in slots
+    w = reg.k.codes.shape[-2]          # plane width in slots (slot-major)
     s_pad = w * per
     dp = reg.v.codes.shape[-1]
     gk = reg.k.scale.shape[-2]         # K slot-groups ("pa": 1)
@@ -480,9 +487,9 @@ def quant_region_attention_fused(
         # planar concat order matches the loop's exactly.
         cp_all = jnp.concatenate(
             [((ku >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
-             for p in range(per)], axis=-1)          # [B,Hk,D,per*W]
+             for p in range(per)], axis=-2)          # [B,Hk,per*W,D]
         qs = (qg * ksc[:, :, None, :, 0]).astype(jnp.bfloat16)
-        s = jnp.einsum("bkqd,bkdw->bkqw", qs, cp_all,
+        s = jnp.einsum("bkqd,bkwd->bkqw", qs, cp_all,
                        preferred_element_type=jnp.float32)
         z = jnp.einsum("bkqd,bkd->bkq", qg, kzc[..., 0],
                        preferred_element_type=jnp.float32)
@@ -492,7 +499,7 @@ def quant_region_attention_fused(
         cp = ((ku >> jnp.uint8(p * nbits)) & mb).astype(jnp.bfloat16)
         if gk == 1:
             qs = (qg * ksc[:, :, None, :, 0]).astype(jnp.bfloat16)
-            s_p = jnp.einsum("bkqd,bkdw->bkqw", qs, cp,
+            s_p = jnp.einsum("bkqd,bkwd->bkqw", qs, cp,
                              preferred_element_type=jnp.float32)
             z = jnp.einsum("bkqd,bkd->bkq", qg, kzc[..., 0],
                            preferred_element_type=jnp.float32)
@@ -504,8 +511,8 @@ def quant_region_attention_fused(
             kz_p = jax.lax.slice_in_dim(kzc, p * gpl, (p + 1) * gpl, axis=-1)
             qs = (qg[..., None] * ks_p[:, :, None, :, :]).astype(
                 jnp.bfloat16)                       # [B,Hk,Gq,D,gpl]
-            cp5 = cp.reshape(b, hk, d, gpl, kg_sz)
-            s5 = jnp.einsum("bkqdg,bkdgt->bkqgt", qs, cp5,
+            cp5 = cp.reshape(b, hk, gpl, kg_sz, d)
+            s5 = jnp.einsum("bkqdg,bkgtd->bkqgt", qs, cp5,
                             preferred_element_type=jnp.float32)
             z5 = jnp.einsum("bkqd,bkdg->bkqg", qg, kz_p,
                             preferred_element_type=jnp.float32)

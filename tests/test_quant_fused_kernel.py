@@ -62,6 +62,7 @@ def test_kernel_matches_xla_fused_chunk_grouped(nbits):
     chunk = 256  # 2 K scale groups
     kt = jnp.swapaxes(k.astype(jnp.float32), 2, 3)
     kq = quantize(kt, nbits=nbits, group_size=chunk)
+    kq = kq._replace(codes=jnp.swapaxes(kq.codes, -1, -2))  # r4 slot-major
     vq = quantize(v.astype(jnp.float32), nbits=nbits, group_size=d,
                   pack_axis=-2)
     reg = QuantizedKVRegion(k=kq, v=vq, k_out_idx=None, k_out_val=None,
