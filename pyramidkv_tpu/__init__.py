@@ -17,7 +17,7 @@ from .config import (
     load_headkv_scores,
 )
 from .cache import KVCache, cache_memory_bytes, used_kv_tokens
-from .engine import Engine, EngineStats, GenerationOutput
+from .engine import Engine, EngineStats, GenerationOutput, PrefixHandle
 from .policy import PolicyPlan, make_plan, compress_layer
 from .serving import BatchScheduler, Request
 

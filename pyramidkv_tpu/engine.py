@@ -41,6 +41,46 @@ class GenerationOutput:
     spec_iterations: Optional[int] = None
 
 
+@dataclass(frozen=True)
+class PrefixHandle:
+    """Precomputed chunked-prefill state for a shared prompt PREFIX.
+
+    Serving workloads reuse one system prompt / few-shot template across
+    many requests; the reference re-runs the whole prompt every time
+    (run_longbench.py:266 — ``model.generate`` from scratch per sample).
+    Here the prefix's transformer forward runs ONCE
+    (:meth:`Engine.precompute_prefix`) and each request resumes its
+    chunked prefill from the snapshot.
+
+    Why this composes with left-padded buckets: RoPE positions are
+    ``slot - pad``, so the prefix tokens carry positions ``[0, P)`` in
+    EVERY request regardless of padding, and prefix rows attend only to
+    prefix rows (pad columns are masked, everything else is
+    position-wise).  The cached K/V values are therefore
+    alignment-independent; per request they are scattered to slot offset
+    ``pad`` and the remaining chunks run normally (the chunk straddling
+    the prefix end is recomputed — idempotent writes).
+
+    Only the bf16/f32 chunk carry is cacheable: the fullkv+KIVI
+    quantized carry's scale groups span the whole (alignment-dependent)
+    plane, so those plans raise.  h2o caches its pass-1 prefix only (the
+    score-reconstruction pass reads the full K buffer and always reruns).
+    """
+
+    #: the full prefix token ids (requests must start with these)
+    token_ids: "tuple[int, ...]"
+    #: cached columns: ``len(token_ids)`` rounded DOWN to the chunk; the
+    #: remainder rides the per-request recompute of the straddling chunk
+    full_len: int
+    chunk_len: int
+    #: ChunkState with k/v [L, 1, KV, full_len, D]
+    state: object
+
+    @property
+    def kv_bytes(self) -> int:
+        return sum(x.size * x.dtype.itemsize for x in self.state)
+
+
 @dataclass
 class EngineStats:
     """Cumulative engine observability (the reference logs only per-needle
@@ -90,6 +130,8 @@ class Engine:
         self._decode_fns: dict = {}
         self._spec_decode_fns: dict = {}
         self._roll_fns: dict = {}
+        self._prefix_fns: dict = {}
+        self._prefix_scatter_fns: dict = {}
         self.stats = EngineStats()
 
     def profile(self, log_dir: str):
@@ -308,18 +350,176 @@ class Engine:
         }
         return got
 
-    def _run_chunked_prefill(self, bucket, tokens, true_len, rng):
+    def _run_chunked_prefill(self, bucket, tokens, true_len, rng,
+                             prefix: "Optional[PrefixHandle]" = None,
+                             lens: "Optional[Sequence[int]]" = None):
         """Drive all chunks + finish back-to-back (generate()'s path; the
-        ContinuousBatcher interleaves the same pieces with decode quanta)."""
+        ContinuousBatcher interleaves the same pieces with decode quanta).
+        With a ``prefix`` handle, the cached K/V rows are scattered into
+        the fresh chunk state and chunks fully covered by them are
+        skipped."""
         fns = self._get_prefill_chunked(bucket)
         c = fns["chunk_len"]
         state = fns["init"](tokens.shape[0])
+        start = 0
+        if prefix is not None:
+            state, start = self._apply_prefix(bucket, state, prefix, lens)
         window_q = hidden_last = None
-        for s, chunk_fn in zip(fns["tok_starts"], fns["chunks"]):
+        for s, chunk_fn in zip(fns["tok_starts"][start:],
+                               fns["chunks"][start:]):
             state, window_q, hidden_last = chunk_fn(
                 self.params, state, tokens[:, s * c:(s + 1) * c], true_len)
         return fns["finish"](self.params, state, window_q, hidden_last,
                              true_len, rng)
+
+    # -- prefix caching ----------------------------------------------------
+
+    def prefix_cache_supported(self, bucket: Optional[int] = None) -> bool:
+        """Prefix caching rides the bf16 chunk carry: a chunked plan whose
+        carry is the plain ChunkState (see :class:`PrefixHandle`)."""
+        from .models.chunked_prefill import supports_chunked
+
+        es = self.engine_spec
+        bucket = bucket or es.prefill_buckets[0]
+        if es.prefill_chunk is None or bucket % es.prefill_chunk != 0:
+            return False
+        plan = self.plan_for(bucket)
+        return plan.window <= es.prefill_chunk and supports_chunked(plan)
+
+    def _get_prefix_chunks(self, p_full: int):
+        """Jitted prefix chunk fns (chunk state only — no window_q /
+        score-pass plumbing), cached per cached-prefix length."""
+        got = self._prefix_fns.get(p_full)
+        if got is not None:
+            return got
+        import dataclasses
+
+        from .models import chunked_prefill as cp
+
+        es = self.engine_spec
+        c = es.prefill_chunk
+        spec = self.model_spec
+        # prefill_chunk reads only bucket_len (the carry width) and window
+        # (the wq slice, discarded here) from the plan
+        plan = dataclasses.replace(self.plan_for(es.prefill_buckets[0]),
+                                   bucket_len=p_full)
+        impl = ("pallas" if es.use_pallas
+                and jax.devices()[0].platform == "tpu" else "xla")
+        chunks = []
+        for i in range(p_full // c):
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def chunk_fn(params, state, tokens, true_len, _start=i * c):
+                st, _wq, _hl = cp.prefill_chunk(
+                    params, spec, plan, state, tokens, true_len,
+                    chunk_start=_start, attention_impl=impl,
+                    prefill_block=es.prefill_block,
+                    prefill_sub_k=es.prefill_sub_k,
+                )
+                return st
+            chunks.append(chunk_fn)
+        got = self._prefix_fns[p_full] = {"plan": plan, "chunks": chunks}
+        return got
+
+    def precompute_prefix(self, prefix_ids: Sequence[int]) -> PrefixHandle:
+        """Run the shared prefix's chunked prefill once; see
+        :class:`PrefixHandle` for what the snapshot means and why it is
+        padding-alignment-independent."""
+        from .models import chunked_prefill as cp
+
+        es = self.engine_spec
+        c = es.prefill_chunk
+        if c is None:
+            raise ValueError(
+                "prefix caching requires chunked prefill "
+                "(EngineSpec.prefill_chunk)")
+        if not self.prefix_cache_supported():
+            raise ValueError(
+                f"prefix caching unsupported for this plan (method "
+                f"{self.comp_spec.method!r}, quant_method "
+                f"{self.comp_spec.quant_method!r}): needs the bf16 chunk "
+                f"carry (fullkv+quant carries scale groups spanning the "
+                f"alignment-dependent plane)")
+        p = len(prefix_ids)
+        p_full = (p // c) * c
+        if p_full < c:
+            raise ValueError(
+                f"prefix ({p} tokens) shorter than one prefill chunk ({c}):"
+                f" nothing to cache")
+        fns = self._get_prefix_chunks(p_full)
+        act_dtype = self.params["final_norm"].dtype
+        state = cp.init_state(self.model_spec, fns["plan"], 1, act_dtype)
+        toks = jnp.asarray(
+            np.asarray(list(prefix_ids[:p_full]), np.int32)[None])
+        tl = jnp.full((1,), p_full, jnp.int32)
+        for i, fn in enumerate(fns["chunks"]):
+            state = fn(self.params, state, toks[:, i * c:(i + 1) * c], tl)
+        state = jax.block_until_ready(state)
+        return PrefixHandle(
+            token_ids=tuple(int(t) for t in prefix_ids),
+            full_len=p_full, chunk_len=c, state=state,
+        )
+
+    def _get_prefix_scatter(self, bucket: int, p_full: int):
+        key = (bucket, p_full)
+        fn = self._prefix_scatter_fns.get(key)
+        if fn is None:
+            @jax.jit
+            def scatter_fn(state, pk, pv, pads):
+                # state.k/v: [L,B,KV,N,D]; pk/pv: [L,1,KV,Pf,D]; pads: [B]
+                pk0, pv0 = pk[:, 0], pv[:, 0]
+
+                def row(kb, vb, p):        # [L,KV,N,D] per batch row
+                    kb = jax.lax.dynamic_update_slice(
+                        kb, pk0.astype(kb.dtype), (0, 0, p, 0))
+                    vb = jax.lax.dynamic_update_slice(
+                        vb, pv0.astype(vb.dtype), (0, 0, p, 0))
+                    return kb, vb
+
+                k, v = jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(
+                    state.k, state.v, pads)
+                return state._replace(k=k, v=v)
+
+            fn = self._prefix_scatter_fns[key] = scatter_fn
+        return fn
+
+    def _apply_prefix(self, bucket: int, state, prefix: PrefixHandle,
+                      lens: Sequence[int]):
+        """Scatter the handle's K/V rows to each row's pad offset and
+        return (state', first chunk index to run).  ``state`` may be the
+        bare ChunkState or h2o's (ChunkState, score_acc) tuple."""
+        from .models.chunked_prefill import ChunkState
+
+        c = self.engine_spec.prefill_chunk
+        if prefix.chunk_len != c:
+            raise ValueError(
+                f"prefix handle chunk {prefix.chunk_len} != engine chunk {c}")
+        pf = prefix.full_len
+        scatter = self._get_prefix_scatter(bucket, pf)
+        pads = jnp.asarray([bucket - int(l) for l in lens], jnp.int32)
+        sa = None
+        if not isinstance(state, ChunkState):
+            state, sa = state       # h2o: (ChunkState, score accumulator)
+        state = scatter(state, prefix.state.k, prefix.state.v, pads)
+        if sa is not None:
+            state = (state, sa)
+        # first chunk NOT fully covered by every row's cached span
+        # [pad, pad + pf); clamp so the last chunk always runs (it owns
+        # window_q / hidden_last)
+        k0 = min((bucket - int(l) + pf) // c for l in lens)
+        return state, max(0, min(k0, bucket // c - 1))
+
+    def _check_prefix(self, prefix: PrefixHandle,
+                      prompt_ids: Sequence[Sequence[int]], bucket: int):
+        if not self.prefix_cache_supported(bucket):
+            raise ValueError(
+                f"prefix caching unsupported at bucket {bucket} for this "
+                f"plan (needs chunked prefill with the bf16 carry)")
+        pid = prefix.token_ids
+        for p in prompt_ids:
+            if len(p) < len(pid) or tuple(
+                    int(t) for t in p[:len(pid)]) != pid:
+                raise ValueError(
+                    "prompt does not start with the prefix handle's tokens")
 
     def _get_decode(self, bucket: int):
         """Jitted whole-decode loop: greedy sampling + EOS early exit on
@@ -519,11 +719,14 @@ class Engine:
         max_new_tokens: Optional[int] = None,
         eos_token_ids: Sequence[int] = (),
         rng_seed: int = 0,
+        prefix: Optional[PrefixHandle] = None,
     ) -> GenerationOutput:
         """Greedy generation for a batch of prompts (token ids).
 
         ``max_new_tokens`` must be <= ``engine_spec.max_new_tokens`` (the
         decode-slot allocation); smaller values just stop earlier.
+        ``prefix``: a :meth:`precompute_prefix` handle — every prompt must
+        start with its tokens; the shared span's forward is skipped.
         """
         es = self.engine_spec
         max_new = max_new_tokens or es.max_new_tokens
@@ -531,6 +734,8 @@ class Engine:
         b = len(prompt_ids)
         lens = [len(p) for p in prompt_ids]
         bucket = es.bucket_for(max(lens))
+        if prefix is not None:
+            self._check_prefix(prefix, prompt_ids, bucket)
         tokens = np.zeros((b, bucket), dtype=np.int32)
         for i, p in enumerate(prompt_ids):
             tokens[i, bucket - len(p):] = np.asarray(p, dtype=np.int32)
@@ -540,8 +745,8 @@ class Engine:
 
         t0 = time.perf_counter()
         if self.chunked_prefill_supported(bucket):
-            logits, cache = self._run_chunked_prefill(bucket, tokens,
-                                                      true_len, rng)
+            logits, cache = self._run_chunked_prefill(
+                bucket, tokens, true_len, rng, prefix=prefix, lens=lens)
         else:
             logits, cache = self._get_prefill(bucket)(
                 self.params, tokens, true_len, rng)

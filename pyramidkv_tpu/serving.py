@@ -28,6 +28,11 @@ class Request:
     #: visible to the scheduler (open-loop arrival process; 0.0 = present
     #: at start, the historical batch-arrival behavior).
     arrival_time: float = 0.0
+    #: shared-prompt prefix caching (``Engine.precompute_prefix``):
+    #: requests carrying the SAME handle are grouped into one refill and
+    #: resume their chunked prefill past the cached span.  Ignored on
+    #: non-chunked refills (full prefill — identical output).
+    prefix: "Optional[object]" = None
 
 
 @dataclass
@@ -502,8 +507,10 @@ class ContinuousBatcher:
                 if not avail:
                     break
                 bucket = es.bucket_for(len(queue[avail[0]].prompt_ids))
+                pfx = queue[avail[0]].prefix
                 idxs = [i for i in avail
-                        if es.bucket_for(len(queue[i].prompt_ids)) == bucket]
+                        if es.bucket_for(len(queue[i].prompt_ids)) == bucket
+                        and queue[i].prefix is pfx]
                 cap = max(1, self.refill_tokens // bucket)
                 chunked = engine.chunked_prefill_supported(bucket)
                 if chunked:
@@ -542,9 +549,16 @@ class ContinuousBatcher:
                     # per decode quantum (`advance_refills`) so live lanes
                     # never stall behind a whole long prefill
                     fns = engine._get_prefill_chunked(bucket)
-                    g.update(fns=fns, state=fns["init"](rows),
+                    state, nxt = fns["init"](rows), 0
+                    if pfx is not None and engine.prefix_cache_supported(
+                            bucket):
+                        engine._check_prefix(
+                            pfx, [r.prompt_ids for r in group], bucket)
+                        state, nxt = engine._apply_prefix(
+                            bucket, state, pfx, tls)
+                    g.update(fns=fns, state=state,
                              toks=jnp.asarray(toks),
-                             tls=jnp.asarray(tls, jnp.int32), next_chunk=0)
+                             tls=jnp.asarray(tls, jnp.int32), next_chunk=nxt)
                     eos_set.update(int(e) for r in group
                                    for e in r.eos_token_ids)
                 else:
