@@ -97,6 +97,11 @@ def parse():
     p.add_argument("--prompt_lens", type=int, nargs="*", default=None,
                    help="serving: mixed prompt lengths cycled across "
                         "requests (default: ctx-1 for all)")
+    p.add_argument("--prefix_tokens", type=int, default=0,
+                   help="shared-prefix caching A/B (Engine.precompute_prefix)"
+                        ": every prompt shares this many leading tokens; "
+                        "runs a no-handle control leg then the cached leg "
+                        "in ONE process (requires --prefill_chunk)")
     p.add_argument("--tag", type=str, default="bench")
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--profile", type=str, default=None,
@@ -226,6 +231,20 @@ def main():
         reqs = poisson_workload(
             args.serving, rate=args.arrival_rate, prompt_lens=lens,
             seed=0, vocab=spec.vocab_size)
+        handle = None
+        if args.prefix_tokens:
+            # every request starts with the same span; ctl runs as-is,
+            # the cached leg re-runs with the handle attached
+            pfx = [int(t) for t in rng.integers(0, spec.vocab_size,
+                                                size=args.prefix_tokens)]
+            for r in reqs:
+                r.prompt_ids = pfx + r.prompt_ids[args.prefix_tokens:]
+            t0 = time.perf_counter()
+            handle = eng.precompute_prefix(pfx)
+            emit({"bench": f"{args.tag}/prefix_handle",
+                  "handle_s": round(time.perf_counter() - t0, 2),
+                  "handle_mb": round(handle.kv_bytes / 1e6, 1),
+                  "prefix_tokens": args.prefix_tokens})
         log("serving: warmup (compiles all buckets) ...")
         cb.run([Request(f"w{n}", [int(t) for t in rng.integers(
                     0, spec.vocab_size, size=n)], max_new_tokens=8)
@@ -248,6 +267,67 @@ def main():
                                          for r in res.values()), 2)}
         row.update(latency_summary(res))
         emit(row)
+        if handle is not None:
+            for r in reqs:
+                r.prefix = handle
+            cb2 = ContinuousBatcher(eng, lanes=args.lanes,
+                                    quantum=args.quantum)
+            t0 = time.perf_counter()
+            res2 = cb2.run(reqs)
+            wall2 = time.perf_counter() - t0
+            total2 = sum(len(r.tokens) for r in res2.values())
+            row2 = {"bench": f"{args.tag}/serving_{args.methods[0]}_prefix",
+                    "wall_s": round(wall2, 2), "total_tokens": total2,
+                    "serving_tok_s": round(total2 / wall2, 2),
+                    "requests": args.serving,
+                    "prefix_tokens": args.prefix_tokens}
+            row2.update(latency_summary(res2))
+            emit(row2)
+        return
+
+    if args.prefix_tokens:
+        # generate()-mode shared-prefix A/B: one engine, control
+        # (full chunked prefill) vs cached (resume past the prefix)
+        eng = build_engine(spec, params, method=args.methods[0],
+                           ctx=args.ctx, cap=args.cap, window=args.window,
+                           max_new=args.max_new,
+                           prefill_block=args.prefill_block,
+                           comp_kw=comp_kw, eng_kw=eng_kw)
+        rng = np.random.default_rng(0)
+        pfx = [int(t) for t in rng.integers(0, spec.vocab_size,
+                                            size=args.prefix_tokens)]
+        prompts = [pfx + [int(t) for t in rng.integers(
+            0, spec.vocab_size, size=args.ctx - 1 - args.prefix_tokens)]
+            for _ in range(args.batch)]
+
+        def leg(tag, **kw):
+            log(f"{tag}: compiling ...")
+            t0 = time.perf_counter()
+            out = eng.generate(prompts, max_new_tokens=args.max_new, **kw)
+            log(f"{tag}: compiled+first in {time.perf_counter() - t0:.1f}s")
+            best = None
+            for _ in range(args.repeats):
+                out = eng.generate(prompts, max_new_tokens=args.max_new,
+                                   **kw)
+                if best is None or out.prefill_seconds < best.prefill_seconds:
+                    best = out
+            emit({"bench": tag,
+                  "prefill_ms": round(best.prefill_seconds * 1e3, 1),
+                  "decode_tokens_per_s": round(
+                      args.batch * best.decode_steps
+                      / max(best.decode_seconds, 1e-9), 2),
+                  "ctx": args.ctx, "batch": args.batch,
+                  "prefix_tokens": args.prefix_tokens})
+
+        leg(f"{args.tag}/{args.methods[0]}_prefix_ctl")
+        t0 = time.perf_counter()
+        handle = eng.precompute_prefix(pfx)
+        emit({"bench": f"{args.tag}/prefix_handle",
+              "handle_s": round(time.perf_counter() - t0, 2),
+              "handle_mb": round(handle.kv_bytes / 1e6, 1),
+              "prefix_tokens": args.prefix_tokens})
+        leg(f"{args.tag}/{args.methods[0]}_prefix_cached", prefix=handle)
+        log("ALL DONE")
         return
 
     if args.int4_dma_wins is not None:
