@@ -14,4 +14,11 @@ $P --serving 8 --methods snapkv --ctx 32768 --lanes 4 --prefill_chunk 8192 \
    --prefix_tokens 24576 --max_new 128 --tag r4i_srv32k
 $P --methods fullkv --ctx 65536 --nbits 2 --max_new 128 --lm_head_pad 4096 \
    --quant_method kivi --q_layout pa --repeats 2 --tag r4i_64k_k2
+# (d) kivi8-128k capacity probe under the post-flip chunked scan: the
+#     factored default now COMPILES but hits a runtime ResourceExhausted
+#     during decode (r4h) — the scan's slice-level code reads avoid the
+#     whole-buffer bf16 unpack transients.
+$P --methods fullkv --ctx 131072 --prefill_chunk 8192 --nbits 8 \
+   --max_new 32 --lm_head_pad 4096 --quant_method kivi --q_layout pa \
+   --quant_scan --repeats 1 --tag r4i_128k_k8_scan
 echo "R4I ALL DONE"
