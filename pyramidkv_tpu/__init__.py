@@ -17,7 +17,8 @@ from .config import (
     load_headkv_scores,
 )
 from .cache import KVCache, cache_memory_bytes, used_kv_tokens
-from .engine import Engine, EngineStats, GenerationOutput, PrefixHandle
+from .engine import (Engine, EngineStats, GenerationOutput, PrefixHandle,
+                     PrefixRegistry)
 from .policy import PolicyPlan, make_plan, compress_layer
 from .serving import BatchScheduler, Request
 

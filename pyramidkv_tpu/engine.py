@@ -80,6 +80,105 @@ class PrefixHandle:
     def kv_bytes(self) -> int:
         return sum(x.size * x.dtype.itemsize for x in self.state)
 
+    def save(self, path: str) -> None:
+        """Persist the handle (npz) so a serving process can precompute a
+        template's prefix once and reuse it across restarts."""
+        k, v = (np.asarray(x) for x in (self.state.k, self.state.v))
+        np.savez(
+            path,
+            token_ids=np.asarray(self.token_ids, np.int64),
+            full_len=np.int64(self.full_len),
+            chunk_len=np.int64(self.chunk_len),
+            k=k.view(np.uint8), v=v.view(np.uint8),
+            shape=np.asarray(k.shape, np.int64),
+            dtype=np.bytes_(str(k.dtype).encode()),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PrefixHandle":
+        from .models.chunked_prefill import ChunkState
+
+        z = np.load(path)
+        name = bytes(z["dtype"]).decode()
+        try:
+            dt = np.dtype(name)
+        except TypeError:
+            import ml_dtypes  # bfloat16 et al. (numpy extension dtypes)
+
+            dt = np.dtype(getattr(ml_dtypes, name))
+        shape = tuple(int(s) for s in z["shape"])
+        k = jnp.asarray(z["k"].view(dt).reshape(shape))
+        v = jnp.asarray(z["v"].view(dt).reshape(shape))
+        return cls(
+            token_ids=tuple(int(t) for t in z["token_ids"]),
+            full_len=int(z["full_len"]), chunk_len=int(z["chunk_len"]),
+            state=ChunkState(k=k, v=v),
+        )
+
+
+class PrefixRegistry:
+    """LRU registry of :class:`PrefixHandle` snapshots keyed by the prefix
+    token tuple — the serving-level cache over ``precompute_prefix`` (a
+    production deployment holds one entry per prompt template).
+
+    ``get`` builds on miss; ``match`` returns the LONGEST registered
+    prefix a prompt starts with (for schedulers that attach handles
+    automatically).  Eviction is LRU by entries and, when ``max_bytes``
+    is set, by total cached-KV bytes (the newest entry always survives).
+    """
+
+    def __init__(self, engine: "Engine", max_entries: int = 8,
+                 max_bytes: Optional[int] = None):
+        from collections import OrderedDict
+
+        self.engine = engine
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self._entries: "dict[tuple, PrefixHandle]" = OrderedDict()
+
+    @property
+    def bytes(self) -> int:
+        return sum(h.kv_bytes for h in self._entries.values())
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def get(self, prefix_ids: Sequence[int]) -> PrefixHandle:
+        key = tuple(int(t) for t in prefix_ids)
+        h = self._entries.get(key)
+        if h is None:
+            h = self.engine.precompute_prefix(key)
+            self._entries[key] = h
+            self._evict()
+        else:
+            self._entries.move_to_end(key)
+        return h
+
+    def put(self, handle: PrefixHandle) -> None:
+        """Register an externally built/loaded handle."""
+        self._entries[handle.token_ids] = handle
+        self._entries.move_to_end(handle.token_ids)
+        self._evict()
+
+    def match(self, prompt_ids: Sequence[int]) -> Optional[PrefixHandle]:
+        p = tuple(int(t) for t in prompt_ids)
+        best = None
+        for key in self._entries:
+            if len(key) <= len(p) and p[:len(key)] == key and (
+                    best is None or len(key) > len(best)):
+                best = key
+        if best is None:
+            return None
+        self._entries.move_to_end(best)
+        return self._entries[best]
+
+    def _evict(self) -> None:
+        while len(self._entries) > max(self.max_entries, 1):
+            self._entries.pop(next(iter(self._entries)))
+        if self.max_bytes is not None:
+            while self.bytes > self.max_bytes and len(self._entries) > 1:
+                self._entries.pop(next(iter(self._entries)))
+
 
 @dataclass
 class EngineStats:

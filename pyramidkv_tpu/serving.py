@@ -117,7 +117,8 @@ class ContinuousBatcher:
 
     def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16,
                  mesh=None, refill_tokens: int = 8192,
-                 chunked_refill_tokens: int = 32768):
+                 chunked_refill_tokens: int = 32768,
+                 on_tokens=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         decode LANES shard across it (multi-chip/multi-host data-parallel
         serving; each device advances its lanes, no cross-device traffic in
@@ -141,6 +142,12 @@ class ContinuousBatcher:
         #: resumable at once (4 concurrent 32k states measured
         #: RESOURCE_EXHAUSTED next to 4.5 GB of weights — logs/tpu_r3g)
         self.chunked_refill_tokens = chunked_refill_tokens
+        #: streaming callback ``on_tokens(request_id, new_token_ids)`` —
+        #: invoked with each request's first token at lane insert and with
+        #: every quantum's newly emitted tokens (token-level streaming for
+        #: serving frontends; EOS/stop tokens are excluded, same as the
+        #: final ``CompletedRequest.tokens``)
+        self.on_tokens = on_tokens
         if mesh is not None:
             assert lanes % mesh.shape["data"] == 0, (
                 lanes, dict(mesh.shape))
@@ -628,6 +635,8 @@ class ContinuousBatcher:
                 for j, (lane, req) in enumerate(zip(g["lanes"], g["reqs"])):
                     lane_req[lane] = req
                     lane_tokens[lane] = [int(first_np[j])]
+                    if self.on_tokens is not None:
+                        self.on_tokens(req.request_id, [int(first_np[j])])
                     lane_prefill_s[lane] = now - g["t0"]
                     lane_t0[lane] = now
                     lane_arrival[lane] = req.arrival_time
@@ -683,6 +692,7 @@ class ContinuousBatcher:
             for lane in range(B):
                 if lane_req[lane] is None or prev_done[lane]:
                     continue
+                new: "list[int]" = []
                 if self._spec_mode:
                     # one (k+1)-chunk per verify iteration; -1 pads the
                     # rejected tail of each chunk
@@ -695,7 +705,7 @@ class ContinuousBatcher:
                             if t in eos_set:
                                 stop = True
                                 break
-                            lane_tokens[lane].append(t)
+                            new.append(t)
                         if stop:
                             break
                 else:
@@ -703,7 +713,10 @@ class ContinuousBatcher:
                         t = int(t)
                         if t < 0 or t in eos_set:
                             break
-                        lane_tokens[lane].append(t)
+                        new.append(t)
+                lane_tokens[lane].extend(new)
+                if new and self.on_tokens is not None:
+                    self.on_tokens(lane_req[lane].request_id, new)
             retire_and_launch()
             # one refill chunk per quantum: the chunk dispatch queues behind
             # the NEXT quantum's steps, so decode progresses during long

@@ -172,3 +172,97 @@ def test_prefix_mixed_with_nonprefix_requests(tiny):
         "p1": eng.generate([pfx_prompts[1]], max_new_tokens=8).tokens[0],
     }
     assert {k: v.tokens for k, v in got.items()} == plain
+
+
+# ---------------------------------------------------------------------------
+# registry / persistence / streaming
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_registry_lru_and_match(tiny):
+    from pyramidkv_tpu.engine import PrefixRegistry
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(20)
+    p1 = rng.integers(1, 250, size=128).tolist()
+    p2 = rng.integers(1, 250, size=192).tolist()
+    p3 = p2[:64] + rng.integers(1, 250, size=64).tolist()
+
+    reg = PrefixRegistry(eng, max_entries=2)
+    h1 = reg.get(p1)
+    assert reg.get(p1) is h1          # hit, no rebuild
+    h2 = reg.get(p2)
+    assert len(reg) == 2
+    # match returns the longest registered prefix the prompt starts with
+    prompt = p2 + [5, 6, 7]
+    assert reg.match(prompt) is h2
+    assert reg.match(p1 + [9]) is h1
+    assert reg.match([1, 2, 3]) is None
+    # LRU eviction: p1 was touched last by match; adding a third drops p2
+    h3 = reg.get(p3)
+    assert len(reg) == 2
+    assert reg.match(p2 + [5]) is not h2 or reg.match(p2 + [5]) is None
+    # bytes cap: everything but the newest evicts
+    reg2 = PrefixRegistry(eng, max_entries=8, max_bytes=1)
+    reg2.put(h1)
+    reg2.put(h3)
+    assert len(reg2) == 1 and reg2.match(p3 + [1]) is h3
+
+
+def test_prefix_handle_save_load_roundtrip(tiny, tmp_path):
+    from pyramidkv_tpu.engine import PrefixHandle
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(21)
+    prefix = rng.integers(1, 250, size=130).tolist()
+    prompts = _prompts(prefix, seed=22, lens=(180, 256))
+    h = eng.precompute_prefix(prefix)
+    path = str(tmp_path / "prefix.npz")
+    h.save(path)
+    h2 = PrefixHandle.load(path)
+    assert h2.token_ids == h.token_ids
+    assert h2.full_len == h.full_len and h2.chunk_len == h.chunk_len
+    np.testing.assert_array_equal(np.asarray(h.state.k),
+                                  np.asarray(h2.state.k))
+    want = eng.generate(prompts, max_new_tokens=8, prefix=h)
+    got = eng.generate(prompts, max_new_tokens=8, prefix=h2)
+    assert got.tokens == want.tokens
+
+
+def test_prefix_handle_save_load_bf16(tiny, tmp_path):
+    """bf16 carries roundtrip through the byte-view npz format."""
+    from pyramidkv_tpu.engine import PrefixHandle
+    from pyramidkv_tpu.models.llama import init_params as ip
+
+    ms, _ = tiny
+    params16 = ip(ms, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    eng = _engine(ms, params16)
+    rng = np.random.default_rng(23)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    h = eng.precompute_prefix(prefix)
+    assert np.asarray(h.state.k).dtype == jnp.bfloat16
+    path = str(tmp_path / "prefix16.npz")
+    h.save(path)
+    h2 = PrefixHandle.load(path)
+    np.testing.assert_array_equal(
+        np.asarray(h.state.k).view(np.uint16),
+        np.asarray(h2.state.k).view(np.uint16))
+
+
+def test_cb_streaming_callback(tiny):
+    """on_tokens streams exactly the final token lists, in order."""
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(24)
+    prompts = [rng.integers(1, 250, size=l).tolist() for l in (150, 200)]
+    got: dict = {}
+
+    def on_tokens(rid, toks):
+        got.setdefault(rid, []).extend(toks)
+
+    cb = ContinuousBatcher(eng, lanes=2, quantum=4, on_tokens=on_tokens)
+    res = cb.run([Request(request_id=f"r{i}", prompt_ids=p, max_new_tokens=8)
+                  for i, p in enumerate(prompts)])
+    assert got == {k: v.tokens for k, v in res.items()}
