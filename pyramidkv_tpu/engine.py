@@ -459,10 +459,11 @@ class Engine:
         skipped."""
         fns = self._get_prefill_chunked(bucket)
         c = fns["chunk_len"]
-        state = fns["init"](tokens.shape[0])
-        start = 0
         if prefix is not None:
-            state, start = self._apply_prefix(bucket, state, prefix, lens)
+            state, start = self._apply_prefix(bucket, tokens.shape[0],
+                                              prefix, lens)
+        else:
+            state, start = fns["init"](tokens.shape[0]), 0
         window_q = hidden_last = None
         for s, chunk_fn in zip(fns["tok_starts"][start:],
                                fns["chunks"][start:]):
@@ -559,34 +560,48 @@ class Engine:
         )
 
     def _get_prefix_scatter(self, bucket: int, p_full: int):
+        """One jitted fn that BUILDS the zeroed chunk state and writes the
+        prefix rows — fusing init+scatter keeps exactly one bucket-length
+        state buffer live (a separate init jit left its dead zeros buffer
+        resident next to the scatter output + the 3.2 GB handle + 4.3 GB
+        weights: measured RESOURCE_EXHAUSTED at 32k d32, logs/tpu_r4i)."""
         key = (bucket, p_full)
         fn = self._prefix_scatter_fns.get(key)
         if fn is None:
-            @jax.jit
-            def scatter_fn(state, pk, pv, pads):
-                # state.k/v: [L,B,KV,N,D]; pk/pv: [L,1,KV,Pf,D]; pads: [B]
-                pk0, pv0 = pk[:, 0], pv[:, 0]
+            spec = self.model_spec
+            dims = (spec.num_hidden_layers, spec.num_key_value_heads,
+                    bucket, spec.head_dim)
+            act_dtype = self.params["final_norm"].dtype
 
-                def row(kb, vb, p):        # [L,KV,N,D] per batch row
-                    kb = jax.lax.dynamic_update_slice(
-                        kb, pk0.astype(kb.dtype), (0, 0, p, 0))
-                    vb = jax.lax.dynamic_update_slice(
-                        vb, pv0.astype(vb.dtype), (0, 0, p, 0))
+            @jax.jit
+            def scatter_fn(pk, pv, pads):
+                # pk/pv: [L,1,KV,Pf,D]; pads: [B] -> state [L,B,KV,N,D]
+                from .models.chunked_prefill import ChunkState
+
+                L, KV, N, D = dims
+                pk0 = pk[:, 0].astype(act_dtype)
+                pv0 = pv[:, 0].astype(act_dtype)
+
+                def row(p):               # one [L,KV,N,D] batch row
+                    kb = jnp.zeros((L, KV, N, D), act_dtype)
+                    vb = jnp.zeros((L, KV, N, D), act_dtype)
+                    kb = jax.lax.dynamic_update_slice(kb, pk0, (0, 0, p, 0))
+                    vb = jax.lax.dynamic_update_slice(vb, pv0, (0, 0, p, 0))
                     return kb, vb
 
-                k, v = jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(
-                    state.k, state.v, pads)
-                return state._replace(k=k, v=v)
+                k, v = jax.vmap(row, out_axes=1)(pads)
+                return ChunkState(k=k, v=v)
 
             fn = self._prefix_scatter_fns[key] = scatter_fn
         return fn
 
-    def _apply_prefix(self, bucket: int, state, prefix: PrefixHandle,
+    def _apply_prefix(self, bucket: int, batch: int, prefix: PrefixHandle,
                       lens: Sequence[int]):
-        """Scatter the handle's K/V rows to each row's pad offset and
-        return (state', first chunk index to run).  ``state`` may be the
-        bare ChunkState or h2o's (ChunkState, score_acc) tuple."""
-        from .models.chunked_prefill import ChunkState
+        """Build the chunk state with the handle's K/V rows scattered to
+        each row's pad offset; return (state, first chunk index to run).
+        h2o gets its (fresh) score accumulator attached — the
+        reconstruction pass always reruns every chunk."""
+        from .models import chunked_prefill as cp
 
         c = self.engine_spec.prefill_chunk
         if prefix.chunk_len != c:
@@ -595,12 +610,11 @@ class Engine:
         pf = prefix.full_len
         scatter = self._get_prefix_scatter(bucket, pf)
         pads = jnp.asarray([bucket - int(l) for l in lens], jnp.int32)
-        sa = None
-        if not isinstance(state, ChunkState):
-            state, sa = state       # h2o: (ChunkState, score accumulator)
-        state = scatter(state, prefix.state.k, prefix.state.v, pads)
-        if sa is not None:
-            state = (state, sa)
+        state = scatter(prefix.state.k, prefix.state.v, pads)
+        plan = self.plan_for(bucket)
+        if cp.needs_score_pass(plan):
+            state = (state,
+                     cp.init_h2o_scores(self.model_spec, plan, batch))
         # first chunk NOT fully covered by every row's cached span
         # [pad, pad + pf); clamp so the last chunk always runs (it owns
         # window_q / hidden_last)

@@ -556,13 +556,14 @@ class ContinuousBatcher:
                     # per decode quantum (`advance_refills`) so live lanes
                     # never stall behind a whole long prefill
                     fns = engine._get_prefill_chunked(bucket)
-                    state, nxt = fns["init"](rows), 0
                     if pfx is not None and engine.prefix_cache_supported(
                             bucket):
                         engine._check_prefix(
                             pfx, [r.prompt_ids for r in group], bucket)
                         state, nxt = engine._apply_prefix(
-                            bucket, state, pfx, tls)
+                            bucket, rows, pfx, tls)
+                    else:
+                        state, nxt = fns["init"](rows), 0
                     g.update(fns=fns, state=state,
                              toks=jnp.asarray(toks),
                              tls=jnp.asarray(tls, jnp.int32), next_chunk=nxt)
