@@ -40,13 +40,17 @@ ITERS = 50
 
 
 def probe(name, fn, args, nbytes, iters=ITERS):
+    """Time with a forced host VALUE fetch: through the axon tunnel,
+    block_until_ready on a scalar can return bogusly early (first r4k
+    take read 1076 TB/s); np.asarray round-trips the actual value, which
+    cannot complete before the device work does.  Best of 3."""
     jfn = jax.jit(fn)
-    r = jfn(*args)
-    jax.block_until_ready(r)           # compile + warmup
-    t0 = time.perf_counter()
-    r = jfn(*args)
-    jax.block_until_ready(r)
-    ms = (time.perf_counter() - t0) * 1e3 / iters
+    np.asarray(jfn(*args))             # compile + warmup + fetch
+    ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jfn(*args))
+        ms = min(ms, (time.perf_counter() - t0) * 1e3 / iters)
     gbs = nbytes / 1e9 / (ms / 1e3)
     emit({"bench": f"r4k/{name}", "ms_per_pass": round(ms, 3),
           "gb": round(nbytes / 1e9, 3), "gb_per_s": round(gbs, 1)})
