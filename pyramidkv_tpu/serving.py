@@ -118,7 +118,7 @@ class ContinuousBatcher:
     def __init__(self, engine: Engine, lanes: int = 4, quantum: int = 16,
                  mesh=None, refill_tokens: int = 8192,
                  chunked_refill_tokens: int = 32768,
-                 on_tokens=None):
+                 on_tokens=None, prefix_registry=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         decode LANES shard across it (multi-chip/multi-host data-parallel
         serving; each device advances its lanes, no cross-device traffic in
@@ -148,6 +148,10 @@ class ContinuousBatcher:
         #: serving frontends; EOS/stop tokens are excluded, same as the
         #: final ``CompletedRequest.tokens``)
         self.on_tokens = on_tokens
+        #: optional ``engine.PrefixRegistry``: requests without an explicit
+        #: handle get the LONGEST registered prefix their prompt starts
+        #: with attached automatically at ``run()`` entry
+        self.prefix_registry = prefix_registry
         if mesh is not None:
             assert lanes % mesh.shape["data"] == 0, (
                 lanes, dict(mesh.shape))
@@ -311,6 +315,10 @@ class ContinuousBatcher:
         queue = list(requests)
         if not queue:
             return {}
+        if self.prefix_registry is not None:
+            for r in queue:
+                if r.prefix is None:
+                    r.prefix = self.prefix_registry.match(r.prompt_ids)
         if self._quantum_fn is None:
             self._quantum_fn = (self._build_quantum_spec() if self._spec_mode
                                 else self._build_quantum())

@@ -266,3 +266,33 @@ def test_cb_streaming_callback(tiny):
     res = cb.run([Request(request_id=f"r{i}", prompt_ids=p, max_new_tokens=8)
                   for i, p in enumerate(prompts)])
     assert got == {k: v.tokens for k, v in res.items()}
+
+
+def test_cb_auto_prefix_via_registry(tiny):
+    """Requests without explicit handles get the longest registered
+    prefix auto-attached at run() entry."""
+    from pyramidkv_tpu.engine import PrefixRegistry
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(30)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    reg = PrefixRegistry(eng)
+    reg.get(prefix)
+    prompts = _prompts(prefix, seed=31, lens=(150, 200))
+    other = rng.integers(1, 250, size=140).tolist()
+
+    def reqs():
+        return [Request(request_id="a", prompt_ids=prompts[0],
+                        max_new_tokens=8),
+                Request(request_id="b", prompt_ids=prompts[1],
+                        max_new_tokens=8),
+                Request(request_id="c", prompt_ids=other, max_new_tokens=8)]
+
+    cb = ContinuousBatcher(eng, lanes=2, quantum=4)
+    want = {k: v.tokens for k, v in cb.run(reqs()).items()}
+    cb2 = ContinuousBatcher(eng, lanes=2, quantum=4, prefix_registry=reg)
+    rq = reqs()
+    got = {k: v.tokens for k, v in cb2.run(rq).items()}
+    assert got == want
+    assert rq[0].prefix is not None and rq[2].prefix is None
