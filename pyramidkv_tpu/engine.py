@@ -65,6 +65,13 @@ class PrefixHandle:
     quantized carry's scale groups span the whole (alignment-dependent)
     plane, so those plans raise.  h2o caches its pass-1 prefix only (the
     score-reconstruction pass reads the full K buffer and always reruns).
+
+    Capacity: the handle is the prefix's FULL bf16 K/V (134 KB/token at
+    the 8B geometry — 3.2 GB at 24k), resident in HBM while in use;
+    next to 4.3 GB int4 weights and one bucket-length resume state this
+    bounds practical prefixes to ~24-32k on a 16 GB chip.  Longer
+    prefixes need the quantized-carry handle (ROADMAP r5 #3) or host
+    offload.
     """
 
     #: the full prefix token ids (requests must start with these)
