@@ -61,17 +61,22 @@ class PrefixHandle:
     ``pad`` and the remaining chunks run normally (the chunk straddling
     the prefix end is recomputed — idempotent writes).
 
-    Only the bf16/f32 chunk carry is cacheable: the fullkv+KIVI
-    quantized carry's scale groups span the whole (alignment-dependent)
-    plane, so those plans raise.  h2o caches its pass-1 prefix only (the
-    score-reconstruction pass reads the full K buffer and always reruns).
+    h2o caches its pass-1 prefix only (the score-reconstruction pass
+    reads the full K buffer and always reruns).
 
-    Capacity: the handle is the prefix's FULL bf16 K/V (134 KB/token at
+    fullkv+KIVI plans (the quantized chunk carry) get a QUANTIZED handle
+    instead: the prefix's own chunk-local carry, built unpadded.  Resume
+    dequantizes each covered span and requantizes it on the request's
+    chunk grid (`models.chunked_prefill.quant_state_from_prefix`) —
+    bit-identical when ``pad % chunk == 0`` (requantizing grid-snapped
+    values is the identity), one bounded extra roundtrip otherwise.
+
+    Capacity: a bf16 handle is the prefix's FULL K/V (134 KB/token at
     the 8B geometry — 3.2 GB at 24k), resident in HBM while in use;
     next to 4.3 GB int4 weights and one bucket-length resume state this
-    bounds practical prefixes to ~24-32k on a 16 GB chip.  Longer
-    prefixes need the quantized-carry handle (ROADMAP r5 #3) or host
-    offload.
+    bounds practical bf16 prefixes to ~24-32k on a 16 GB chip.  The
+    quantized handle is nbits/16 of that (e.g. 0.8 GB at 96k kivi2) —
+    the long-context path.
     """
 
     #: the full prefix token ids (requests must start with these)
@@ -80,8 +85,15 @@ class PrefixHandle:
     #: remainder rides the per-request recompute of the straddling chunk
     full_len: int
     chunk_len: int
-    #: ChunkState with k/v [L, 1, KV, full_len, D]
+    #: ChunkState with k/v [L, 1, KV, full_len, D] — or, for
+    #: fullkv+KIVI plans, the prefix's QuantChunkState (codes + scales)
     state: object
+
+    @property
+    def is_quant(self) -> bool:
+        from .models.chunked_prefill import QuantChunkState
+
+        return isinstance(self.state, QuantChunkState)
 
     @property
     def kv_bytes(self) -> int:
@@ -90,36 +102,43 @@ class PrefixHandle:
     def save(self, path: str) -> None:
         """Persist the handle (npz) so a serving process can precompute a
         template's prefix once and reuse it across restarts."""
-        k, v = (np.asarray(x) for x in (self.state.k, self.state.v))
-        np.savez(
-            path,
-            token_ids=np.asarray(self.token_ids, np.int64),
-            full_len=np.int64(self.full_len),
-            chunk_len=np.int64(self.chunk_len),
-            k=k.view(np.uint8), v=v.view(np.uint8),
-            shape=np.asarray(k.shape, np.int64),
-            dtype=np.bytes_(str(k.dtype).encode()),
-        )
+        payload = {
+            "token_ids": np.asarray(self.token_ids, np.int64),
+            "full_len": np.int64(self.full_len),
+            "chunk_len": np.int64(self.chunk_len),
+            "fields": np.bytes_(",".join(self.state._fields).encode()),
+        }
+        for name in self.state._fields:
+            a = np.asarray(getattr(self.state, name))
+            payload[f"arr_{name}"] = a.view(np.uint8)
+            payload[f"shape_{name}"] = np.asarray(a.shape, np.int64)
+            payload[f"dtype_{name}"] = np.bytes_(str(a.dtype).encode())
+        np.savez(path, **payload)
 
     @classmethod
     def load(cls, path: str) -> "PrefixHandle":
-        from .models.chunked_prefill import ChunkState
+        from .models.chunked_prefill import ChunkState, QuantChunkState
 
         z = np.load(path)
-        name = bytes(z["dtype"]).decode()
-        try:
-            dt = np.dtype(name)
-        except TypeError:
-            import ml_dtypes  # bfloat16 et al. (numpy extension dtypes)
+        names = bytes(z["fields"]).decode().split(",")
 
-            dt = np.dtype(getattr(ml_dtypes, name))
-        shape = tuple(int(s) for s in z["shape"])
-        k = jnp.asarray(z["k"].view(dt).reshape(shape))
-        v = jnp.asarray(z["v"].view(dt).reshape(shape))
+        def arr(name):
+            dn = bytes(z[f"dtype_{name}"]).decode()
+            try:
+                dt = np.dtype(dn)
+            except TypeError:
+                import ml_dtypes  # bfloat16 et al. (numpy extension)
+
+                dt = np.dtype(getattr(ml_dtypes, dn))
+            shape = tuple(int(s) for s in z[f"shape_{name}"])
+            return jnp.asarray(z[f"arr_{name}"].view(dt).reshape(shape))
+
+        klass = (ChunkState if set(names) == set(ChunkState._fields)
+                 else QuantChunkState)
         return cls(
             token_ids=tuple(int(t) for t in z["token_ids"]),
             full_len=int(z["full_len"]), chunk_len=int(z["chunk_len"]),
-            state=ChunkState(k=k, v=v),
+            state=klass(**{n: arr(n) for n in names}),
         )
 
 
@@ -482,21 +501,28 @@ class Engine:
     # -- prefix caching ----------------------------------------------------
 
     def prefix_cache_supported(self, bucket: Optional[int] = None) -> bool:
-        """Prefix caching rides the bf16 chunk carry: a chunked plan whose
-        carry is the plain ChunkState (see :class:`PrefixHandle`)."""
-        from .models.chunked_prefill import supports_chunked
+        """Prefix caching rides the chunk carry: bf16 ChunkState plans get
+        a bf16 handle, fullkv+KIVI quant-carry plans a quantized one (see
+        :class:`PrefixHandle`)."""
+        from .models.chunked_prefill import (supports_chunked,
+                                             supports_chunked_quant)
 
         es = self.engine_spec
         bucket = bucket or es.prefill_buckets[0]
         if es.prefill_chunk is None or bucket % es.prefill_chunk != 0:
             return False
         plan = self.plan_for(bucket)
-        return plan.window <= es.prefill_chunk and supports_chunked(plan)
+        if plan.window > es.prefill_chunk:
+            return False
+        return (supports_chunked(plan)
+                or supports_chunked_quant(plan, es.prefill_chunk))
 
-    def _get_prefix_chunks(self, p_full: int):
+    def _get_prefix_chunks(self, p_full: int, quant: bool):
         """Jitted prefix chunk fns (chunk state only — no window_q /
-        score-pass plumbing), cached per cached-prefix length."""
-        got = self._prefix_fns.get(p_full)
+        score-pass plumbing), cached per cached-prefix length.  The quant
+        variant is ONE traced-start fn (like the engine's qchunk_fn)."""
+        key = (p_full, quant)
+        got = self._prefix_fns.get(key)
         if got is not None:
             return got
         import dataclasses
@@ -512,19 +538,42 @@ class Engine:
                                    bucket_len=p_full)
         impl = ("pallas" if es.use_pallas
                 and jax.devices()[0].platform == "tpu" else "xla")
-        chunks = []
-        for i in range(p_full // c):
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def chunk_fn(params, state, tokens, true_len, _start=i * c):
-                st, _wq, _hl = cp.prefill_chunk(
-                    params, spec, plan, state, tokens, true_len,
-                    chunk_start=_start, attention_impl=impl,
-                    prefill_block=es.prefill_block,
-                    prefill_sub_k=es.prefill_sub_k,
-                )
+        if quant:
+            from jax.experimental.layout import Format, Layout
+
+            _auto = jax.tree_util.tree_map(
+                lambda _: Format(Layout.AUTO),
+                jax.eval_shape(lambda: cp.init_quant_state(spec, plan, 1, c)),
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               in_shardings=(None, _auto, None, None, None),
+                               out_shardings=_auto)
+            def qchunk_fn(params, state, tokens, true_len, start):
+                st, _wq, _hl = cp.prefill_chunk_quant(
+                    params, spec, plan, state, tokens, true_len, start,
+                    attention_impl=impl)
                 return st
-            chunks.append(chunk_fn)
-        got = self._prefix_fns[p_full] = {"plan": plan, "chunks": chunks}
+
+            chunks = [
+                (lambda p, s, t, tl, _i=i: qchunk_fn(
+                    p, s, t, tl, jnp.int32(_i * c)))
+                for i in range(p_full // c)
+            ]
+        else:
+            chunks = []
+            for i in range(p_full // c):
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def chunk_fn(params, state, tokens, true_len, _start=i * c):
+                    st, _wq, _hl = cp.prefill_chunk(
+                        params, spec, plan, state, tokens, true_len,
+                        chunk_start=_start, attention_impl=impl,
+                        prefill_block=es.prefill_block,
+                        prefill_sub_k=es.prefill_sub_k,
+                    )
+                    return st
+                chunks.append(chunk_fn)
+        got = self._prefix_fns[key] = {"plan": plan, "chunks": chunks}
         return got
 
     def precompute_prefix(self, prefix_ids: Sequence[int]) -> PrefixHandle:
@@ -543,18 +592,22 @@ class Engine:
             raise ValueError(
                 f"prefix caching unsupported for this plan (method "
                 f"{self.comp_spec.method!r}, quant_method "
-                f"{self.comp_spec.quant_method!r}): needs the bf16 chunk "
-                f"carry (fullkv+quant carries scale groups spanning the "
-                f"alignment-dependent plane)")
+                f"{self.comp_spec.quant_method!r}): needs a chunked-prefill"
+                f" carry (bf16 or the fullkv+KIVI quant carry)")
+        plan0 = self.plan_for(es.prefill_buckets[0])
+        quant = not cp.supports_chunked(plan0)   # fullkv+KIVI quant carry
         p = len(prefix_ids)
         p_full = (p // c) * c
         if p_full < c:
             raise ValueError(
                 f"prefix ({p} tokens) shorter than one prefill chunk ({c}):"
                 f" nothing to cache")
-        fns = self._get_prefix_chunks(p_full)
+        fns = self._get_prefix_chunks(p_full, quant)
         act_dtype = self.params["final_norm"].dtype
-        state = cp.init_state(self.model_spec, fns["plan"], 1, act_dtype)
+        if quant:
+            state = cp.init_quant_state(self.model_spec, fns["plan"], 1, c)
+        else:
+            state = cp.init_state(self.model_spec, fns["plan"], 1, act_dtype)
         toks = jnp.asarray(
             np.asarray(list(prefix_ids[:p_full]), np.int32)[None])
         tl = jnp.full((1,), p_full, jnp.int32)
@@ -615,25 +668,43 @@ class Engine:
             raise ValueError(
                 f"prefix handle chunk {prefix.chunk_len} != engine chunk {c}")
         pf = prefix.full_len
-        scatter = self._get_prefix_scatter(bucket, pf)
         pads = jnp.asarray([bucket - int(l) for l in lens], jnp.int32)
-        state = scatter(prefix.state.k, prefix.state.v, pads)
         plan = self.plan_for(bucket)
-        if cp.needs_score_pass(plan):
-            state = (state,
-                     cp.init_h2o_scores(self.model_spec, plan, batch))
         # first chunk NOT fully covered by every row's cached span
         # [pad, pad + pf); clamp so the last chunk always runs (it owns
         # window_q / hidden_last)
         k0 = min((bucket - int(l) + pf) // c for l in lens)
-        return state, max(0, min(k0, bucket // c - 1))
+        k0 = max(0, min(k0, bucket // c - 1))
+        if prefix.is_quant:
+            if cp.supports_chunked(plan) or not cp.supports_chunked_quant(
+                    plan, c):
+                raise ValueError(
+                    "quantized prefix handle on a non-quant-carry plan")
+            key = ("q", bucket, pf)
+            fn = self._prefix_scatter_fns.get(key)
+            if fn is None:
+                spec = self.model_spec
+
+                @jax.jit
+                def fn(hstate, pads, k0):
+                    return cp.quant_state_from_prefix(
+                        spec, plan, hstate, pf, pads, k0, c)
+
+                self._prefix_scatter_fns[key] = fn
+            return fn(prefix.state, pads, jnp.int32(k0)), k0
+        scatter = self._get_prefix_scatter(bucket, pf)
+        state = scatter(prefix.state.k, prefix.state.v, pads)
+        if cp.needs_score_pass(plan):
+            state = (state,
+                     cp.init_h2o_scores(self.model_spec, plan, batch))
+        return state, k0
 
     def _check_prefix(self, prefix: PrefixHandle,
                       prompt_ids: Sequence[Sequence[int]], bucket: int):
         if not self.prefix_cache_supported(bucket):
             raise ValueError(
                 f"prefix caching unsupported at bucket {bucket} for this "
-                f"plan (needs chunked prefill with the bf16 carry)")
+                f"plan (needs a chunked-prefill carry)")
         pid = prefix.token_ids
         for p in prompt_ids:
             if len(p) < len(pid) or tuple(

@@ -729,3 +729,138 @@ def prefill_finish_quant(
         quant=reg,
     )
     return llama._logits(hidden_last, params, spec), cache
+
+
+def quant_state_from_prefix(
+    spec: ModelSpec,
+    plan: PolicyPlan,
+    hstate: QuantChunkState,
+    p_full: int,
+    pads: jax.Array,
+    k0: jax.Array,
+    chunk: int,
+) -> QuantChunkState:
+    """Resumed quant carry from a QUANTIZED prefix handle (prefix caching
+    for the fullkv+KIVI chunked carry — the path where prefills are
+    longest and the bf16 handle would not fit, engine.py::PrefixHandle).
+
+    The handle is the prefix's own chunk-local carry (built unpadded, so
+    its chunk grid starts at slot 0); each request chunk j < ``k0``
+    covers slots ``[j*chunk, (j+1)*chunk)`` whose content is the handle
+    span shifted by the row's pad: dequantize the (<= 2) overlapping
+    handle chunks, window, zero the pre-pad columns (mirroring
+    ``prefill_chunk_quant``'s pad zeroing), and REQUANTIZE on the
+    request chunk grid.  When ``pad % chunk == 0`` the grids coincide
+    and requantizing already-snapped grid values is the identity (affine
+    min/max quantization maps grid endpoints to themselves) — the carry
+    is bit-identical to the no-handle run.  Misaligned pads pay one
+    extra bounded quantization roundtrip on the covered spans.
+
+    Memory: the fori bodies touch one (layer, chunk-pair) window at a
+    time — no bf16 full-context buffer exists at any point (the quant
+    carry's defining property is preserved).
+    """
+    from ..ops.quant import QuantizedTensor, _round_up, dequantize, quantize
+
+    cs = plan.spec
+    nbits = cs.nbits
+    per = 8 // nbits
+    c = chunk
+    n = plan.bucket_len
+    L, kvh, dh = (spec.num_hidden_layers, spec.num_key_value_heads,
+                  spec.head_dim)
+    dp = _round_up(dh, cs.q_group_size)
+    kg, vg = _quant_groups(cs, c, dp)
+    n_hc = p_full // c                      # handle chunk count
+    k0 = jnp.asarray(k0, jnp.int32)
+
+    def row(p):
+        """One batch row: build [L, KV, ...] carry arrays for pad ``p``."""
+        kc_o = jnp.zeros((L, kvh, n // per, dh), jnp.int8)
+        ks_o = jnp.zeros((L, kvh, dh, n // kg, 1), jnp.float32)
+        kz_o = jnp.zeros((L, kvh, dh, n // kg, 1), jnp.float32)
+        vc_o = jnp.zeros((L, kvh, n // per, dp), jnp.int8)
+        vs_o = jnp.zeros((L, kvh, n, dp // vg, 1), jnp.float32)
+        vz_o = jnp.zeros((L, kvh, n, dp // vg, 1), jnp.float32)
+
+        def chunk_body(j, st):
+            a = j * c - p                   # handle-slot start of window
+            m0 = jnp.floor_divide(a, c)
+            off = a - m0 * c                # in [0, c)
+            valid = (a + jnp.arange(c, dtype=jnp.int32)) >= 0  # slot >= pad
+
+            def li_body(li, st2):
+                kc_o, ks_o, kz_o, vc_o, vs_o, vz_o = st2
+
+                def dq(m):
+                    """Dequantized handle chunk m ([KV, c, dh] K,
+                    [KV, c, dh] V), zeros outside [0, n_hc)."""
+                    ok = (m >= 0) & (m < n_hc)
+                    mc = jnp.clip(m, 0, n_hc - 1)
+                    kc = jnp.swapaxes(jax.lax.dynamic_slice_in_dim(
+                        hstate.k_codes[li, 0], mc * (c // per), c // per,
+                        axis=-2), -1, -2)              # [KV, dh, c//per]
+                    ks = jax.lax.dynamic_slice_in_dim(
+                        hstate.k_scale[li, 0], mc * (c // kg), c // kg,
+                        axis=-2)
+                    kz = jax.lax.dynamic_slice_in_dim(
+                        hstate.k_zero[li, 0], mc * (c // kg), c // kg,
+                        axis=-2)
+                    kt = dequantize(QuantizedTensor(kc, ks, kz, None),
+                                    nbits=nbits, group_size=kg,
+                                    dtype=jnp.float32)  # [KV, dh, c]
+                    kt = jnp.swapaxes(kt, -1, -2)       # [KV, c, dh]
+                    vc = jax.lax.dynamic_slice_in_dim(
+                        hstate.v_codes[li, 0], mc * (c // per), c // per,
+                        axis=-2)
+                    vs = jax.lax.dynamic_slice_in_dim(
+                        hstate.v_scale[li, 0], mc * c, c, axis=-3)
+                    vz = jax.lax.dynamic_slice_in_dim(
+                        hstate.v_zero[li, 0], mc * c, c, axis=-3)
+                    vt = dequantize(QuantizedTensor(vc, vs, vz, None),
+                                    nbits=nbits, group_size=vg,
+                                    dtype=jnp.float32,
+                                    pack_axis=-2)[..., :dh]  # [KV, c, dh]
+                    okf = ok.astype(jnp.float32)
+                    return kt * okf, vt * okf
+
+                k_a, v_a = dq(m0)
+                k_b, v_b = dq(m0 + 1)
+                kcat = jnp.concatenate([k_a, k_b], axis=-2)  # [KV, 2c, dh]
+                vcat = jnp.concatenate([v_a, v_b], axis=-2)
+                kwin = jax.lax.dynamic_slice(
+                    kcat, (0, off, 0), (kvh, c, dh))
+                vwin = jax.lax.dynamic_slice(
+                    vcat, (0, off, 0), (kvh, c, dh))
+                vmask = valid[None, :, None]
+                kwin = jnp.where(vmask, kwin, 0.0)
+                vwin = jnp.where(vmask, vwin, 0.0)
+                # requantize on the request chunk grid — the exact
+                # recipe prefill_chunk_quant applies to its own chunk
+                kq = quantize(jnp.swapaxes(kwin, -1, -2), nbits=nbits,
+                              group_size=kg)
+                vq = quantize(jnp.pad(vwin, ((0, 0), (0, 0),
+                                             (0, dp - dh))),
+                              nbits=nbits, group_size=vg, pack_axis=-2)
+                kc_o = jax.lax.dynamic_update_slice(
+                    kc_o, jnp.swapaxes(kq.codes, -1, -2)[None],
+                    (li, 0, j * (c // per), 0))
+                ks_o = jax.lax.dynamic_update_slice(
+                    ks_o, kq.scale[None], (li, 0, 0, j * (c // kg), 0))
+                kz_o = jax.lax.dynamic_update_slice(
+                    kz_o, kq.zero[None], (li, 0, 0, j * (c // kg), 0))
+                vc_o = jax.lax.dynamic_update_slice(
+                    vc_o, vq.codes[None], (li, 0, j * (c // per), 0))
+                vs_o = jax.lax.dynamic_update_slice(
+                    vs_o, vq.scale[None], (li, 0, j * c, 0, 0))
+                vz_o = jax.lax.dynamic_update_slice(
+                    vz_o, vq.zero[None], (li, 0, j * c, 0, 0))
+                return (kc_o, ks_o, kz_o, vc_o, vs_o, vz_o)
+
+            return jax.lax.fori_loop(0, L, li_body, st)
+
+        return jax.lax.fori_loop(
+            0, k0, chunk_body, (kc_o, ks_o, kz_o, vc_o, vs_o, vz_o))
+
+    outs = jax.vmap(row, out_axes=1)(pads.astype(jnp.int32))
+    return QuantChunkState(*outs)

@@ -114,10 +114,10 @@ def test_prefix_validation_errors(tiny):
     eng2 = _engine(ms, params, chunk=None)
     with pytest.raises(ValueError, match="prefill_chunk"):
         eng2.precompute_prefix(prefix)
-    # quantized chunk carry (fullkv+kivi) is not cacheable
+    # kvquant keeps the post-hoc (non-chunked) path: not cacheable
     eng3 = Engine(
         ms,
-        CompressionSpec(method="fullkv", quant_method="kivi", nbits=8,
+        CompressionSpec(method="fullkv", quant_method="kvquant", nbits=8,
                         window_size=8),
         EngineSpec(max_new_tokens=16, prefill_buckets=(256,),
                    prefill_chunk=64),
@@ -125,6 +125,96 @@ def test_prefix_validation_errors(tiny):
     )
     with pytest.raises(ValueError, match="unsupported"):
         eng3.precompute_prefix(prefix)
+
+
+# ---------------------------------------------------------------------------
+# quantized chunk carry (fullkv + KIVI)
+# ---------------------------------------------------------------------------
+
+
+def _quant_engine(ms, params, nbits=8, layout="group"):
+    return Engine(
+        ms,
+        CompressionSpec(method="fullkv", quant_method="kivi", nbits=nbits,
+                        q_layout=layout, window_size=8),
+        EngineSpec(max_new_tokens=16, prefill_buckets=(256,),
+                   prefill_chunk=64),
+        params,
+    )
+
+
+@pytest.mark.parametrize("nbits,layout", [(8, "group"), (4, "pa"),
+                                          (2, "pa")])
+def test_quant_prefix_aligned_exact(tiny, nbits, layout):
+    """pad % chunk == 0: requantizing grid-snapped values is the
+    identity, so the resumed carry — and the greedy tokens — are exactly
+    the no-handle run's."""
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=nbits, layout=layout)
+    rng = np.random.default_rng(40)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    handle = eng.precompute_prefix(prefix)
+    assert handle.is_quant
+    # lens 256 (pad 0) and 192 (pad 64 == chunk): both grid-aligned
+    prompts = _prompts(prefix, seed=41, lens=(256, 192))
+    want = eng.generate(prompts, max_new_tokens=8)
+    got = eng.generate(prompts, max_new_tokens=8, prefix=handle)
+    assert got.tokens == want.tokens
+
+
+def test_quant_prefix_misaligned_int8(tiny):
+    """Misaligned pads pay one extra bounded quantization roundtrip on
+    the covered spans; at int8 the grids are fine enough that greedy
+    tokens still match the no-handle run."""
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=8)
+    rng = np.random.default_rng(42)
+    prefix = rng.integers(1, 250, size=130).tolist()
+    prompts = _prompts(prefix, seed=43, lens=(230, 256, 170))
+    handle = eng.precompute_prefix(prefix)
+    want = eng.generate(prompts, max_new_tokens=8)
+    got = eng.generate(prompts, max_new_tokens=8, prefix=handle)
+    assert got.tokens == want.tokens
+
+
+def test_quant_prefix_misaligned_low_bits_runs(tiny):
+    """int4/int2 misaligned: the roundtrip is coarser — assert the
+    generation completes and the aligned ROW of the same batch still
+    matches (per-row independence of the scatter)."""
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=4, layout="pa")
+    rng = np.random.default_rng(44)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    aligned = _prompts(prefix, seed=45, lens=(256,))[0]
+    misaligned = _prompts(prefix, seed=46, lens=(230,))[0]
+    handle = eng.precompute_prefix(prefix)
+    want = eng.generate([aligned, misaligned], max_new_tokens=8)
+    got = eng.generate([aligned, misaligned], max_new_tokens=8,
+                       prefix=handle)
+    assert got.tokens[0] == want.tokens[0]          # aligned row exact
+    assert len(got.tokens[1]) == len(want.tokens[1])
+
+
+def test_quant_prefix_save_load(tiny, tmp_path):
+    from pyramidkv_tpu.engine import PrefixHandle
+
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=4, layout="pa")
+    rng = np.random.default_rng(47)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    handle = eng.precompute_prefix(prefix)
+    path = str(tmp_path / "qprefix.npz")
+    handle.save(path)
+    h2 = PrefixHandle.load(path)
+    assert h2.is_quant
+    for name in handle.state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(handle.state, name)),
+            np.asarray(getattr(h2.state, name)))
+    prompts = _prompts(prefix, seed=48, lens=(256, 192))
+    want = eng.generate(prompts, max_new_tokens=8, prefix=handle)
+    got = eng.generate(prompts, max_new_tokens=8, prefix=h2)
+    assert got.tokens == want.tokens
 
 
 def test_prefix_in_continuous_batching(tiny):
