@@ -576,10 +576,18 @@ class Engine:
         got = self._prefix_fns[key] = {"plan": plan, "chunks": chunks}
         return got
 
-    def precompute_prefix(self, prefix_ids: Sequence[int]) -> PrefixHandle:
+    def precompute_prefix(self, prefix_ids: Sequence[int],
+                          host: bool = False) -> PrefixHandle:
         """Run the shared prefix's chunked prefill once; see
         :class:`PrefixHandle` for what the snapshot means and why it is
-        padding-alignment-independent."""
+        padding-alignment-independent.
+
+        ``host=True`` stores the snapshot as host (numpy) arrays: the
+        scatter jit uploads it transiently per generate call and HBM
+        holds the handle only DURING the scatter — the capacity answer
+        when handle + state + weights don't coexist (128k kivi4's
+        3.4 GB handle next to the 4.6 GB carry: RESOURCE_EXHAUSTED,
+        logs/tpu_r4m; the upload costs one host->device copy per call)."""
         from .models import chunked_prefill as cp
 
         es = self.engine_spec
@@ -614,6 +622,8 @@ class Engine:
         for i, fn in enumerate(fns["chunks"]):
             state = fn(self.params, state, toks[:, i * c:(i + 1) * c], tl)
         state = jax.block_until_ready(state)
+        if host:
+            state = type(state)(*(np.asarray(x) for x in state))
         return PrefixHandle(
             token_ids=tuple(int(t) for t in prefix_ids),
             full_len=p_full, chunk_len=c, state=state,

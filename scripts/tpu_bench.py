@@ -102,6 +102,9 @@ def parse():
                         ": every prompt shares this many leading tokens; "
                         "runs a no-handle control leg then the cached leg "
                         "in ONE process (requires --prefill_chunk)")
+    p.add_argument("--prefix_host", action="store_true",
+                   help="store the prefix handle on HOST (numpy): HBM "
+                        "holds it only during the scatter upload")
     p.add_argument("--tag", type=str, default="bench")
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--profile", type=str, default=None,
@@ -321,7 +324,7 @@ def main():
 
         leg(f"{args.tag}/{args.methods[0]}_prefix_ctl")
         t0 = time.perf_counter()
-        handle = eng.precompute_prefix(pfx)
+        handle = eng.precompute_prefix(pfx, host=args.prefix_host)
         emit({"bench": f"{args.tag}/prefix_handle",
               "handle_s": round(time.perf_counter() - t0, 2),
               "handle_mb": round(handle.kv_bytes / 1e6, 1),

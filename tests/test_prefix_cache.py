@@ -386,3 +386,25 @@ def test_cb_auto_prefix_via_registry(tiny):
     got = {k: v.tokens for k, v in cb2.run(rq).items()}
     assert got == want
     assert rq[0].prefix is not None and rq[2].prefix is None
+
+
+def test_quant_prefix_host_handle(tiny):
+    """host=True stores the snapshot as numpy; the scatter jit uploads
+    it per call — token-identical to the device handle."""
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=8)
+    rng = np.random.default_rng(49)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    hd = eng.precompute_prefix(prefix)
+    hh = eng.precompute_prefix(prefix, host=True)
+    assert isinstance(hh.state.k_codes, np.ndarray)
+    prompts = _prompts(prefix, seed=50, lens=(256, 192))
+    want = eng.generate(prompts, max_new_tokens=8, prefix=hd)
+    got = eng.generate(prompts, max_new_tokens=8, prefix=hh)
+    assert got.tokens == want.tokens
+    # bf16-carry host handle too
+    eng2 = _engine(ms, params)
+    hb = eng2.precompute_prefix(prefix, host=True)
+    p2 = _prompts(prefix, seed=51, lens=(200,))
+    assert (eng2.generate(p2, max_new_tokens=8, prefix=hb).tokens
+            == eng2.generate(p2, max_new_tokens=8).tokens)
