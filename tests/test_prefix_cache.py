@@ -408,3 +408,51 @@ def test_quant_prefix_host_handle(tiny):
     p2 = _prompts(prefix, seed=51, lens=(200,))
     assert (eng2.generate(p2, max_new_tokens=8, prefix=hb).tokens
             == eng2.generate(p2, max_new_tokens=8).tokens)
+
+
+def test_quant_prefix_roundtrip_error_bounded(tiny):
+    """Quantitative guard for the misaligned dequant-requant claim: the
+    resumed carry's reconstruction error (vs the bf16-path truth) stays
+    within a small factor of the plain quant carry's own error."""
+    import jax.numpy as jnp
+
+    from pyramidkv_tpu.ops.quant import QuantizedTensor, dequantize
+
+    ms, params = tiny
+    nbits, c, bucket = 4, 64, 256
+    eng = _quant_engine(ms, params, nbits=nbits, layout="pa")
+    engf = _engine(ms, params, method="fullkv")      # bf16 truth carry
+    rng = np.random.default_rng(60)
+    prefix = rng.integers(1, 250, size=130).tolist()
+    prompt = _prompts(prefix, seed=61, lens=(230,))[0]   # pad 26: misaligned
+    handle = eng.precompute_prefix(prefix)
+    tl = jnp.asarray([len(prompt)], jnp.int32)
+    toks = np.zeros((1, bucket), np.int32)
+    toks[0, bucket - len(prompt):] = prompt
+    toks = jnp.asarray(toks)
+
+    def run_chunks(e, state0):
+        fns = e._get_prefill_chunked(bucket)
+        st = state0
+        for s, fn in zip(fns["tok_starts"], fns["chunks"]):
+            st, _, _ = fn(e.params, st, toks[:, s * c:(s + 1) * c], tl)
+        return st
+
+    qfns = eng._get_prefill_chunked(bucket)
+    plain = run_chunks(eng, qfns["init"](1))
+    resumed, k0 = eng._apply_prefix(bucket, 1, handle, [len(prompt)])
+    assert k0 >= 2
+    truth = run_chunks(engf, engf._get_prefill_chunked(bucket)["init"](1))
+
+    def dq_k(st):       # [L,B,KV,D,N] f32 from the slot-major carry
+        return dequantize(
+            QuantizedTensor(jnp.swapaxes(st.k_codes, -2, -1), st.k_scale,
+                            st.k_zero, None), nbits=nbits, group_size=c,
+            dtype=jnp.float32)
+
+    span = slice(0, k0 * c)                       # covered slots only
+    tk = jnp.swapaxes(np.asarray(truth.k, np.float32), -2, -1)[..., span]
+    e_plain = float(jnp.mean((dq_k(plain)[..., span] - tk) ** 2))
+    e_res = float(jnp.mean((dq_k(resumed)[..., span] - tk) ** 2))
+    assert e_plain > 0                            # int4 really quantizes
+    assert e_res <= 2.5 * e_plain + 1e-10, (e_res, e_plain)
