@@ -539,7 +539,13 @@ class ContinuousBatcher:
                     budget_rows = (self.chunked_refill_tokens
                                    - in_flight) // bucket
                     if budget_rows < 1:
-                        break  # wait for the in-flight refill to finish
+                        if in_flight:
+                            break  # wait for the in-flight refill
+                        # bucket > chunked_refill_tokens with NOTHING in
+                        # flight: admit one refill anyway — the guard
+                        # bounds CONCURRENT states, and zero admissions
+                        # would starve the queue forever (livelock)
+                        budget_rows = 1
                     cap = min(cap, budget_rows)
                 rows = 1
                 while rows * 2 <= min(len(idxs), len(free), cap):

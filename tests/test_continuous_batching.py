@@ -422,3 +422,30 @@ def test_poisson_workload_shape():
                              seed=7, vocab=256, max_new_tokens=4)
     assert [r.prompt_ids for r in again] == [r.prompt_ids for r in reqs]
     assert [r.arrival_time for r in again] == arr
+
+
+def test_chunked_refill_budget_below_bucket_does_not_starve():
+    """bucket > chunked_refill_tokens with nothing in flight must still
+    admit one refill (the pre-r4 guard returned 0 admissions forever —
+    a livelock for any chunked engine whose bucket exceeds the HBM
+    budget; the budget bounds CONCURRENT states, not the first one)."""
+    spec = ModelSpec.tiny()
+    params = jl.init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    e = Engine(
+        spec,
+        CompressionSpec(method="snapkv", max_capacity_prompt=64,
+                        window_size=8),
+        EngineSpec(max_new_tokens=16, prefill_buckets=(256,),
+                   prefill_chunk=64),
+        params,
+    )
+    cb = ContinuousBatcher(e, lanes=2, quantum=4,
+                           chunked_refill_tokens=128)  # < bucket 256
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 250, size=n).tolist() for n in (200, 180)]
+    res = cb.run([Request(request_id=f"r{i}", prompt_ids=p,
+                          max_new_tokens=8)
+                  for i, p in enumerate(prompts)])
+    want = {f"r{i}": e.generate([p], max_new_tokens=8).tokens[0]
+            for i, p in enumerate(prompts)}
+    assert {k: v.tokens for k, v in res.items()} == want
