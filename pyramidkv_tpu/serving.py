@@ -752,11 +752,17 @@ class BatchScheduler:
     compiles once and is reused).
     """
 
-    def __init__(self, engine: Engine, batch_size: int = 1):
+    def __init__(self, engine: Engine, batch_size: int = 1,
+                 prefix_registry=None):
         assert batch_size >= 1
         self.engine = engine
         self.batch_size = batch_size
         self.queue: List[Request] = []
+        #: optional ``engine.PrefixRegistry`` — like the
+        #: ContinuousBatcher, requests without an explicit handle get the
+        #: longest registered prefix auto-attached; groups key on the
+        #: handle so every `generate` batch shares one
+        self.prefix_registry = prefix_registry
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
@@ -766,16 +772,25 @@ class BatchScheduler:
 
     def run(self) -> Dict[str, CompletedRequest]:
         es = self.engine.engine_spec
+        if self.prefix_registry is not None:
+            for r in self.queue:
+                if r.prefix is None:
+                    r.prefix = self.prefix_registry.match(r.prompt_ids)
         groups: Dict[tuple, List[Request]] = {}
+        prefixes: Dict[int, object] = {}
         for r in self.queue:
             bucket = es.bucket_for(len(r.prompt_ids))
+            usable = r.prefix is not None and (
+                self.engine.prefix_cache_supported(bucket))
             key = (bucket, r.max_new_tokens or es.max_new_tokens,
-                   tuple(r.eos_token_ids))
+                   tuple(r.eos_token_ids),
+                   id(r.prefix) if usable else 0)
+            prefixes[key[-1]] = r.prefix if usable else None
             groups.setdefault(key, []).append(r)
         self.queue = []
 
         results: Dict[str, CompletedRequest] = {}
-        for (bucket, max_new, eos), reqs in sorted(groups.items()):
+        for (bucket, max_new, eos, pid), reqs in sorted(groups.items()):
             for i in range(0, len(reqs), self.batch_size):
                 chunk = reqs[i : i + self.batch_size]
                 lane = list(chunk)
@@ -785,6 +800,7 @@ class BatchScheduler:
                     [r.prompt_ids for r in lane],
                     max_new_tokens=max_new,
                     eos_token_ids=eos,
+                    prefix=prefixes[pid],
                 )
                 for j, r in enumerate(chunk):
                     results[r.request_id] = CompletedRequest(

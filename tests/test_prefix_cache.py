@@ -456,3 +456,32 @@ def test_quant_prefix_roundtrip_error_bounded(tiny):
     e_res = float(jnp.mean((dq_k(resumed)[..., span] - tk) ** 2))
     assert e_plain > 0                            # int4 really quantizes
     assert e_res <= 2.5 * e_plain + 1e-10, (e_res, e_plain)
+
+
+def test_batch_scheduler_prefix(tiny):
+    """BatchScheduler groups by handle identity and passes it through to
+    batched generate; auto-match via the registry like the CB."""
+    from pyramidkv_tpu.engine import PrefixRegistry
+    from pyramidkv_tpu.serving import BatchScheduler
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(70)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    reg = PrefixRegistry(eng)
+    reg.get(prefix)
+    pfx_prompts = _prompts(prefix, seed=71, lens=(180, 200))
+    other = rng.integers(1, 250, size=150).tolist()
+
+    sched = BatchScheduler(eng, batch_size=2, prefix_registry=reg)
+    for i, p in enumerate(pfx_prompts):
+        sched.submit(Request(request_id=f"p{i}", prompt_ids=p,
+                             max_new_tokens=8))
+    sched.submit(Request(request_id="o0", prompt_ids=other,
+                         max_new_tokens=8))
+    res = sched.run()
+
+    want = {f"p{i}": eng.generate([p], max_new_tokens=8).tokens[0]
+            for i, p in enumerate(pfx_prompts)}
+    want["o0"] = eng.generate([other], max_new_tokens=8).tokens[0]
+    assert {k: v.tokens for k, v in res.items()} == want
