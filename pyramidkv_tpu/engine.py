@@ -99,9 +99,16 @@ class PrefixHandle:
     def kv_bytes(self) -> int:
         return sum(x.size * x.dtype.itemsize for x in self.state)
 
+    @staticmethod
+    def _npz_path(path: str) -> str:
+        # np.savez appends '.npz' when absent; normalise in BOTH save and
+        # load so save('x') / load('x') always agree (ADVICE r4).
+        return path if path.endswith(".npz") else path + ".npz"
+
     def save(self, path: str) -> None:
         """Persist the handle (npz) so a serving process can precompute a
         template's prefix once and reuse it across restarts."""
+        path = self._npz_path(path)
         payload = {
             "token_ids": np.asarray(self.token_ids, np.int64),
             "full_len": np.int64(self.full_len),
@@ -119,7 +126,7 @@ class PrefixHandle:
     def load(cls, path: str) -> "PrefixHandle":
         from .models.chunked_prefill import ChunkState, QuantChunkState
 
-        z = np.load(path)
+        z = np.load(cls._npz_path(path))
         names = bytes(z["fields"]).decode().split(",")
 
         def arr(name):
@@ -154,12 +161,15 @@ class PrefixRegistry:
     """
 
     def __init__(self, engine: "Engine", max_entries: int = 8,
-                 max_bytes: Optional[int] = None):
+                 max_bytes: Optional[int] = None, host: bool = False):
         from collections import OrderedDict
 
         self.engine = engine
         self.max_entries = max_entries
         self.max_bytes = max_bytes
+        #: build host-offloaded handles (numpy snapshots) by default —
+        #: the capacity answer for very long prefixes (ADVICE r4)
+        self.host = host
         self._entries: "dict[tuple, PrefixHandle]" = OrderedDict()
 
     @property
@@ -169,11 +179,13 @@ class PrefixRegistry:
     def __len__(self) -> int:
         return len(self._entries)
 
-    def get(self, prefix_ids: Sequence[int]) -> PrefixHandle:
+    def get(self, prefix_ids: Sequence[int],
+            host: Optional[bool] = None) -> PrefixHandle:
         key = tuple(int(t) for t in prefix_ids)
         h = self._entries.get(key)
         if h is None:
-            h = self.engine.precompute_prefix(key)
+            h = self.engine.precompute_prefix(
+                key, host=self.host if host is None else host)
             self._entries[key] = h
             self._evict()
         else:
@@ -721,6 +733,20 @@ class Engine:
                     int(t) for t in p[:len(pid)]) != pid:
                 raise ValueError(
                     "prompt does not start with the prefix handle's tokens")
+
+    def prefix_usable(self, prefix: Optional[PrefixHandle],
+                      prompt_ids: Sequence[Sequence[int]],
+                      bucket: int) -> bool:
+        """Non-raising `_check_prefix`: schedulers validate handles during
+        grouping and fall back to prefix=None on mismatch instead of
+        aborting a drained queue (ADVICE r4)."""
+        if prefix is None:
+            return False
+        try:
+            self._check_prefix(prefix, prompt_ids, bucket)
+        except ValueError:
+            return False
+        return True
 
     def _get_decode(self, bucket: int):
         """Jitted whole-decode loop: greedy sampling + EOS early exit on

@@ -315,10 +315,20 @@ class ContinuousBatcher:
         queue = list(requests)
         if not queue:
             return {}
+        # Registry auto-match resolves into a LOCAL map for this run (not
+        # onto the caller-owned Request objects — a Request reused later
+        # would keep a stale handle; ADVICE r4).
+        auto_prefix: "dict[int, object]" = {}
         if self.prefix_registry is not None:
             for r in queue:
                 if r.prefix is None:
-                    r.prefix = self.prefix_registry.match(r.prompt_ids)
+                    m = self.prefix_registry.match(r.prompt_ids)
+                    if m is not None:
+                        auto_prefix[id(r)] = m
+
+        def rpfx(r):
+            return r.prefix if r.prefix is not None else auto_prefix.get(id(r))
+
         if self._quantum_fn is None:
             self._quantum_fn = (self._build_quantum_spec() if self._spec_mode
                                 else self._build_quantum())
@@ -522,10 +532,10 @@ class ContinuousBatcher:
                 if not avail:
                     break
                 bucket = es.bucket_for(len(queue[avail[0]].prompt_ids))
-                pfx = queue[avail[0]].prefix
+                pfx = rpfx(queue[avail[0]])
                 idxs = [i for i in avail
                         if es.bucket_for(len(queue[i].prompt_ids)) == bucket
-                        and queue[i].prefix is pfx]
+                        and rpfx(queue[i]) is pfx]
                 cap = max(1, self.refill_tokens // bucket)
                 chunked = engine.chunked_prefill_supported(bucket)
                 if chunked:
@@ -570,10 +580,8 @@ class ContinuousBatcher:
                     # per decode quantum (`advance_refills`) so live lanes
                     # never stall behind a whole long prefill
                     fns = engine._get_prefill_chunked(bucket)
-                    if pfx is not None and engine.prefix_cache_supported(
-                            bucket):
-                        engine._check_prefix(
-                            pfx, [r.prompt_ids for r in group], bucket)
+                    if engine.prefix_usable(
+                            pfx, [r.prompt_ids for r in group], bucket):
                         state, nxt = engine._apply_prefix(
                             bucket, rows, pfx, tls)
                     else:
@@ -772,20 +780,23 @@ class BatchScheduler:
 
     def run(self) -> Dict[str, CompletedRequest]:
         es = self.engine.engine_spec
-        if self.prefix_registry is not None:
-            for r in self.queue:
-                if r.prefix is None:
-                    r.prefix = self.prefix_registry.match(r.prompt_ids)
+        # Resolve registry matches into a LOCAL map (never mutate the
+        # caller-owned Request objects) and validate every handle — token
+        # prefix + plan support — DURING grouping, falling back to
+        # prefix=None on mismatch so a bad handle can't abort the run
+        # after the queue was drained (ADVICE r4).
         groups: Dict[tuple, List[Request]] = {}
         prefixes: Dict[int, object] = {}
         for r in self.queue:
             bucket = es.bucket_for(len(r.prompt_ids))
-            usable = r.prefix is not None and (
-                self.engine.prefix_cache_supported(bucket))
+            pfx = r.prefix
+            if pfx is None and self.prefix_registry is not None:
+                pfx = self.prefix_registry.match(r.prompt_ids)
+            usable = self.engine.prefix_usable(pfx, [r.prompt_ids], bucket)
             key = (bucket, r.max_new_tokens or es.max_new_tokens,
                    tuple(r.eos_token_ids),
-                   id(r.prefix) if usable else 0)
-            prefixes[key[-1]] = r.prefix if usable else None
+                   id(pfx) if usable else 0)
+            prefixes[key[-1]] = pfx if usable else None
             groups.setdefault(key, []).append(r)
         self.queue = []
 

@@ -385,7 +385,9 @@ def test_cb_auto_prefix_via_registry(tiny):
     rq = reqs()
     got = {k: v.tokens for k, v in cb2.run(rq).items()}
     assert got == want
-    assert rq[0].prefix is not None and rq[2].prefix is None
+    # auto-match resolves into a run-local map; caller-owned Request
+    # objects are never mutated (ADVICE r4)
+    assert all(r.prefix is None for r in rq)
 
 
 def test_quant_prefix_host_handle(tiny):
@@ -485,3 +487,62 @@ def test_batch_scheduler_prefix(tiny):
             for i, p in enumerate(pfx_prompts)}
     want["o0"] = eng.generate([other], max_new_tokens=8).tokens[0]
     assert {k: v.tokens for k, v in res.items()} == want
+
+
+def test_save_load_path_without_extension(tiny, tmp_path):
+    """np.savez appends '.npz' silently; save/load normalise the path so
+    save('x') / load('x') agree (ADVICE r4)."""
+    from pyramidkv_tpu.engine import PrefixHandle
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    prefix = np.random.default_rng(90).integers(1, 250, size=128).tolist()
+    h = eng.precompute_prefix(prefix)
+    path = str(tmp_path / "noext")
+    h.save(path)
+    h2 = PrefixHandle.load(path)  # same extensionless path
+    assert h2.token_ids == h.token_ids
+
+
+def test_batch_scheduler_mismatched_handle_falls_back(tiny):
+    """An explicitly attached handle whose tokens do NOT prefix the
+    prompt must not abort the run (the queue is drained at entry);
+    grouping validates and falls back to prefix=None (ADVICE r4)."""
+    from pyramidkv_tpu.serving import BatchScheduler
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(91)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    h = eng.precompute_prefix(prefix)
+    other = rng.integers(1, 250, size=180).tolist()  # does NOT start with it
+
+    sched = BatchScheduler(eng, batch_size=1)
+    sched.submit(Request(request_id="bad", prompt_ids=other,
+                         max_new_tokens=8, prefix=h))
+    res = sched.run()
+    want = eng.generate([other], max_new_tokens=8).tokens[0]
+    assert res["bad"].tokens == want
+    assert sched.pending() == 0
+
+
+def test_registry_host_flag(tiny):
+    """PrefixRegistry(host=True) builds host-offloaded (numpy) handles —
+    the capacity path precompute_prefix(host=True) documents (ADVICE r4)."""
+    from pyramidkv_tpu.engine import PrefixRegistry
+
+    ms, params = tiny
+    eng = _engine(ms, params)
+    rng = np.random.default_rng(92)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    reg = PrefixRegistry(eng, host=True)
+    h = reg.get(prefix)
+    assert isinstance(np.asarray(h.state.k), np.ndarray)
+    assert not isinstance(h.state.k, jax.Array)
+    prompts = _prompts(prefix, seed=93, lens=(180,))
+    want = eng.generate(prompts, max_new_tokens=8).tokens
+    got = eng.generate(prompts, max_new_tokens=8, prefix=h).tokens
+    assert got == want
+    # per-get override wins over the constructor default
+    h2 = reg.get(rng.integers(1, 250, size=128).tolist(), host=False)
+    assert isinstance(h2.state.k, jax.Array)
