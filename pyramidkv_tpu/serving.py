@@ -583,7 +583,7 @@ class ContinuousBatcher:
                     if engine.prefix_usable(
                             pfx, [r.prompt_ids for r in group], bucket):
                         state, nxt = engine._apply_prefix(
-                            bucket, rows, pfx, tls)
+                            bucket, rows, pfx, tls, mesh=self.mesh)
                     else:
                         state, nxt = fns["init"](rows), 0
                     g.update(fns=fns, state=state,

@@ -489,6 +489,101 @@ def test_batch_scheduler_prefix(tiny):
     assert {k: v.tokens for k, v in res.items()} == want
 
 
+def test_low_bit_handle_bounded_error(tiny):
+    """kivi2-encoded handle resumed into a kivi4 carry (the 128k kivi4
+    capacity answer, VERDICT r4 weak #4): handle HBM halves (codes pack
+    2x denser) and the resumed carry's reconstruction error vs the bf16
+    truth stays within the misaligned-resume factor of a PURE kivi2
+    carry's error — the handle's coarser width, not the resume path, is
+    the error source."""
+    import jax.numpy as jnp
+
+    from pyramidkv_tpu.ops.quant import QuantizedTensor, dequantize
+
+    ms, params = tiny
+    c, bucket = 64, 256
+    eng4 = _quant_engine(ms, params, nbits=4, layout="pa")
+    eng2 = _quant_engine(ms, params, nbits=2, layout="pa")
+    engf = _engine(ms, params, method="fullkv")      # bf16 truth carry
+    rng = np.random.default_rng(70)
+    prefix = rng.integers(1, 250, size=130).tolist()
+    prompt = _prompts(prefix, seed=71, lens=(192,))[0]   # pad 64: aligned
+    h4 = eng4.precompute_prefix(prefix)
+    h2 = eng4.precompute_prefix(prefix, handle_nbits=2)
+    assert h2.nbits == 2 and h4.nbits is None
+    # codes halve; scales/zeros unchanged -> strictly smaller handle
+    assert h2.state.k_codes.shape[-2] == h4.state.k_codes.shape[-2] // 2
+    assert h2.kv_bytes < 0.75 * h4.kv_bytes
+
+    tl = jnp.asarray([len(prompt)], jnp.int32)
+    toks = np.zeros((1, bucket), np.int32)
+    toks[0, bucket - len(prompt):] = prompt
+    toks = jnp.asarray(toks)
+
+    def run_chunks(e, state0):
+        fns = e._get_prefill_chunked(bucket)
+        st = state0
+        for s, fn in zip(fns["tok_starts"], fns["chunks"]):
+            st, _, _ = fn(e.params, st, toks[:, s * c:(s + 1) * c], tl)
+        return st
+
+    resumed, k0 = eng4._apply_prefix(bucket, 1, h2, [len(prompt)])
+    assert k0 >= 2
+    plain2 = run_chunks(eng2, eng2._get_prefill_chunked(bucket)["init"](1))
+    truth = run_chunks(engf, engf._get_prefill_chunked(bucket)["init"](1))
+
+    def dq_k(st, nbits):
+        return dequantize(
+            QuantizedTensor(jnp.swapaxes(st.k_codes, -2, -1), st.k_scale,
+                            st.k_zero, None), nbits=nbits, group_size=c,
+            dtype=jnp.float32)
+
+    span = slice(0, k0 * c)
+    tk = jnp.swapaxes(np.asarray(truth.k, np.float32), -2, -1)[..., span]
+    e_res = float(jnp.mean((dq_k(resumed, 4)[..., span] - tk) ** 2))
+    e_k2 = float(jnp.mean((dq_k(plain2, 2)[..., span] - tk) ** 2))
+    assert e_k2 > 0
+    assert e_res <= 2.5 * e_k2 + 1e-10, (e_res, e_k2)
+    # and generation with the narrow handle completes
+    out = eng4.generate([prompt], max_new_tokens=8, prefix=h2)
+    assert len(out.tokens[0]) == 8
+
+
+def test_low_bit_handle_save_load_and_registry(tiny, tmp_path):
+    from pyramidkv_tpu.engine import PrefixHandle, PrefixRegistry
+
+    ms, params = tiny
+    eng = _quant_engine(ms, params, nbits=4, layout="pa")
+    rng = np.random.default_rng(72)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    reg = PrefixRegistry(eng, handle_nbits=2)
+    h = reg.get(prefix)
+    assert h.nbits == 2
+    path = str(tmp_path / "h2.npz")
+    h.save(path)
+    hl = PrefixHandle.load(path)
+    assert hl.nbits == 2
+    prompts = _prompts(prefix, seed=73, lens=(192,))
+    want = eng.generate(prompts, max_new_tokens=8, prefix=h).tokens
+    got = eng.generate(prompts, max_new_tokens=8, prefix=hl).tokens
+    assert got == want
+
+
+def test_handle_nbits_validation(tiny):
+    ms, params = tiny
+    eng_q = _quant_engine(ms, params, nbits=2, layout="pa")
+    rng = np.random.default_rng(74)
+    prefix = rng.integers(1, 250, size=128).tolist()
+    with pytest.raises(ValueError, match="wider"):
+        eng_q.precompute_prefix(prefix, handle_nbits=4)
+    # same width collapses to a plain handle
+    h = eng_q.precompute_prefix(prefix, handle_nbits=2)
+    assert h.nbits is None
+    eng_bf = _engine(ms, params)
+    with pytest.raises(ValueError, match="quant-carry"):
+        eng_bf.precompute_prefix(prefix, handle_nbits=2)
+
+
 def test_save_load_path_without_extension(tiny, tmp_path):
     """np.savez appends '.npz' silently; save/load normalise the path so
     save('x') / load('x') agree (ADVICE r4)."""
