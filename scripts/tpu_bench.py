@@ -44,6 +44,9 @@ def parse():
     p.add_argument("--ctx", type=int, default=4096)
     p.add_argument("--depth", type=int, default=32)
     p.add_argument("--cap", type=int, default=128)
+    p.add_argument("--caps", type=int, nargs="*", default=None,
+                   help="run one engine per capacity in ONE process "
+                        "(overrides --cap; r5 method-grid legs)")
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--max_new", type=int, default=128)
     p.add_argument("--batch", type=int, default=1)
@@ -105,6 +108,18 @@ def parse():
     p.add_argument("--prefix_host", action="store_true",
                    help="store the prefix handle on HOST (numpy): HBM "
                         "holds it only during the scatter upload")
+    p.add_argument("--prefix_nbits", type=int, default=None,
+                   help="encode the quant-carry handle at this NARROWER "
+                        "bit width (e.g. 2 under a kivi4 plan — the 128k "
+                        "kivi4 capacity answer, VERDICT r4 weak #4)")
+    p.add_argument("--spec_ab", action="store_true",
+                   help="speculative (ngram prompt-lookup) vs plain A/B "
+                        "in ONE process: each leg runs a RANDOM prompt "
+                        "(worst case: no accepted drafts) and a "
+                        "REPETITIVE prompt (drafting-friendly); emits "
+                        "tokens/forward (VERDICT r4 weak #1)")
+    p.add_argument("--spec_draft_len", type=int, default=8)
+    p.add_argument("--spec_ngram", type=int, default=3)
     p.add_argument("--tag", type=str, default="bench")
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--profile", type=str, default=None,
@@ -175,6 +190,19 @@ def profile_decode(tag, eng, ctx, tdir, steps=16):
           "ops": [[n, round(t, 1), c] for n, (t, c) in top]})
 
 
+def method_comp_kw(method, spec, cap, comp_kw):
+    """Per-method CompressionSpec extras: headkv needs per-head priors
+    (synthetic, same recipe as runners/bench_methods.py — the real
+    heads_score asset covers only specific checkpoints)."""
+    kw = dict(comp_kw)
+    if method == "headkv":
+        L, H = spec.num_hidden_layers, spec.num_attention_heads
+        kw["head_capacity"] = tuple(
+            tuple(max(cap // 2 + ((i * 7 + j * 13) % cap), 8)
+                  for j in range(H)) for i in range(L))
+    return kw
+
+
 def main():
     args = parse()
     assert jax.devices()[0].platform == "tpu", jax.devices()
@@ -243,10 +271,12 @@ def main():
             for r in reqs:
                 r.prompt_ids = pfx + r.prompt_ids[args.prefix_tokens:]
             t0 = time.perf_counter()
-            handle = eng.precompute_prefix(pfx)
+            handle = eng.precompute_prefix(
+                pfx, handle_nbits=args.prefix_nbits)
             emit({"bench": f"{args.tag}/prefix_handle",
                   "handle_s": round(time.perf_counter() - t0, 2),
                   "handle_mb": round(handle.kv_bytes / 1e6, 1),
+                  "handle_nbits": args.prefix_nbits,
                   "prefix_tokens": args.prefix_tokens})
         log("serving: warmup (compiles all buckets) ...")
         cb.run([Request(f"w{n}", [int(t) for t in rng.integers(
@@ -288,6 +318,65 @@ def main():
             emit(row2)
         return
 
+    if args.spec_ab:
+        rng = np.random.default_rng(0)
+
+        def mk_prompt(kind):
+            n = args.ctx - 1
+            if kind == "random":
+                return [[int(t) for t in rng.integers(
+                    0, spec.vocab_size, size=n)]]
+            # repetitive: tile a short phrase — prompt-lookup drafts hit
+            phrase = [int(t) for t in rng.integers(
+                0, spec.vocab_size, size=64)]
+            return [(phrase * (n // 64 + 1))[:n]]
+
+        for spec_on in (False, True):
+            ekw = dict(eng_kw)
+            if spec_on:
+                ekw.update(speculative="ngram",
+                           spec_ngram=args.spec_ngram,
+                           spec_draft_len=args.spec_draft_len)
+            eng = build_engine(spec, params, method=args.methods[0],
+                               ctx=args.ctx, cap=args.cap,
+                               window=args.window, max_new=args.max_new,
+                               prefill_block=args.prefill_block,
+                               comp_kw=method_comp_kw(
+                                   args.methods[0], spec, args.cap,
+                                   comp_kw),
+                               eng_kw=ekw)
+            for kind in ("random", "repetitive"):
+                prompts = mk_prompt(kind)
+                tag = (f"{args.tag}/{args.methods[0]}_"
+                       f"{'spec' if spec_on else 'plain'}_{kind}")
+                log(f"{tag}: compiling ...")
+                t0 = time.perf_counter()
+                out = eng.generate(prompts, max_new_tokens=args.max_new)
+                log(f"{tag}: first in {time.perf_counter() - t0:.1f}s")
+                best = None
+                for _ in range(args.repeats):
+                    out = eng.generate(prompts,
+                                       max_new_tokens=args.max_new)
+                    tps = out.decode_steps / max(out.decode_seconds, 1e-9)
+                    if best is None or tps > best[0]:
+                        best = (tps, out)
+                tps, out = best
+                row = {"bench": tag, "ctx": args.ctx,
+                       "decode_tokens_per_s": round(tps, 2),
+                       "decode_steps": out.decode_steps,
+                       "prefill_ms": round(out.prefill_seconds * 1e3, 1)}
+                if out.spec_iterations is not None:
+                    row["spec_iterations"] = out.spec_iterations
+                    row["tokens_per_forward"] = round(
+                        out.decode_steps / max(out.spec_iterations, 1), 2)
+                if args.quant_method:
+                    row["quant"] = f"{args.quant_method}{args.nbits}"
+                    row["q_layout"] = args.q_layout
+                emit(row)
+            del eng
+        log("ALL DONE")
+        return
+
     if args.prefix_tokens:
         # generate()-mode shared-prefix A/B: one engine, control
         # (full chunked prefill) vs cached (resume past the prefix)
@@ -324,10 +413,12 @@ def main():
 
         leg(f"{args.tag}/{args.methods[0]}_prefix_ctl")
         t0 = time.perf_counter()
-        handle = eng.precompute_prefix(pfx, host=args.prefix_host)
+        handle = eng.precompute_prefix(pfx, host=args.prefix_host,
+                                       handle_nbits=args.prefix_nbits)
         emit({"bench": f"{args.tag}/prefix_handle",
               "handle_s": round(time.perf_counter() - t0, 2),
               "handle_mb": round(handle.kv_bytes / 1e6, 1),
+              "handle_nbits": args.prefix_nbits,
               "prefix_tokens": args.prefix_tokens})
         leg(f"{args.tag}/{args.methods[0]}_prefix_cached", prefix=handle)
         log("ALL DONE")
@@ -368,12 +459,15 @@ def main():
                                         lm_head_nbits=args.lm_head_nbits,
                                         lm_head_pad_to=pad or None)
         for method in args.methods:
+          for cap in (args.caps or [args.cap]):
             eng = build_engine(spec, params, method=method, ctx=args.ctx,
-                               cap=args.cap, window=args.window,
+                               cap=cap, window=args.window,
                                max_new=args.max_new, batch=args.batch,
                                prefill_block=args.prefill_block,
-                               comp_kw=comp_kw, eng_kw=eng_kw)
-            extra = {}
+                               comp_kw=method_comp_kw(method, spec, cap,
+                                                      comp_kw),
+                               eng_kw=eng_kw)
+            extra = {"cap": cap} if args.caps else {}
             if args.quant_method:
                 # "auto": the factored path is the long-region default
                 # since r3p — short grouped regions keep one-shot dequant
@@ -387,9 +481,12 @@ def main():
             if pad:
                 extra["lm_head_pad"] = pad
             tag = f"{args.tag}/{method}" + (f"_pad{pad}" if pad else "")
+            if args.caps:
+                tag += f"_cap{cap}"
             run_generate(tag, eng, args.ctx,
                          max_new=args.max_new, batch=args.batch, log=log,
                          extra=extra or None, repeats=args.repeats)
+            del eng
     log("ALL DONE")
 
 
