@@ -561,6 +561,12 @@ class EngineSpec:
     #: block_q = fetched/sub_k (>= 512) to keep the fp32 logit sub-tiles
     #: inside scoped VMEM.
     prefill_sub_k: int = 1
+    #: Flash-prefill two-pass schedule (exp-avoidance experiment, VERDICT
+    #: r4 weak #6): pass A computes row maxes only, pass B accumulates
+    #: rescale-free against them — the per-tile online-softmax
+    #: bookkeeping (running max, alpha exp, accumulator rescale, m/l
+    #: stores) disappears at the cost of a second QK sweep.
+    prefill_two_pass: bool = False
     #: Chunked prefill (models/chunked_prefill.py): run the prompt forward
     #: in fixed-size token chunks so serving refills interleave with decode
     #: quanta at chunk granularity instead of stalling whole prompts.

@@ -343,6 +343,7 @@ class Engine:
                     params, self.model_spec, plan, tokens, true_len,
                     rng=rng, prefill_block=block, attention_impl=impl,
                     prefill_sub_k=self.engine_spec.prefill_sub_k,
+                    prefill_two_pass=self.engine_spec.prefill_two_pass,
                 )
 
             fn = self._prefill_fns[bucket] = prefill_fn

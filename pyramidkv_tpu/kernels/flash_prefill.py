@@ -206,6 +206,141 @@ def _kernel_partials(pad_ref, qidx_ref, kidx_ref, first_ref, last_ref,
         l_ref_out[0] = l_ref[:]
 
 
+def _max_kernel(
+    pad_ref, qidx_ref, kidx_ref, first_ref, last_ref, interior_ref,
+    q_ref, k_ref, m_out_ref, m_ref,
+    *, block_q, block_k, batch, sliding_window, fast_path, use_exp2,
+    softcap, q_start, sub_k,
+):
+    """Pass A of the two-pass schedule (VERDICT r4 weak #6 experiment):
+    per-row logit max over every k-tile of the q-block — MXU dot + one
+    VPU max per tile, nothing else.  The row maxes come out as a
+    [1, block_q, 8] sidecar (sublane-major like the m scratch, so no
+    relayout on either store or pass-B load)."""
+    bh = pl.program_id(0)
+    t = pl.program_id(1)
+    qi = qidx_ref[t]
+    ki = kidx_ref[t]
+    b = bh // (pl.num_programs(0) // batch)
+    pad = pad_ref[b]
+
+    @pl.when(first_ref[t] == 1)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, bk]
+    if softcap is not None:
+        s = jnp.tanh(s * (1.0 / softcap)) * (
+            softcap * (math.log2(math.e) if use_exp2 else 1.0))
+    interior = (interior_ref[t] == 1) & (pad <= ki * block_k)
+    if not fast_path:
+        interior = interior & False
+    rows = q_start + qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = (cols <= rows) & (cols >= pad)
+    if sliding_window is not None:
+        mask &= (rows - cols) < sliding_window
+    s = jnp.where(interior | mask, s, _NEG_INF)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(
+        jnp.maximum(m_ref[:, :1], m_cur), m_ref.shape)
+
+    @pl.when(last_ref[t] == 1)
+    def _finalize():
+        m_out_ref[0] = m_ref[:, :8]
+
+
+def _kernel_pass_b(
+    pad_ref, qidx_ref, kidx_ref, first_ref, last_ref, interior_ref,
+    q_ref, k_ref, v_ref, m_in_ref, o_ref, acc_ref, l_ref,
+    *, block_q, block_k, batch, sliding_window, fast_path, use_exp2,
+    softcap, q_start, sub_k,
+):
+    """Pass B: rescale-free accumulation against the KNOWN row maxes.
+
+    Per tile the VPU does exp + the l row-sum only — no running max, no
+    alpha exponential, no [bq, D] accumulator rescale, no m/l broadcast
+    stores (the three per-tile VPU passes the single-pass schedule pays
+    beyond exp; r3j attribution: MXU and VPU serialize per tile)."""
+    bh = pl.program_id(0)
+    t = pl.program_id(1)
+    qi = qidx_ref[t]
+    ki = kidx_ref[t]
+    b = bh // (pl.num_programs(0) // batch)
+    pad = pad_ref[b]
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+
+    @pl.when(first_ref[t] == 1)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # fully-masked (padding) rows carry m == _NEG_INF: clamp so
+    # (-inf) - m stays -inf -> exp == 0 (their l stays 0; finalize
+    # guards the divide)
+    m_row = jnp.maximum(m_in_ref[0][:, :1], _NEG_INF / 2)  # [bq, 1]
+
+    sk = block_k // sub_k
+    ss = []
+    for j in range(sub_k):
+        sj = jax.lax.dot_general(
+            q_ref[0], k_ref[0, j * sk:(j + 1) * sk, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if softcap is not None:
+            sj = jnp.tanh(sj * (1.0 / softcap)) * (
+                softcap * (math.log2(math.e) if use_exp2 else 1.0))
+        ss.append(sj)
+
+    def _update(s, v):
+        p = exp(s - m_row)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _masked_update(s, col0, v):
+        rows = q_start + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, sk), 0)
+        cols = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, sk), 1)
+        mask = (cols <= rows) & (cols >= pad)
+        if sliding_window is not None:
+            mask &= (rows - cols) < sliding_window
+        _update(jnp.where(mask, s, _NEG_INF), v)
+
+    def _all(update):
+        for j in range(sub_k):
+            update(j, ss[j], v_ref[0, j * sk:(j + 1) * sk, :])
+
+    if fast_path:
+        fast = (interior_ref[t] == 1) & (pad <= ki * block_k)
+
+        @pl.when(fast)
+        def _fast():
+            _all(lambda j, s, v: _update(s, v))
+
+        @pl.when(~fast)
+        def _slow():
+            _all(lambda j, s, v: _masked_update(s, ki * block_k + j * sk, v))
+    else:
+        _all(lambda j, s, v: _masked_update(s, ki * block_k + j * sk, v))
+
+    @pl.when(last_ref[t] == 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(o_ref.dtype)
+
+
 @functools.lru_cache(maxsize=64)
 def _triangular_pairs(nq: int, nk: int, block_q: int, block_k: int,
                       sliding_window: int | None, q_start: int = 0):
@@ -280,7 +415,7 @@ def _fit_blocks(nq_len: int, nk_len: int, block_q: int, block_k: int,
     jax.jit,
     static_argnames=("block_q", "block_k", "sliding_window", "interpret",
                      "fast_path", "use_exp2", "scale", "softcap", "q_start",
-                     "sub_k"),
+                     "sub_k", "two_pass"),
 )
 def flash_causal_attention(
     q: jax.Array,
@@ -298,6 +433,7 @@ def flash_causal_attention(
     softcap: float | None = None,
     q_start: int = 0,
     sub_k: int = 1,
+    two_pass: bool = False,
 ) -> jax.Array:
     """Causal self-attention over a left-padded buffer.
 
@@ -354,28 +490,81 @@ def flash_causal_attention(
         # (grouped-query: no repeat_kv buffer is materialised)
         return (bh // h) * hk + (bh % h) // g
 
+    q_spec = pl.BlockSpec(
+        (1, block_q, d),
+        lambda bh, t, pad, qx, kx, fs, ls, inn: (bh, qx[t], 0))
+    k_spec = pl.BlockSpec(
+        (1, block_k, d),
+        lambda bh, t, pad, qx, kx, fs, ls, inn: (_kv_row(bh), kx[t], 0))
+    v_spec = pl.BlockSpec(
+        (1, block_k, d),
+        lambda bh, t, pad, qx, kx, fs, ls, inn: (_kv_row(bh), kx[t], 0))
+    o_spec = pl.BlockSpec(
+        (1, block_q, d),
+        lambda bh, t, pad, qx, kx, fs, ls, inn: (bh, qx[t], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(b * h, T),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d),
-                         lambda bh, t, pad, qx, kx, fs, ls, inn: (bh, qx[t], 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls, inn:
-                         (_kv_row(bh), kx[t], 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, t, pad, qx, kx, fs, ls, inn:
-                         (_kv_row(bh), kx[t], 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, t, pad, qx, kx, fs, ls, inn:
-                               (bh, qx[t], 0)),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=o_spec,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
     )
+    if two_pass:
+        # exp-avoidance experiment (VERDICT r4 weak #6): pass A computes
+        # the row maxes (MXU dot + one VPU max per tile), pass B
+        # accumulates rescale-free against the known maxes (exp + l-sum
+        # only on the VPU).  Trades a second QK sweep (MXU + K re-reads)
+        # for dropping the per-tile online-softmax bookkeeping.
+        kw = dict(block_q=block_q, block_k=block_k, batch=b,
+                  sliding_window=sliding_window, fast_path=fast_path,
+                  use_exp2=use_exp2, softcap=softcap, q_start=q_start,
+                  sub_k=sub_k)
+        max_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(b * h, T),
+            in_specs=[q_spec, k_spec],
+            out_specs=pl.BlockSpec(
+                (1, block_q, 8),
+                lambda bh, t, pad, qx, kx, fs, ls, inn: (bh, qx[t], 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        )
+        m_rows = pl.pallas_call(
+            functools.partial(_max_kernel, **kw),
+            grid_spec=max_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            out_shape=jax.ShapeDtypeStruct((b * h, nq_len, 8), jnp.float32),
+            interpret=interpret,
+        )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
+          jnp.asarray(last), jnp.asarray(interior), qr, kr)
+        b_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(b * h, T),
+            in_specs=[q_spec, k_spec, v_spec,
+                      pl.BlockSpec((1, block_q, 8),
+                                   lambda bh, t, pad, qx, kx, fs, ls, inn:
+                                   (bh, qx[t], 0))],
+            out_specs=o_spec,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_pass_b, **kw),
+            grid_spec=b_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            out_shape=jax.ShapeDtypeStruct((b * h, nq_len, d), q.dtype),
+            interpret=interpret,
+        )(pad, jnp.asarray(qidx), jnp.asarray(kidx), jnp.asarray(first),
+          jnp.asarray(last), jnp.asarray(interior), qr, kr, vr, m_rows)
+        return out.reshape(b, h, nq_len, d)
+
     out = pl.pallas_call(
         functools.partial(
             _kernel,

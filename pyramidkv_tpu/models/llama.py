@@ -470,6 +470,7 @@ def prefill(
     rng: Optional[jax.Array] = None,
     prefill_block: int = 512,
     prefill_sub_k: int = 1,
+    prefill_two_pass: bool = False,
     attention_impl: str = "xla",
 ) -> Tuple[jax.Array, KVCache]:
     """Run the prompt through the model, compressing each layer's KV.
@@ -549,6 +550,7 @@ def prefill(
                         block_q=bq,
                         block_k=fb,
                         sub_k=prefill_sub_k,
+                        two_pass=prefill_two_pass,
                         sliding_window=win,
                         interpret=attention_impl == "pallas_interpret",
                         scale=ascale, softcap=asoftcap,

@@ -76,6 +76,9 @@ def parse():
     p.add_argument("--dense_below", type=int, default=None,
                    help="minference_dense_below override (0 = force sparse)")
     p.add_argument("--prefill_block", type=int, default=512)
+    p.add_argument("--two_pass", action="store_true",
+                   help="EngineSpec.prefill_two_pass (exp-avoidance "
+                        "experiment: max pass + rescale-free pass)")
     p.add_argument("--prefill_sub_k", type=int, default=1,
                    help="flash software pipelining: k-sub-tiles per fetched "
                         "block (dots hoisted before softmax updates)")
@@ -235,6 +238,8 @@ def main():
     eng_kw = {}
     if args.prefill_sub_k != 1:
         eng_kw["prefill_sub_k"] = args.prefill_sub_k
+    if args.two_pass:
+        eng_kw["prefill_two_pass"] = True
     if args.prefill_chunk:
         eng_kw["prefill_chunk"] = args.prefill_chunk
     if args.quant_fused:

@@ -356,3 +356,39 @@ def test_flash_l_mxu_matches_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
             rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("true_len", [128, 100, 17])
+def test_flash_two_pass_matches_xla(true_len):
+    """Two-pass exp-avoidance schedule (pass A row maxes + pass B
+    rescale-free accumulation) is EXACT: same p summands as the online
+    schedule once the max is known, only the reduction order differs."""
+    n = 128
+    q, k, v = _rand(n, seed=11)
+    tl = jnp.asarray([true_len, max(true_len - 9, 1)], jnp.int32)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=32)
+    got = flash_causal_attention(q, k, v, tl, block_q=32, block_k=32,
+                                 interpret=True, two_pass=True)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_flash_two_pass_sliding_window_and_subk():
+    n = 128
+    q, k, v = _rand(n, seed=12)
+    tl = jnp.asarray([n, n - 40], jnp.int32)
+    want = causal_prefill_attention(q, k, v, true_len=tl, block=32,
+                                    sliding_window=48)
+    got = flash_causal_attention(q, k, v, tl, block_q=32, block_k=32,
+                                 interpret=True, two_pass=True,
+                                 sliding_window=48)
+    for bi in range(B):
+        pad = n - int(tl[bi])
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, pad:], np.asarray(want)[bi, :, pad:],
+            rtol=2e-4, atol=2e-4,
+        )
