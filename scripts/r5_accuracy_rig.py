@@ -217,6 +217,24 @@ def main():
             emit({"rig": "ruler_niah", "method": method, "cap": cap,
                   "score": score, "examples": len(examples)})
 
+    # ---- heatmaps (viztools): per-config depth x length PNGs ----------
+    try:
+        from pyramidkv_tpu.viztools.plots import needle_heatmap
+
+        hm_dir = os.path.join(args.results_dir, "heatmaps")
+        os.makedirs(hm_dir, exist_ok=True)
+        for row in grid_rows:
+            if "error" in row:
+                continue
+            tag = row["config"]
+            try:
+                needle_heatmap(args.results_dir, f"tiny_{tag}",
+                               save_path=os.path.join(hm_dir, f"{tag}.png"))
+            except Exception as e:
+                log(f"[rig] heatmap {tag} failed: {e}")
+    except Exception as e:
+        log(f"[rig] heatmaps unavailable: {e}")
+
     log("[rig] ALL DONE")
 
 
