@@ -500,6 +500,29 @@ class Engine:
         }
         return got
 
+    def prefill_cache_shape(self, bucket: int):
+        """Abstract (logits, cache) shapes for the prefill path
+        ``generate()`` would take at this bucket — CHUNKED when supported
+        (its quant-region layout differs from the monolithic prefill's
+        under ``q_layout='pa'``: per-chunk K scale groups vs one region
+        group), monolithic otherwise.  The ContinuousBatcher derives its
+        lane-cache template from this so refill caches always merge
+        (the r5c 64k kivi2 serving failure: template from the monolithic
+        path, refills from the chunked path — unmergeable scale leaves).
+        eval_shape only: nothing is compiled or allocated."""
+        if self.chunked_prefill_supported(bucket):
+            fn = lambda tk, tl, rng: self._run_chunked_prefill(
+                bucket, tk, tl, rng)
+        else:
+            fn = lambda tk, tl, rng: self._get_prefill(bucket)(
+                self.params, tk, tl, rng)
+        return jax.eval_shape(
+            fn,
+            jax.ShapeDtypeStruct((1, bucket), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+
     def _run_chunked_prefill(self, bucket, tokens, true_len, rng,
                              prefix: "Optional[PrefixHandle]" = None,
                              lens: "Optional[Sequence[int]]" = None):

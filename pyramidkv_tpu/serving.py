@@ -357,13 +357,9 @@ class ContinuousBatcher:
             # per-segment shapes) from an abstract prefill at the smallest
             # bucket
             bucket0 = es.prefill_buckets[0]
-            pf = engine._get_prefill(bucket0)
-            _, cache_shape = jax.eval_shape(
-                pf, engine.params,
-                jax.ShapeDtypeStruct((1, bucket0), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-                jax.ShapeDtypeStruct((2,), jnp.uint32),
-            )
+            # the template must match the path refills take (chunked
+            # finish vs monolithic differ under q_layout='pa')
+            _, cache_shape = engine.prefill_cache_shape(bucket0)
             def _mk(leaf):
                 shp = list(leaf.shape)
                 if len(shp) >= 2:

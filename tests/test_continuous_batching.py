@@ -449,3 +449,38 @@ def test_chunked_refill_budget_below_bucket_does_not_starve():
     want = {f"r{i}": e.generate([p], max_new_tokens=8).tokens[0]
             for i, p in enumerate(prompts)}
     assert {k: v.tokens for k, v in res.items()} == want
+
+
+def test_cb_quant_pa_chunked_refills_match_generate():
+    """r5c regression: fullkv + KIVI 'pa' with CHUNKED refills — the
+    lane-cache template must come from the chunked finish (per-chunk K
+    scale groups), not the monolithic prefill (one region group); the
+    mismatch raised `insert_lane: unmergeable cache leaf` at 64k kivi2
+    serving (logs/tpu_r5c.log).  Engine.prefill_cache_shape picks the
+    path generate() takes."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyramidkv_tpu.config import CompressionSpec, EngineSpec, ModelSpec
+    from pyramidkv_tpu.engine import Engine
+    from pyramidkv_tpu.models.llama import init_params
+    from pyramidkv_tpu.serving import ContinuousBatcher, Request
+
+    ms = ModelSpec.tiny()
+    params = init_params(ms, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = Engine(
+        ms,
+        CompressionSpec(method="fullkv", quant_method="kivi", nbits=8,
+                        q_layout="pa", window_size=8),
+        EngineSpec(max_new_tokens=8, prefill_buckets=(256,),
+                   prefill_chunk=64),
+        params,
+    )
+    rng = np.random.default_rng(50)
+    prompts = [rng.integers(1, 250, size=n).tolist() for n in (200, 230, 180)]
+    cb = ContinuousBatcher(eng, lanes=2, quantum=4, refill_tokens=256)
+    res = cb.run([Request(request_id=f"r{i}", prompt_ids=p, max_new_tokens=8)
+                  for i, p in enumerate(prompts)])
+    for i, p in enumerate(prompts):
+        want = eng.generate([p], max_new_tokens=8).tokens[0]
+        assert res[f"r{i}"].tokens == want, i
