@@ -44,14 +44,29 @@ class TrainConfig:
     weight_decay: float = 0.01
     seed: int = 0
     log_every: int = 50
+    #: steps fused into ONE jitted `lax.scan` call: over the axon tunnel
+    #: every dispatch pays a round-trip, so single-step training ran at
+    #: ~0.44 s/step and a hung RPC stranded 900 steps of progress
+    #: (logs/tpu_r5f.log) — scan chunks amortise the tunnel 25x and give
+    #: natural checkpoint boundaries
+    scan_steps: int = 25
     synth: SynthConfig = field(default_factory=SynthConfig)
 
 
 def train(spec: ModelSpec, cfg: TrainConfig,
           tok: Optional[ToyTokenizer] = None,
           params: Optional[dict] = None,
-          on_log: Optional[Callable] = None) -> "tuple[dict, list]":
-    """Returns (trained f32 params, loss history [(step, loss), ...])."""
+          on_log: Optional[Callable] = None,
+          save_cb: Optional[Callable] = None,
+          start_step: int = 0) -> "tuple[dict, list]":
+    """Returns (trained f32 params, loss history [(step, loss), ...]).
+
+    ``save_cb(step, params)`` fires after every scan chunk (resumable
+    training: pass ``start_step`` + the loaded params to continue —
+    the data stream is regenerated deterministically from the seed, so
+    a resume replays the skipped batches host-side only; optimizer
+    state and the LR schedule restart, an accepted approximation for
+    the rig)."""
     import optax
 
     from ..models.llama import init_params
@@ -66,28 +81,45 @@ def train(spec: ModelSpec, cfg: TrainConfig,
         0.0, cfg.lr, cfg.warmup, max(cfg.steps, cfg.warmup + 1))
     opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
     opt_state = opt.init(params)
+    K = max(1, min(cfg.scan_steps, cfg.steps))
 
     @jax.jit
-    def step_fn(params, opt_state, tokens, weights):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, spec, tokens, weights)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def multi_step(params, opt_state, toks, ws):
+        def body(carry, xw):
+            p, s = carry
+            t, w = xw
+            loss, grads = jax.value_and_grad(loss_fn)(p, spec, t, w)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (toks, ws))
+        return params, opt_state, losses
 
     rng = np.random.default_rng(cfg.seed + 1)
     history = []
     t0 = time.perf_counter()
-    for step in range(cfg.steps):
-        tokens, weights = make_batch(rng, tok, cfg.synth)
-        params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(tokens), jnp.asarray(weights))
-        if step % cfg.log_every == 0 or step == cfg.steps - 1:
-            lv = float(loss)
+    step = 0
+    while step < cfg.steps:
+        k = min(K, cfg.steps - step)
+        bt = np.zeros((k, cfg.synth.batch, cfg.synth.seq_len), np.int32)
+        bw = np.zeros((k, cfg.synth.batch, cfg.synth.seq_len), np.float32)
+        for i in range(k):
+            bt[i], bw[i] = make_batch(rng, tok, cfg.synth)
+        if step + k <= start_step:   # resume: replay data, skip compute
+            step += k
+            continue
+        params, opt_state, losses = multi_step(
+            params, opt_state, jnp.asarray(bt), jnp.asarray(bw))
+        step += k
+        if (step // K) % max(cfg.log_every // K, 1) == 0 or step >= cfg.steps:
+            lv = float(losses[-1])
             history.append((step, lv))
             msg = (f"[train] step {step}/{cfg.steps} loss {lv:.4f} "
                    f"({time.perf_counter() - t0:.1f}s)")
             (on_log or print)(msg)
+        if save_cb is not None:
+            save_cb(step, params)
     return params, history
 
 

@@ -96,7 +96,25 @@ def main():
             synth=SynthConfig(seq_len=args.seq_len, batch=args.batch),
         )
         t0 = time.perf_counter()
-        params, hist = train(spec, cfg, tok=tok, on_log=log)
+        # stall resilience (a hung tunnel RPC stranded 900 steps,
+        # logs/tpu_r5f.log): checkpoint every scan chunk; on restart,
+        # resume from the newest partial
+        part = args.ckpt + ".part"
+        start_step, init_params_ = 0, None
+        if os.path.exists(part + ".npz") and os.path.exists(part + ".step"):
+            init_params_, pspec = load_checkpoint(part + ".npz")
+            assert pspec.num_hidden_layers == spec.num_hidden_layers
+            start_step = int(open(part + ".step").read().strip())
+            log(f"[rig] resuming training at step {start_step}")
+
+        def save_cb(step, p):
+            save_checkpoint(part + ".npz", p, spec, dtype=np.float16)
+            with open(part + ".step", "w") as f:
+                f.write(str(step))
+
+        params, hist = train(spec, cfg, tok=tok, on_log=log,
+                             params=init_params_, start_step=start_step,
+                             save_cb=save_cb)
         emit({"rig": "train", "steps": args.steps,
               "seq_len": args.seq_len, "batch": args.batch,
               "loss_first": round(hist[0][1], 4),
@@ -104,6 +122,9 @@ def main():
               "train_s": round(time.perf_counter() - t0, 1)})
         os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
         save_checkpoint(args.ckpt, params, spec, dtype=np.float16)
+        for ext in (".part.npz", ".part.step"):
+            if os.path.exists(args.ckpt + ext):
+                os.remove(args.ckpt + ext)
         log(f"[rig] checkpoint -> {args.ckpt} "
             f"({os.path.getsize(args.ckpt) / 1e6:.1f} MB)")
 
