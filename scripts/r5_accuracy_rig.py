@@ -40,6 +40,13 @@ def parse():
     p.add_argument("--seq_len", type=int, default=2048)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--curriculum", type=int, nargs="*", default=None,
+                   help="pairs of (steps, seq_len) phases, e.g. "
+                        "'--curriculum 1500 512 2500 2048': short "
+                        "contexts first makes the retrieval induction "
+                        "circuit form much faster, then lengthen")
+    p.add_argument("--context_loss_weight", type=float, default=0.1)
+    p.add_argument("--distractors", type=int, default=3)
     p.add_argument("--results_dir", type=str, default="results_needle_tiny")
     p.add_argument("--eval_lens", type=int, nargs="*", default=None,
                    help="needle context lengths (default: 6 points up to "
@@ -91,35 +98,52 @@ def main():
         spec = tiny_retrieval_spec(len(tok), max_pos=2 * args.seq_len)
         if args.cpu and args.steps <= 200:   # smoke geometry
             spec = dataclasses.replace(spec, num_hidden_layers=2)
-        cfg = TrainConfig(
-            steps=args.steps, lr=args.lr, log_every=max(args.steps // 40, 10),
-            synth=SynthConfig(seq_len=args.seq_len, batch=args.batch),
-        )
+        phases = ([(args.curriculum[i], args.curriculum[i + 1])
+                   for i in range(0, len(args.curriculum), 2)]
+                  if args.curriculum else [(args.steps, args.seq_len)])
         t0 = time.perf_counter()
         # stall resilience (a hung tunnel RPC stranded 900 steps,
         # logs/tpu_r5f.log): checkpoint every scan chunk; on restart,
-        # resume from the newest partial
+        # resume from the newest partial (phase-granular: the .step file
+        # records "phase:step")
         part = args.ckpt + ".part"
-        start_step, init_params_ = 0, None
+        done_phase, start_step, init_params_ = 0, 0, None
         if os.path.exists(part + ".npz") and os.path.exists(part + ".step"):
             init_params_, pspec = load_checkpoint(part + ".npz")
             assert pspec.num_hidden_layers == spec.num_hidden_layers
-            start_step = int(open(part + ".step").read().strip())
-            log(f"[rig] resuming training at step {start_step}")
+            rec = open(part + ".step").read().strip()
+            parts_ = rec.split(":")
+            done_phase, start_step = ((0, int(parts_[0]))
+                                      if len(parts_) == 1
+                                      else (int(parts_[0]), int(parts_[1])))
+            log(f"[rig] resuming at phase {done_phase} step {start_step}")
 
-        def save_cb(step, p):
-            save_checkpoint(part + ".npz", p, spec, dtype=np.float16)
-            with open(part + ".step", "w") as f:
-                f.write(str(step))
+        params = init_params_
+        for pi, (steps, seq_len) in enumerate(phases):
+            if pi < done_phase:
+                continue
+            cfg = TrainConfig(
+                steps=steps, lr=args.lr,
+                log_every=max(steps // 40, 10),
+                synth=SynthConfig(seq_len=seq_len, batch=args.batch,
+                                  distractors=args.distractors,
+                                  context_loss_weight=args.context_loss_weight),
+            )
 
-        params, hist = train(spec, cfg, tok=tok, on_log=log,
-                             params=init_params_, start_step=start_step,
-                             save_cb=save_cb)
-        emit({"rig": "train", "steps": args.steps,
-              "seq_len": args.seq_len, "batch": args.batch,
-              "loss_first": round(hist[0][1], 4),
-              "loss_last": round(hist[-1][1], 4),
-              "train_s": round(time.perf_counter() - t0, 1)})
+            def save_cb(step, p, _pi=pi):
+                save_checkpoint(part + ".npz", p, spec, dtype=np.float16)
+                with open(part + ".step", "w") as f:
+                    f.write(f"{_pi}:{step}")
+
+            params, hist = train(
+                spec, cfg, tok=tok, on_log=log, params=params,
+                start_step=start_step if pi == done_phase else 0,
+                save_cb=save_cb)
+            emit({"rig": "train", "phase": pi, "steps": steps,
+                  "seq_len": seq_len, "batch": args.batch,
+                  "loss_first": round(hist[0][1], 4),
+                  "loss_last": round(hist[-1][1], 4),
+                  "train_s": round(time.perf_counter() - t0, 1)})
         os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
         save_checkpoint(args.ckpt, params, spec, dtype=np.float16)
         for ext in (".part.npz", ".part.step"):
