@@ -65,11 +65,20 @@ def filler_sentence(rng: np.random.Generator) -> str:
 
 
 def filler_text(rng: np.random.Generator, n_tokens: int,
-                tok: Optional[ToyTokenizer] = None) -> str:
-    """~``n_tokens`` tokens of filler (each sentence is 6-8 tokens)."""
+                tok: Optional[ToyTokenizer] = None,
+                pool: int = 0) -> str:
+    """~``n_tokens`` tokens of filler (each sentence is 6-8 tokens).
+
+    ``pool > 0``: sample sentences WITH REPETITION from a per-document
+    pool of that size — repeated n-grams inside the context give the
+    (low-weighted) LM loss strong in-context-copy gradients, which is
+    the classic accelerant for induction-circuit formation; the
+    retrieval task then reuses the same circuit."""
+    src_pool = [filler_sentence(rng) for _ in range(pool)] if pool else None
     parts, count = [], 0
     while count < n_tokens:
-        s = filler_sentence(rng)
+        s = (src_pool[int(rng.integers(0, pool))] if src_pool
+             else filler_sentence(rng))
         parts.append(s)
         count += s.count(" ") + 1
     return " ".join(parts)
@@ -125,6 +134,9 @@ class SynthConfig:
     multikey_frac: float = 0.3
     #: LM loss weight on non-answer tokens (answer tokens weigh 1.0)
     context_loss_weight: float = 0.1
+    #: per-example filler sentence-pool size (0 = every sentence fresh);
+    #: small pools repeat n-grams in-context -> induction pressure
+    filler_pool: int = 0
 
 
 def _needle_example(rng, tok: ToyTokenizer, seq_len: int, distractors: int):
@@ -183,7 +195,8 @@ def make_example(rng: np.random.Generator, tok: ToyTokenizer,
     budget = (cfg.seq_len - 1 - len(ans_ids) - len(template_ids)
               - sum(len(n) for n in needle_ids) - 8)
     budget = max(budget, 32)
-    ctx_ids = tok.encode(filler_text(rng, budget))[:budget]
+    ctx_ids = tok.encode(filler_text(rng, budget,
+                                     pool=cfg.filler_pool))[:budget]
     # insert needles at random offsets (target needle anywhere, like the
     # eval's depth sweep)
     for n_ids in needle_ids:

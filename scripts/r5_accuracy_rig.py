@@ -47,6 +47,9 @@ def parse():
                         "circuit form much faster, then lengthen")
     p.add_argument("--context_loss_weight", type=float, default=0.1)
     p.add_argument("--distractors", type=int, default=3)
+    p.add_argument("--filler_pool", type=int, default=0,
+                   help="repeat filler sentences from a per-example pool "
+                        "(induction pressure; 0 = fresh sentences)")
     p.add_argument("--results_dir", type=str, default="results_needle_tiny")
     p.add_argument("--eval_lens", type=int, nargs="*", default=None,
                    help="needle context lengths (default: 6 points up to "
@@ -127,7 +130,8 @@ def main():
                 log_every=max(steps // 40, 10),
                 synth=SynthConfig(seq_len=seq_len, batch=args.batch,
                                   distractors=args.distractors,
-                                  context_loss_weight=args.context_loss_weight),
+                                  context_loss_weight=args.context_loss_weight,
+                                  filler_pool=args.filler_pool),
             )
 
             def save_cb(step, p, _pi=pi):
