@@ -212,7 +212,7 @@ def main():
                 needle=needle, retrieval_question=question,
                 context_lengths=lens,
                 depths=depth_percents(10, "linear"),
-                print_status=False,
+                print_status=True,
             )
             t0 = time.perf_counter()
             results = tester.run()
