@@ -108,6 +108,9 @@ def train(spec: ModelSpec, cfg: TrainConfig,
             bt[i], bw[i] = make_batch(rng, tok, cfg.synth)
         if step + k <= start_step:   # resume: replay data, skip compute
             step += k
+            if (step // K) % 10 == 0:
+                (on_log or print)(
+                    f"[train] replaying data stream {step}/{start_step}")
             continue
         params, opt_state, losses = multi_step(
             params, opt_state, jnp.asarray(bt), jnp.asarray(bw))
