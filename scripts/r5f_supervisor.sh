@@ -9,9 +9,9 @@ LOG=${LOG:-/root/repo/logs/tpu_r5f_run.log}
 for i in $(seq 1 10); do
   echo "[supervisor] attempt $i $(date)" >> "$LOG"
   env PYTHONPATH=$SNAP:/root/.axon_site python -u $SNAP/scripts/r5_accuracy_rig.py \
-      --steps 4000 --seq_len 2048 --batch 16 --lr 1e-3 \
-      --ckpt /root/repo/data/tiny_retrieval.npz \
-      --results_dir /root/repo/results_needle_tiny >> "$LOG" 2>&1 &
+      ${RIG_ARGS:---steps 4000 --seq_len 2048 --batch 16 --lr 1e-3} \
+      --ckpt ${CKPT:-/root/repo/data/tiny_retrieval.npz} \
+      --results_dir ${RESULTS:-/root/repo/results_needle_tiny} >> "$LOG" 2>&1 &
   PID=$!
   while kill -0 $PID 2>/dev/null; do
     sleep 60
