@@ -137,22 +137,36 @@ class SynthConfig:
     #: per-example filler sentence-pool size (0 = every sentence fresh);
     #: small pools repeat n-grams in-context -> induction pressure
     filler_pool: int = 0
+    #: QA pairs per needle example: >1 appends further
+    #: "Question: ...?\nAnswer: ..." turns about OTHER needles in the
+    #: same context — multiplies the retrieval gradient signal per
+    #: sequence and gives the model in-context demonstrations of the
+    #: task (few-shot structure is the classic induction accelerant).
+    #: The eval prompt is exactly the 1-pair prefix of this format.
+    qa_pairs: int = 1
 
 
-def _needle_example(rng, tok: ToyTokenizer, seq_len: int, distractors: int):
-    adj, noun = entity(rng)
-    cw = code(rng)
-    needles = [needle_sentence(adj, noun, cw)]
-    used = {(adj, noun)}
-    for _ in range(distractors):
+def _needle_example(rng, tok: ToyTokenizer, seq_len: int, distractors: int,
+                    qa_pairs: int = 1):
+    ents, codes, needles, used = [], [], [], set()
+    for _ in range(distractors + 1):
         while True:
-            a2, n2 = entity(rng)
-            if (a2, n2) not in used:
-                used.add((a2, n2))
+            a, n = entity(rng)
+            if (a, n) not in used:
+                used.add((a, n))
                 break
-        needles.append(needle_sentence(a2, n2, code(rng)))
-    question = needle_question(adj, noun)
-    answer = needle_answer(adj, noun, cw)
+        cw = code(rng)
+        ents.append((a, n))
+        codes.append(cw)
+        needles.append(needle_sentence(a, n, cw))
+    order = rng.permutation(len(ents))[:max(qa_pairs, 1)]
+    qi = int(order[0])
+    question = needle_question(*ents[qi])
+    answer = needle_answer(*ents[qi], codes[qi])
+    for j in order[1:]:
+        j = int(j)
+        answer += ("\nQuestion: " + needle_question(*ents[j])
+                   + "\nAnswer:" + needle_answer(*ents[j], codes[j]))
     return needles, question, answer
 
 
@@ -185,8 +199,12 @@ def make_example(rng: np.random.Generator, tok: ToyTokenizer,
     padding.  (Targets are the NEXT token, shifted inside the loss.)
     """
     mk = rng.random() < cfg.multikey_frac
-    gen = _multikey_example if mk else _needle_example
-    needles, question, answer = gen(rng, tok, cfg.seq_len, cfg.distractors)
+    if mk:
+        needles, question, answer = _multikey_example(
+            rng, tok, cfg.seq_len, cfg.distractors)
+    else:
+        needles, question, answer = _needle_example(
+            rng, tok, cfg.seq_len, cfg.distractors, cfg.qa_pairs)
 
     ans_ids = tok.encode(answer) + [tok.eos_token_id]
     # budget for the filler: total - template/question/answer - needles

@@ -47,6 +47,7 @@ def parse():
                         "circuit form much faster, then lengthen")
     p.add_argument("--context_loss_weight", type=float, default=0.1)
     p.add_argument("--distractors", type=int, default=3)
+    p.add_argument("--qa_pairs", type=int, default=1)
     p.add_argument("--filler_pool", type=int, default=0,
                    help="repeat filler sentences from a per-example pool "
                         "(induction pressure; 0 = fresh sentences)")
@@ -131,7 +132,8 @@ def main():
                 synth=SynthConfig(seq_len=seq_len, batch=args.batch,
                                   distractors=args.distractors,
                                   context_loss_weight=args.context_loss_weight,
-                                  filler_pool=args.filler_pool),
+                                  filler_pool=args.filler_pool,
+                                  qa_pairs=args.qa_pairs),
             )
 
             def save_cb(step, p, _pi=pi):
