@@ -105,7 +105,14 @@ def code(rng: np.random.Generator, k: int = 5) -> "list[str]":
 
 
 def needle_sentence(adj: str, noun: str, code_words: "list[str]") -> str:
-    return (f"\nthe secret code of the {adj} {noun} is "
+    # The {noun} repeats right before the code: when the model restates
+    # the sentence and has just emitted "is {noun}", a FIRST-ORDER
+    # induction head (match my token's previous occurrence, copy its
+    # successor) lands on this needle's unique {noun} and chain-copies
+    # the code.  The v1-v3 format left only "is" as the pre-code anchor,
+    # and "is" occurs in EVERY needle: trained models collapsed onto a
+    # mixture of all needles' codes (logs/tpu_r5f_v1/v2 grids).
+    return (f"\nthe secret code of the {adj} {noun} is {noun} "
             + " ".join(code_words) + " .\n")
 
 
@@ -116,12 +123,15 @@ def needle_question(adj: str, noun: str) -> str:
 def needle_answer(adj: str, noun: str, code_words: "list[str]") -> str:
     # restate the full sentence — ROUGE-1 vs the needle scores ~1.0 when
     # correct, like the reference's sandwich/Dolores-Park response style
-    return (f" the secret code of the {adj} {noun} is "
+    return (f" the secret code of the {adj} {noun} is {noun} "
             + " ".join(code_words) + " .")
 
 
 def multikey_line(key_words: "list[str]", val_words: "list[str]") -> str:
-    return "key " + " ".join(key_words) + " : " + " ".join(val_words) + " .\n"
+    # the trailing key word repeats after ":" — same first-order-anchor
+    # rationale as `needle_sentence`
+    return ("key " + " ".join(key_words) + " : " + key_words[-1] + " "
+            + " ".join(val_words) + " .\n")
 
 
 @dataclass
@@ -185,7 +195,7 @@ def _multikey_example(rng, tok: ToyTokenizer, seq_len: int, distractors: int):
     needles = ["\n" + multikey_line(k, v) for k, v in zip(keys, vals)]
     question = "What is the value of key " + " ".join(keys[qi]) + " ?"
     answer = (" the value of key " + " ".join(keys[qi]) + " is "
-              + " ".join(vals[qi]) + " .")
+              + keys[qi][-1] + " " + " ".join(vals[qi]) + " .")
     return needles, question, answer
 
 
