@@ -24,8 +24,8 @@ from ..models.llama import (_mlp, _qkv, apply_rope, rms_norm,
 from ..models.weights import embed_lookup, mm
 
 
-def forward_logits(params: dict, spec: ModelSpec, tokens: jax.Array
-                   ) -> jax.Array:
+def forward_logits(params: dict, spec: ModelSpec, tokens: jax.Array,
+                   use_rope: bool = True) -> jax.Array:
     """tokens [B, N] (right-padded or full) -> logits [B, N, V] f32.
 
     Causal attention over the whole buffer (true_len = N: training
@@ -34,6 +34,8 @@ def forward_logits(params: dict, spec: ModelSpec, tokens: jax.Array
     b, n = tokens.shape
     inv_freq = rope_inv_freq(spec)
     positions = jnp.arange(n, dtype=jnp.int32)[None, :].repeat(b, axis=0)
+    if not use_rope:   # NoPE diagnostic (causal mask gives implicit order)
+        positions = jnp.zeros_like(positions)
     true_len = jnp.full((b,), n, jnp.int32)
     act_dtype = params["final_norm"].dtype
     hidden = embed_lookup(params["embed"], tokens, act_dtype)
@@ -68,13 +70,14 @@ def forward_logits(params: dict, spec: ModelSpec, tokens: jax.Array
 
 
 def loss_fn(params: dict, spec: ModelSpec, tokens: jax.Array,
-            weights: jax.Array) -> jax.Array:
+            weights: jax.Array, use_rope: bool = True) -> jax.Array:
     """Weighted next-token cross entropy.
 
     ``weights`` [B, N] applies to the PREDICTION of token t+1 made at
     position t — i.e. weight[t+1] gates logits[t] vs target tokens[t+1]
     (answer tokens carry 1.0, context a small LM weight, padding 0)."""
-    logits = forward_logits(params, spec, tokens)          # [B, N, V]
+    logits = forward_logits(params, spec, tokens,
+                            use_rope=use_rope)             # [B, N, V]
     targets = tokens[:, 1:]                                 # [B, N-1]
     w = weights[:, 1:].astype(jnp.float32)
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
