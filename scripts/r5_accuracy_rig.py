@@ -48,6 +48,8 @@ def parse():
     p.add_argument("--context_loss_weight", type=float, default=0.1)
     p.add_argument("--distractors", type=int, default=3)
     p.add_argument("--qa_pairs", type=int, default=1)
+    p.add_argument("--repeat_frac", type=float, default=0.0)
+    p.add_argument("--scan_steps", type=int, default=25)
     p.add_argument("--filler_pool", type=int, default=0,
                    help="repeat filler sentences from a per-example pool "
                         "(induction pressure; 0 = fresh sentences)")
@@ -127,13 +129,14 @@ def main():
             if pi < done_phase:
                 continue
             cfg = TrainConfig(
-                steps=steps, lr=args.lr,
+                steps=steps, lr=args.lr, scan_steps=args.scan_steps,
                 log_every=max(steps // 40, 10),
                 synth=SynthConfig(seq_len=seq_len, batch=args.batch,
                                   distractors=args.distractors,
                                   context_loss_weight=args.context_loss_weight,
                                   filler_pool=args.filler_pool,
-                                  qa_pairs=args.qa_pairs),
+                                  qa_pairs=args.qa_pairs,
+                                  repeat_frac=args.repeat_frac),
             )
 
             def save_cb(step, p, _pi=pi):
