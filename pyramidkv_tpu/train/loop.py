@@ -62,11 +62,13 @@ def train(spec: ModelSpec, cfg: TrainConfig,
     """Returns (trained f32 params, loss history [(step, loss), ...]).
 
     ``save_cb(step, params)`` fires after every scan chunk (resumable
-    training: pass ``start_step`` + the loaded params to continue —
-    the data stream is regenerated deterministically from the seed, so
-    a resume replays the skipped batches host-side only; optimizer
-    state and the LR schedule restart, an accepted approximation for
-    the rig)."""
+    training: pass ``start_step`` + the loaded params to continue).
+    A resumed segment draws its data from a FRESH seed derived from
+    (seed, start_step): the stream is i.i.d., so segment identity is
+    deterministic per (seed, resume point) without replaying the
+    skipped draws host-side (a 26k-step replay cost ~40 min of pure
+    data generation — logs/tpu_r5f_run.log).  Optimizer state and the
+    LR schedule restart, an accepted approximation for the rig."""
     import optax
 
     from ..models.llama import init_params
@@ -96,22 +98,16 @@ def train(spec: ModelSpec, cfg: TrainConfig,
             body, (params, opt_state), (toks, ws))
         return params, opt_state, losses
 
-    rng = np.random.default_rng(cfg.seed + 1)
+    rng = np.random.default_rng(cfg.seed + 1 + 7919 * start_step)
     history = []
     t0 = time.perf_counter()
-    step = 0
+    step = (start_step // K) * K
     while step < cfg.steps:
         k = min(K, cfg.steps - step)
         bt = np.zeros((k, cfg.synth.batch, cfg.synth.seq_len), np.int32)
         bw = np.zeros((k, cfg.synth.batch, cfg.synth.seq_len), np.float32)
         for i in range(k):
             bt[i], bw[i] = make_batch(rng, tok, cfg.synth)
-        if step + k <= start_step:   # resume: replay data, skip compute
-            step += k
-            if (step // K) % 10 == 0:
-                (on_log or print)(
-                    f"[train] replaying data stream {step}/{start_step}")
-            continue
         params, opt_state, losses = multi_step(
             params, opt_state, jnp.asarray(bt), jnp.asarray(bw))
         step += k
