@@ -147,6 +147,13 @@ class SynthConfig:
     #: per-example filler sentence-pool size (0 = every sentence fresh);
     #: small pools repeat n-grams in-context -> induction pressure
     filler_pool: int = 0
+    #: fraction of samples using the dense repeated-span task: a random
+    #: code span appears TWICE in filler at random positions and the
+    #: loss weights the second occurrence (except its first token) at
+    #: 1.0 — the canonical induction-head training signal (the ctrl3
+    #: fixed-vs-random-position control showed content-based matching
+    #: is what the needle task needs and this task trains directly)
+    repeat_frac: float = 0.0
     #: QA pairs per needle example: >1 appends further
     #: "Question: ...?\nAnswer: ..." turns about OTHER needles in the
     #: same context — multiplies the retrieval gradient signal per
@@ -199,6 +206,26 @@ def _multikey_example(rng, tok: ToyTokenizer, seq_len: int, distractors: int):
     return needles, question, answer
 
 
+def _repeat_example(rng, tok: ToyTokenizer, cfg: SynthConfig,
+                    span_len: int = 12):
+    """Dense repeated-span sample (see ``SynthConfig.repeat_frac``)."""
+    N = cfg.seq_len
+    span = tok.encode(" ".join(code(rng, span_len)))
+    nf = max(N - 2 * len(span) - 4, 8)
+    fill = tok.encode(filler_text(rng, nf, pool=cfg.filler_pool))[:nf]
+    a = int(rng.integers(0, len(fill)))
+    gap = int(rng.integers(0, len(fill) - a + 1))
+    ids = ([tok.bos_token_id] + fill[:a] + span + fill[a:a + gap]
+           + span + fill[a + gap:])
+    w = [cfg.context_loss_weight] * len(ids)
+    s2 = 1 + a + len(span) + gap
+    for i in range(s2 + 1, s2 + len(span)):
+        w[i] = 1.0   # predict span tokens 2..S from the first match
+    ids = (ids + [tok.pad_token_id] * N)[:N]
+    w = (w + [0.0] * N)[:N]
+    return ids, w
+
+
 def make_example(rng: np.random.Generator, tok: ToyTokenizer,
                  cfg: SynthConfig) -> "tuple[list[int], list[float]]":
     """One (token_ids, loss_weights) pair of EXACTLY cfg.seq_len tokens.
@@ -208,6 +235,8 @@ def make_example(rng: np.random.Generator, tok: ToyTokenizer,
     ``cfg.context_loss_weight`` on the prompt, 1.0 on answer+<eos>, 0 on
     padding.  (Targets are the NEXT token, shifted inside the loss.)
     """
+    if rng.random() < cfg.repeat_frac:
+        return _repeat_example(rng, tok, cfg)
     mk = rng.random() < cfg.multikey_frac
     if mk:
         needles, question, answer = _multikey_example(
@@ -226,9 +255,13 @@ def make_example(rng: np.random.Generator, tok: ToyTokenizer,
     ctx_ids = tok.encode(filler_text(rng, budget,
                                      pool=cfg.filler_pool))[:budget]
     # insert needles at random offsets (target needle anywhere, like the
-    # eval's depth sweep)
-    for n_ids in needle_ids:
-        at = int(rng.integers(0, len(ctx_ids) + 1))
+    # eval's depth sweep).  Points are drawn on the ORIGINAL context and
+    # applied deepest-first so no needle can split another — the same
+    # rule as `evalsuite.needle.NeedleTester` (a sequential random-insert
+    # variant tore the target needle apart in ~1/4 of short examples:
+    # ACCURACY.md item 2).
+    pts = [int(rng.integers(0, len(ctx_ids) + 1)) for _ in needle_ids]
+    for at, n_ids in sorted(zip(pts, needle_ids), reverse=True):
         ctx_ids = ctx_ids[:at] + n_ids + ctx_ids[at:]
     context = tok.decode(ctx_ids)
     prompt = PROMPT_FORMAT.format(context=context, question=question)

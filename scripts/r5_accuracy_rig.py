@@ -112,6 +112,7 @@ def main():
         # logs/tpu_r5f.log): checkpoint every scan chunk; on restart,
         # resume from the newest partial (phase-granular: the .step file
         # records "phase:step")
+        os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
         part = args.ckpt + ".part"
         done_phase, start_step, init_params_ = 0, 0, None
         if os.path.exists(part + ".npz") and os.path.exists(part + ".step"):
